@@ -1,0 +1,37 @@
+"""flink_skyline_qos_spark — a PySpark-native streaming/batch skyline
+(Pareto-frontier) analytics engine with the query capabilities of the
+reference Flink engine (Asterinos1/Flink-Skyline-QoS), re-expressed
+Spark-first, plus the large-scale data-pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing) such an engine
+needs at 100 TB.
+"""
+
+from .functions.dominance import (
+    dominance_sql,
+    dominates,
+    dominates_array,
+    skyline_not_exists_sql,
+)
+from .operators.partitioners import (
+    grid_dominance_prefilter,
+    mr_angle,
+    mr_dim,
+    mr_grid,
+    partitioner_expr,
+    partitioner_sql,
+)
+from .operators.skyline import (
+    grouped_skyline,
+    skyline,
+    skyline_anti_join,
+    skyline_two_phase,
+)
+from .session import get_spark
+
+__all__ = [
+    "dominates", "dominates_array", "dominance_sql", "skyline_not_exists_sql",
+    "mr_dim", "mr_grid", "mr_angle", "partitioner_expr", "partitioner_sql",
+    "grid_dominance_prefilter",
+    "skyline", "skyline_two_phase", "skyline_anti_join", "grouped_skyline",
+    "get_spark",
+]

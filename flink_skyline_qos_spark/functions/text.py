@@ -1,0 +1,179 @@
+"""Text analysis scalar functions for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) with exact
+ANSI-SQL twins for the DuckDB oracle — definitions are deliberately
+engine-portable (whitespace tokenization, simple ratios, md5).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "char_count",
+    "punct_ratio",
+    "stopword_count",
+    "quality_score",
+    "lang_scores",
+    "doc_fingerprint",
+    "text_stats",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language id.  Chosen from the most frequent function words; the corpus
+# here is synthetic, so the mechanism (not lexicon coverage) is the point.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+        .otherwise(F.size(_tokens(text))).cast("long")
+
+
+def token_count_sql(col: str) -> str:
+    return (f"cast(CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE len(string_split_regex(trim({col}), '\\s+')) END as bigint)")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [A-Za-z0-9 ]."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)) \
+        .otherwise(F.length(stripped) / F.length(text).cast("double"))
+
+
+def punct_ratio_sql(col: str) -> str:
+    return (f"CASE WHEN length({col}) = 0 THEN 0.0 ELSE "
+            f"length(regexp_replace({col}, '[A-Za-z0-9 ]', '', 'g')) "
+            f"* 1.0 / length({col}) END")
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    toks = _tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def stopword_count_sql(col: str, lang: str = "en") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"cast(len(list_filter(string_split_regex(trim(lower({col})), '\\s+'), "
+            f"t -> list_contains([{lst}], t))) as bigint)")
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Heuristic document quality in [0, 1].
+
+    0.4·length-band + 0.3·(1 − punct_ratio) + 0.3·stopword-density-band —
+    the standard cheap pre-filter shape for web-scale corpora (cf. C4 /
+    Gopher rules); exact weights are engine-portable constants.
+    """
+    ntok = token_count(text).cast("double")
+    len_band = F.least(ntok / F.lit(50.0), F.lit(1.0))
+    sw_density = F.when(ntok == 0, F.lit(0.0)) \
+        .otherwise(stopword_count(text, lang).cast("double") / ntok)
+    sw_band = F.least(sw_density * 5.0, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_band + F.lit(0.3) * (1.0 - punct_ratio(text))
+        + F.lit(0.3) * sw_band, 6,
+    )
+
+
+def quality_score_sql(col: str, lang: str = "en") -> str:
+    ntok = token_count_sql(col)
+    sw = stopword_count_sql(col, lang)
+    return (
+        f"round(0.4 * least({ntok} / 50.0, 1.0) "
+        f"+ 0.3 * (1.0 - ({punct_ratio_sql(col)})) "
+        f"+ 0.3 * least(CASE WHEN {ntok} = 0 THEN 0.0 "
+        f"ELSE ({sw}) * 1.0 / ({ntok}) END * 5.0, 1.0), 6)"
+    )
+
+
+def lang_scores(text: Column) -> Column:
+    """Predicted language = argmax of per-language stopword hit counts,
+    'und' (undetermined) when every score is zero."""
+    toks = _tokens(F.lower(text))
+    best = None
+    best_score = None
+    for lang in STOPWORDS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def lang_scores_sql(col: str) -> str:
+    # same first-wins argmax order as the Column builder (dict order)
+    cases = []
+    scores = {}
+    for lang in STOPWORDS:
+        scores[lang] = stopword_count_sql(col, lang)
+    langs = list(STOPWORDS)
+    # emulate iterative argmax: lang beats current best only if strictly greater
+    expr = f"'{langs[0]}'"
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        expr = f"CASE WHEN ({scores[lang]}) > ({best}) THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, {scores[lang]})"
+    return f"CASE WHEN ({best}) > 0 THEN {expr} ELSE 'und' END"
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 hex) — portable."""
+    return F.md5(text)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document feature frame: counts, ratios, quality, lang, fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        char_count(t).alias("n_chars_computed"),
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        stopword_count(t, "en").alias("en_stopwords"),
+        quality_score(t, "en").alias("quality"),
+        lang_scores(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+def text_stats_sql(table: str, text_col: str = "text") -> str:
+    c = text_col
+    return (
+        "SELECT doc_id, "
+        f"cast(length({c}) as bigint) AS n_chars_computed, "
+        f"{token_count_sql(c)} AS n_tokens, "
+        f"round({punct_ratio_sql(c)}, 6) AS punct_ratio, "
+        f"{stopword_count_sql(c, 'en')} AS en_stopwords, "
+        f"{quality_score_sql(c, 'en')} AS quality, "
+        f"{lang_scores_sql(c)} AS lang_pred, "
+        f"md5({c}) AS fingerprint "
+        f"FROM {table}"
+    )

@@ -1,0 +1,273 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Column expressions (shingling via
+`transform(sequence(...))`, hashing via `xxhash64`, min-hashing via
+`array_min`/`transform`) — no Python in the row path except the
+SimHash bit-fold, which is a vectorized pandas UDF over Arrow batches.
+
+Scale notes (100 TB):
+* exact dedup — hash-groupBy on a 128-bit digest; one shuffle on the
+  digest, AQE handles skew (identical boilerplate docs are the skew case).
+* MinHash LSH — per-doc signature is narrow (scan-only); the only wide
+  op is the band-bucket self-join, whose fan-out is bounded by bucket
+  size; near-duplicate clusters are the skew risk → cap bucket size
+  with a count filter before the join.
+* candidate verification — exact Jaccard only on LSH candidates, never
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "char_shingles",
+    "word_shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dup_pairs",
+]
+
+# 31-bit Mersenne prime: with h,a,b < 2³¹, a·h+b < 2⁶³ — no 64-bit overflow
+# inside the JVM expression (xxhash64 output is first reduced with pmod).
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", *,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact text value.
+
+    md5 digest + groupBy — portable to the SQL oracle verbatim.
+    """
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col)))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Array of distinct k-character shingles (JVM-side, no UDF)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+            lambda i: text.substr(i, F.lit(k)),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of distinct k-word shingles from whitespace tokenization."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rs = np.random.RandomState(seed)
+    # a odd/non-zero, b arbitrary, both < p
+    a = rs.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64) | 1
+    b = rs.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, *,
+                      seed: int = 42) -> Column:
+    """Array<long> MinHash signature of a shingle array.
+
+    Base hash is `xxhash64` (JVM); each of the `num_hashes` permutations
+    is (a·h + b) mod 2⁶¹-1 folded with `array_min` — all codegen'd.
+    """
+    sigs = []
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    for a, b in _hash_params(num_hashes, seed):
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: ((h * F.lit(a) % _MERSENNE) + F.lit(b)) % _MERSENNE,
+                )
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 64,
+                      bands: int = 16, shingle_k: int = 5,
+                      shingle_unit: str = "char", seed: int = 42,
+                      max_bucket: int = 1000,
+                      threshold: float | None = None) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
+    bands.  `threshold` filters on the signature-estimated Jaccard.
+    `max_bucket` drops degenerate buckets (cap against quadratic blowup
+    on boilerplate-heavy corpora).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = (char_shingles(F.col(text_col), shingle_k) if shingle_unit == "char"
+          else word_shingles(F.col(text_col), shingle_k))
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(sh, num_hashes, seed=seed).alias("sig"),
+    ).persist()
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1)
+                               for r in range(rows_per_band)]).alias("bucket")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", "sig",
+        F.posexplode(F.array(*[F.struct(F.lit(b).alias("band"), c)
+                               for b, c in enumerate(band_cols)]))
+        .alias("pos", "bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    # cap pathological buckets before the self-join
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")),
+        ["band", "bucket"],
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        unit: str = "word",
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above `threshold`.
+
+    Inverted-index style: explode distinct shingles, self-join on
+    shingle, count intersections, derive |A∪B| = |A|+|B|−|A∩B|.  This is
+    the exact verifier for LSH candidates; on its own it is quadratic in
+    per-shingle document frequency — use after blocking at scale.
+    """
+    sh = (char_shingles(F.col(text_col), k) if unit == "char"
+          else word_shingles(F.col(text_col), k))
+    ex = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sizes = ex.select("id", F.size("sh").alias("n_sh"))
+    flat = ex.select("id", F.explode("sh").alias("g"))
+    inter = (
+        flat.alias("a")
+        .join(flat.alias("b"),
+              (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    size_a = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    size_b = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    out = (
+        inter.join(F.broadcast(size_a), "id_a")
+        .join(F.broadcast(size_b), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def _simhash_fold(num_bits: int = 64):
+    """pandas-UDF kernel: fold per-token 64-bit hashes into a SimHash."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(num_bits, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for row_i, hashes in enumerate(pdf["token_hashes"]):
+                if hashes is None or len(hashes) == 0:
+                    continue
+                h = np.asarray(hashes, dtype=np.int64)[:, None].view(np.uint64)
+                bits = (h >> shifts[None, :]) & np.uint64(1)
+                votes = 2 * bits.astype(np.int32) - 1
+                sim_bits = (votes.sum(axis=0) > 0).astype(np.uint64)
+                out[row_i] = (sim_bits << shifts).sum(dtype=np.uint64)
+            yield pd.DataFrame({"id": pdf["id"],
+                                "simhash": out.view(np.int64)})
+
+    return fn
+
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over whitespace tokens.
+
+    Token hashing stays JVM-side (`xxhash64` per token); only the 64-way
+    bit-majority fold runs in NumPy over Arrow batches.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("token_hashes"),
+    )
+    return hashed.mapInPandas(_simhash_fold(), schema="id long, simhash long")
+
+
+def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """Pairs whose SimHashes differ in ≤ `max_hamming` bits.
+
+    Blocked on 16-bit quarters (pigeonhole: ≤3 differing bits ⇒ at least
+    one of 4 quarters identical) so the join is equi- not cross-.
+    """
+    sh = simhash(df, id_col=id_col, text_col=text_col)
+    quarters = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(q).alias("q"),
+                     F.shiftrightunsigned("simhash", 16 * q)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for q in range(4)
+        ])).alias("blk"),
+    ).select("id", "simhash", "blk.q", "blk.key")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(b, (F.col("a.q") == F.col("b.q"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")) \
+        .filter(F.col("hamming") <= max_hamming)

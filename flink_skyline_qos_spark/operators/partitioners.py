@@ -1,0 +1,148 @@
+"""Space-partitioning strategies MR-Dim / MR-Grid / MR-Angle.
+
+The reference implements these as Flink `KeySelector`s driving a keyBy
+shuffle (`/root/reference/java/org.main/FlinkSkyline.java:669-876`).
+Here each is a pure Column-expression builder: the partition id becomes
+a computed column that Catalyst codegens JVM-side, and the "shuffle" is
+whatever downstream `groupBy`/`repartition` consumes it — no custom
+Partitioner subclass, no Python in the row path.
+
+Each builder has a `*_sql` twin emitting the identical formula as ANSI
+SQL for the DuckDB oracle.  Semantics notes:
+
+* MR-Dim (FlinkSkyline.java:686-713): ``p = int(v0 / (domain_max / P))``
+  clamped to [0, P-1]; other dims ignored.  Java's ``(int)`` truncates
+  toward zero == floor for the non-negative domain.
+* MR-Grid (FlinkSkyline.java:746-790): bitmask, bit i set iff
+  ``v[i] >= domain_max/2``.  The code returns the RAW mask (no mod P) —
+  we reproduce the code's behavior, not the PDF's ``mod partitions``
+  description (divergence noted in SURVEY.md §7 hard-part 3).
+* MR-Angle (FlinkSkyline.java:803-876): hyperspherical angles
+  ``phi_i = atan2(||v[i+1:]||₂, v[i])`` for i < dims-1, normalized by
+  π/2, averaged, scaled by P, truncated, clamped.  dims=1 → 0.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+from operator import add, and_
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# MR-Dim (K1)
+# --------------------------------------------------------------------------
+
+def mr_dim(dim0: Column, num_partitions: int, domain_max: float) -> Column:
+    slice_width = domain_max / num_partitions
+    p = F.floor(dim0 / F.lit(slice_width)).cast("int")
+    return F.least(F.greatest(p, F.lit(0)), F.lit(num_partitions - 1))
+
+
+def mr_dim_sql(col: str, num_partitions: int, domain_max: float) -> str:
+    return (
+        f"least(greatest(cast(floor({col} / ({domain_max!r} / {num_partitions})) "
+        f"as int), 0), {num_partitions - 1})"
+    )
+
+
+# --------------------------------------------------------------------------
+# MR-Grid (K2)
+# --------------------------------------------------------------------------
+
+def mr_grid(dims: Sequence[Column], domain_max: float) -> Column:
+    mid = domain_max / 2.0
+    bits = [
+        F.when(c >= F.lit(mid), F.lit(1 << i)).otherwise(F.lit(0))
+        for i, c in enumerate(dims)
+    ]
+    return reduce(add, bits).cast("int")
+
+
+def mr_grid_sql(cols: Sequence[str], domain_max: float) -> str:
+    mid = domain_max / 2.0
+    terms = " + ".join(
+        f"(CASE WHEN {c} >= {mid!r} THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(cols)
+    )
+    return f"cast({terms} as int)"
+
+
+# --------------------------------------------------------------------------
+# MR-Angle (K3)
+# --------------------------------------------------------------------------
+
+def mr_angle(dims: Sequence[Column], num_partitions: int) -> Column:
+    n = len(dims)
+    if n < 2:
+        return F.lit(0)
+    max_angle = math.pi / 2.0
+    angle_terms = []
+    for i in range(n - 1):
+        rest_sq = reduce(add, [dims[j] * dims[j] for j in range(i + 1, n)])
+        angle_terms.append(F.atan2(F.sqrt(rest_sq), dims[i]) / F.lit(max_angle))
+    avg_pos = reduce(add, angle_terms) / F.lit(float(n - 1))
+    p = (avg_pos * F.lit(num_partitions)).cast("int")
+    return F.least(F.greatest(p, F.lit(0)), F.lit(num_partitions - 1))
+
+
+def mr_angle_sql(cols: Sequence[str], num_partitions: int) -> str:
+    n = len(cols)
+    if n < 2:
+        return "0"
+    terms = []
+    for i in range(n - 1):
+        rest = " + ".join(f"{cols[j]} * {cols[j]}" for j in range(i + 1, n))
+        terms.append(f"(atan2(sqrt({rest}), {cols[i]}) / (pi() / 2.0))")
+    avg = f"(({' + '.join(terms)}) / {float(n - 1)!r})"
+    p = f"cast({avg} * {num_partitions} as int)"
+    return f"least(greatest({p}, 0), {num_partitions - 1})"
+
+
+# --------------------------------------------------------------------------
+# Dispatch + the (reference-disabled) grid dominance pre-filter
+# --------------------------------------------------------------------------
+
+def partitioner_expr(algo: str, dims: Sequence[Column], num_partitions: int,
+                     domain_max: float) -> Column:
+    """Partition-id column for `algo` ∈ {mr-dim, mr-grid, mr-angle}."""
+    algo = algo.lower().replace("_", "-")
+    if algo == "mr-dim":
+        return mr_dim(dims[0], num_partitions, domain_max)
+    if algo == "mr-grid":
+        return mr_grid(dims, domain_max)
+    if algo == "mr-angle":
+        return mr_angle(dims, num_partitions)
+    raise ValueError(f"unknown partitioner algo: {algo}")
+
+
+def partitioner_sql(algo: str, cols: Sequence[str], num_partitions: int,
+                    domain_max: float) -> str:
+    algo = algo.lower().replace("_", "-")
+    if algo == "mr-dim":
+        return mr_dim_sql(cols[0], num_partitions, domain_max)
+    if algo == "mr-grid":
+        return mr_grid_sql(cols, domain_max)
+    if algo == "mr-angle":
+        return mr_angle_sql(cols, num_partitions)
+    raise ValueError(f"unknown partitioner algo: {algo}")
+
+
+def grid_dominance_prefilter(dims: Sequence[Column], domain_max: float) -> Column:
+    """Keep-predicate dropping points ≥ domain/2 in EVERY dimension.
+
+    The reference ships this disabled for fear of a cross-stream deadlock
+    (FlinkSkyline.java:717-733, commented out); in Spark a filter cannot
+    deadlock, so we enable it.  Any dropped point is dominated by the
+    midpoint region and can never be in the skyline *provided at least one
+    point lies strictly inside the lower half in all dims* — the reference
+    applies it unconditionally on its [0,domain] synthetic data; we expose
+    it as an opt-in prune for the same data model.
+    """
+    mid = domain_max / 2.0
+    all_worse = reduce(and_, [c >= F.lit(mid) for c in dims])
+    return ~all_worse

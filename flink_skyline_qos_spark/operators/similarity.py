@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, dot product via `F.aggregate`/`zip_with`
+  (JVM-side), rank with a window partitioned by query.  The baseline and
+  the oracle-checkable path.
+* :func:`cosine_topk_ivf` — IVF scale path: k-means coarse centroids
+  (driver-side NumPy on a sample), each vector assigned to its nearest
+  centroid JVM-side; queries probe only the `nprobe` nearest cells, so
+  the join is equi on cell id instead of a full cross product.
+* :func:`embedding_near_dup_pairs` — all corpus pairs with cosine ≥ τ,
+  blocked to keep the join bounded.
+
+At 100 TB the corpus side stays partitioned and scanned once; queries
+are broadcast (small dim table) — no shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_similarity",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "embedding_near_dup_pairs",
+]
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v,
+    ))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Column expr: cosine similarity of two double-array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    # float32 parquet arrays → double for stable arithmetic
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, vec_id, cos_sim, rank), rank 1..k, deterministic
+    tie-break on neighbor id.
+    """
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine_similarity("__cv", "__qv").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    centroids = sample[rs.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_cells):
+            pts = sample[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(0)
+    return centroids
+
+
+def _nearest_cells_expr(vec_col: str, centroids: np.ndarray,
+                        n: int = 1) -> Column:
+    """Array of the `n` nearest centroid ids, as a literal-folded expression."""
+    dists = []
+    for ci, c in enumerate(centroids):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+    ordered = F.array_sort(
+        F.array(*dists),
+        lambda a, b: F.when(a["d"] < b["d"], -1)
+                      .when(a["d"] > b["d"], 1).otherwise(0),
+    )
+    return F.transform(F.slice(ordered, 1, n), lambda s: s["cell"])
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", n_cells: int = 16,
+                    nprobe: int = 4, sample_size: int = 10_000,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k: IVF coarse quantizer + per-cell exact rerank.
+
+    Recall < 1.0 by design; verified against :func:`cosine_topk` in tests.
+    """
+    c = _as_double(corpus, vec_col)
+    sample = np.array(
+        [r[0] for r in c.select(vec_col)
+         .limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    n_cells = min(n_cells, len(sample))
+    centroids = _kmeans(sample, n_cells, seed=seed)
+    cd = c.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"),
+        F.element_at(_nearest_cells_expr(vec_col, centroids, 1), 1).alias("cell"),
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.explode(_nearest_cells_expr(vec_col, centroids, nprobe)).alias("cell"),
+    )
+    scored = cd.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id", cosine_similarity("__cv", "__qv").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             block_col: str | None = None) -> DataFrame:
+    """Corpus pairs (id_a < id_b) with cosine similarity ≥ threshold.
+
+    `block_col` restricts comparisons to equal blocking keys (equi-join);
+    without it this is an all-pairs cross product — small corpora only.
+    """
+    d = _as_double(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

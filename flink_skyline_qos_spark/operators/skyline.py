@@ -1,0 +1,166 @@
+"""Skyline operators — Spark-first re-expression of the reference's
+two-phase MapReduce skyline (`/root/reference/java/org.main/FlinkSkyline.java:36-49`).
+
+Three physical strategies over identical set semantics:
+
+1. :func:`skyline` — the scale path.  Phase 1 prunes each *input*
+   partition to its local skyline with `mapInPandas` (NARROW — zero
+   shuffle; skyline is decomposable under any partitioning, SURVEY §1.4).
+   Phase 2 shuffles only the survivors to one task (`repartition(1)`,
+   tiny exchange) and merges.  At 100 TB the phase-1 scan is
+   embarrassingly parallel and the exchange carries only local-skyline
+   survivors — the same data reduction the reference gets from its local
+   BNL, without a full keyBy shuffle of the raw data.  An optional
+   intermediate tree-merge level bounds the final task's input when
+   survivor sets are huge (high-dim anti-correlated data).
+
+2. :func:`skyline_two_phase` — reference-parity path: explicit MR-Dim /
+   MR-Grid / MR-Angle partition-id column, `groupBy(pid).applyInPandas`
+   local skylines (tagged with origin partition for the optimality
+   metric), then global merge.  One shuffle on pid, exactly the
+   reference's shuffle #1.
+
+3. :func:`skyline_anti_join` — fully declarative Catalyst form
+   (left-anti self-join on the dominance theta-predicate).  O(n²); kept
+   as the small-data oracle-shaped path.
+
+All paths preserve duplicates (ties never dominate) and arbitrary
+passthrough columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dominance import dominates
+from .kernels import merge_skylines, skyline_mask
+from .partitioners import partitioner_expr
+
+__all__ = [
+    "skyline",
+    "skyline_two_phase",
+    "skyline_anti_join",
+    "grouped_skyline",
+]
+
+
+def _values(pdf: pd.DataFrame, cols: Sequence[str]) -> np.ndarray:
+    return pdf[list(cols)].to_numpy(dtype=np.float64, copy=False)
+
+
+def _prune_batches(cols: Sequence[str]):
+    """mapInPandas function: incremental skyline over this partition's batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sky_pdf: pd.DataFrame | None = None
+        sky_v: np.ndarray | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mask = skyline_mask(_values(pdf, cols))
+            cand = pdf[mask]
+            cand_v = _values(cand, cols)
+            if sky_pdf is None:
+                sky_pdf, sky_v = cand, cand_v
+            else:
+                old_keep, new_keep = merge_skylines(sky_v, cand_v)
+                sky_pdf = pd.concat([sky_pdf[old_keep], cand[new_keep]],
+                                    ignore_index=True)
+                sky_v = np.concatenate([sky_v[old_keep], cand_v[new_keep]])
+        if sky_pdf is not None and not sky_pdf.empty:
+            yield sky_pdf
+
+    return fn
+
+
+def _group_prune(cols: Sequence[str]):
+    """applyInPandas function: exact skyline of one whole group."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[skyline_mask(_values(pdf, cols))]
+
+    return fn
+
+
+def skyline(df: DataFrame, cols: Sequence[str], *,
+            merge_partitions: int | None = None) -> DataFrame:
+    """Skyline of `df`, minimizing every column in `cols`.
+
+    Zero wide dependencies on the raw data: local prune is narrow, only
+    survivors cross the single tiny exchange.  `merge_partitions` inserts
+    one intermediate hash-distributed merge level for huge survivor sets
+    (e.g. 4-D anti-correlated) before the final single-task merge.
+    """
+    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
+    if merge_partitions and merge_partitions > 1:
+        pruned = (
+            pruned.repartition(merge_partitions)
+            .mapInPandas(_prune_batches(cols), schema=df.schema)
+        )
+    return (
+        pruned.repartition(1)
+        .mapInPandas(_prune_batches(cols), schema=df.schema)
+    )
+
+
+def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,
+                      algo: str = "mr-dim", num_partitions: int = 8,
+                      domain_max: float | None = None,
+                      partition_col: str | None = None) -> DataFrame:
+    """Reference-parity two-phase skyline with an explicit space partitioner.
+
+    Mirrors shuffle #1 + local BNL + global merge
+    (FlinkSkyline.java:138,407-444,546-568).  When `partition_col` is
+    given, the MR-* partition id is kept in the output under that name
+    (the reference's originPartition tag, FlinkSkyline.java:389-391) —
+    feeding the optimality metric.
+    """
+    if domain_max is None:
+        # The reference takes --domain from the CLI; infer from data when absent.
+        domain_max = float(
+            df.select(F.greatest(*[F.max(c) for c in cols])).first()[0] or 1.0
+        )
+    pid_name = partition_col or "__pid"
+    dims = [F.col(c) for c in cols]
+    tagged = df.withColumn(
+        pid_name, partitioner_expr(algo, dims, num_partitions, domain_max)
+    )
+    local = tagged.groupBy(pid_name).applyInPandas(
+        _group_prune(cols), schema=tagged.schema
+    )
+    merged = (
+        local.repartition(1)
+        .mapInPandas(_prune_batches(cols), schema=tagged.schema)
+    )
+    if partition_col is None:
+        merged = merged.drop(pid_name)
+    return merged
+
+
+def skyline_anti_join(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Declarative left-anti self-join form — Catalyst-only, O(n²).
+
+    Matches the DuckDB NOT-EXISTS oracle shape; use for small inputs or
+    as a cross-check.
+    """
+    t = df.alias("t")
+    u = df.alias("u")
+    cond = dominates([F.col(f"u.{c}") for c in cols],
+                     [F.col(f"t.{c}") for c in cols])
+    return t.join(u, cond, "left_anti")
+
+
+def grouped_skyline(df: DataFrame, cols: Sequence[str],
+                    by: Sequence[str] | str) -> DataFrame:
+    """Skyline within each group of `by` (e.g. per event_type).
+
+    A capability the reference lacks but its keyed-state design implies;
+    one shuffle on the group key, exact per-group kernel.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    return df.groupBy(*by).applyInPandas(_group_prune(cols), schema=df.schema)

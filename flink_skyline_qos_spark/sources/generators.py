@@ -1,0 +1,91 @@
+"""Seeded Spark-native synthetic point generators (S5).
+
+Re-expresses the reference's Python/Faker generators
+(`/root/reference/python/unified_producer.py:50-123`) as pure Column
+expressions over `spark.range(n)` — distributed, seeded, no driver loop:
+
+* uniform       — independent integer uniform per dim on [d_min, d_max];
+* correlated    — one base value + per-dim noise in ±(1-ρ)·range, clamped
+                  (ρ=0.9 default → tight diagonal, tiny skyline);
+* anti_correlated — random direction vector scaled to a target row-sum
+  drawn near dims·mid with dimension-dependent slack ε (0.0005 @2-D,
+  0.05 @3-D, 0.9 @4-D, else dims·0.5) — the PDF §5.1 worst case.
+
+`num_partitions` is fixed (default 8) so `rand(seed)` draws are
+reproducible regardless of the session's default parallelism.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _clamp_int(col, d_min: float, d_max: float):
+    # int() truncation toward zero == floor on the non-negative domain
+    return F.least(F.greatest(F.floor(col), F.lit(float(d_min))),
+                   F.lit(float(d_max))).cast("double")
+
+
+def _epsilon(dims: int) -> float:
+    if dims == 2:
+        return 0.0005
+    if dims == 3:
+        return 0.05
+    if dims == 4:
+        return 0.9
+    return dims * 0.005 * 100
+
+
+def generate_points(spark: SparkSession, n: int, dims: int = 2, *,
+                    dist: str = "uniform", d_min: float = 0.0,
+                    d_max: float = 10000.0, seed: int = 42,
+                    num_partitions: int = 8) -> DataFrame:
+    """DataFrame (id bigint, d0..d{dims-1} double) with `dist` ∈
+    {uniform, correlated, anti_correlated}."""
+    df = spark.range(0, n, 1, num_partitions)
+    rng = d_max - d_min
+
+    if dist == "uniform":
+        cols = [
+            _clamp_int(
+                F.rand(seed * 1000 + i) * (rng + 1) + F.lit(d_min), d_min, d_max
+            ).alias(f"d{i}")
+            for i in range(dims)
+        ]
+        return df.select("id", *cols)
+
+    if dist == "correlated":
+        rho = 0.9
+        base = F.rand(seed * 1000 + 777) * rng + F.lit(d_min)
+        df = df.withColumn("__base", base)
+        cols = []
+        for i in range(dims):
+            noise = (F.rand(seed * 1000 + i) * 2 - 1) * ((1 - rho) * rng)
+            cols.append(
+                _clamp_int(F.col("__base") + noise, d_min, d_max).alias(f"d{i}")
+            )
+        return df.select("id", *cols)
+
+    if dist == "anti_correlated":
+        eps = _epsilon(dims)
+        mean = (d_min + d_max) / 2.0 * dims
+        slack = eps * rng * dims
+        raw = [F.rand(seed * 1000 + i) for i in range(dims)]
+        df = df.select(
+            "id", *[r.alias(f"__r{i}") for i, r in enumerate(raw)],
+            (F.rand(seed * 1000 + 888) * (2 * slack) + F.lit(mean - slack))
+            .alias("__target"),
+        )
+        total = reduce(add, [F.col(f"__r{i}") for i in range(dims)])
+        scale = F.when(total != 0, F.col("__target") / total).otherwise(F.lit(1.0))
+        cols = [
+            _clamp_int(F.col(f"__r{i}") * scale, d_min, d_max).alias(f"d{i}")
+            for i in range(dims)
+        ]
+        return df.select("id", *cols)
+
+    raise ValueError(f"unknown distribution: {dist}")

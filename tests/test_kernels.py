@@ -1,0 +1,108 @@
+"""Property tests for the NumPy skyline kernels against a brute-force oracle."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_skyline_qos_spark.operators.kernels import (
+    dominated_by_any,
+    merge_skylines,
+    skyline_mask,
+)
+
+
+def brute_skyline_mask(v: np.ndarray) -> np.ndarray:
+    n = len(v)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            if (v[j] <= v[i]).all() and (v[j] < v[i]).any():
+                keep[i] = False
+                break
+    return keep
+
+
+def _arr(draw, d):
+    n = draw(st.integers(0, 60))
+    vals = draw(
+        st.lists(
+            st.lists(st.integers(0, 8), min_size=d, max_size=d),
+            min_size=n, max_size=n,
+        )
+    )
+    return np.array(vals, dtype=float).reshape(n, d)
+
+
+@st.composite
+def point_arrays(draw):
+    return _arr(draw, draw(st.integers(1, 4)))
+
+
+@st.composite
+def point_array_pairs(draw):
+    d = draw(st.integers(1, 4))
+    return _arr(draw, d), _arr(draw, d)
+
+
+@settings(max_examples=200, deadline=None)
+@given(point_arrays())
+def test_skyline_mask_matches_bruteforce(v):
+    assert (skyline_mask(v) == brute_skyline_mask(v)).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(point_arrays())
+def test_skyline_idempotent(v):
+    m = skyline_mask(v)
+    sky = v[m]
+    assert skyline_mask(sky).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(point_arrays(), st.integers(1, 5))
+def test_partition_invariance(v, parts):
+    # sky(S) == sky(union of sky(S_i)) for arbitrary partitioning
+    full = v[skyline_mask(v)]
+    pieces = [v[i::parts] for i in range(parts)]
+    union = np.concatenate([p[skyline_mask(p)] for p in pieces]) if len(v) else v
+    merged = union[skyline_mask(union)]
+    assert sorted(map(tuple, full)) == sorted(map(tuple, merged))
+
+
+@settings(max_examples=100, deadline=None)
+@given(point_array_pairs())
+def test_merge_skylines(pair):
+    a, b = pair
+    sa = a[skyline_mask(a)]
+    sb = b[skyline_mask(b)]
+    ok, nk = merge_skylines(sa, sb)
+    merged = np.concatenate([sa[ok], sb[nk]])
+    u = np.concatenate([sa, sb])
+    expected = u[skyline_mask(u)]
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, expected))
+
+
+def test_duplicates_all_survive():
+    v = np.array([[1.0, 2.0]] * 5 + [[3.0, 1.0]] * 3)
+    assert skyline_mask(v).sum() == 8
+
+
+def test_single_dominator():
+    v = np.vstack([np.zeros((1, 3)), np.random.RandomState(0).rand(100, 3) + 0.1])
+    m = skyline_mask(v)
+    assert m.sum() == 1 and m[0]
+
+
+def test_dominated_by_any_strictness():
+    a = np.array([[1.0, 1.0]])
+    b = np.array([[1.0, 1.0], [1.0, 2.0], [0.5, 0.5]])
+    assert dominated_by_any(a, b).tolist() == [False, True, False]
+
+
+def test_empty():
+    assert skyline_mask(np.zeros((0, 2))).shape == (0,)
+    ok, nk = merge_skylines(np.zeros((0, 2)), np.zeros((0, 2)))
+    assert len(ok) == 0 and len(nk) == 0

@@ -1,0 +1,108 @@
+"""Skyline DataFrame operators vs the DuckDB NOT-EXISTS oracle on real testdata."""
+
+import duckdb
+import pytest
+
+from flink_skyline_qos_spark import (
+    grouped_skyline,
+    skyline,
+    skyline_anti_join,
+    skyline_not_exists_sql,
+    skyline_two_phase,
+)
+
+DIMS2 = ["l_extendedprice", "l_discount"]
+DIMS3 = ["l_extendedprice", "l_discount", "l_quantity"]
+
+
+def duck_skyline(sf_dir, table, cols, extra=""):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW {table} AS SELECT * FROM '{sf_dir}/{table}.parquet'"
+    )
+    return con.sql(skyline_not_exists_sql(table, cols, extra)).fetchall()
+
+
+def as_sorted(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def oracle_2d(sf_dir):
+    return as_sorted(duck_skyline(sf_dir, "lineitem", DIMS2))
+
+
+def spark_rows(df, cols):
+    return as_sorted([tuple(r) for r in df.select(*cols).collect()])
+
+
+def all_cols(df):
+    return df.columns
+
+
+def test_skyline_narrow(lineitem, oracle_2d):
+    got = skyline(lineitem, DIMS2)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+
+
+def test_skyline_anti_join(lineitem, oracle_2d):
+    got = skyline_anti_join(lineitem, DIMS2)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+
+
+@pytest.mark.parametrize("algo", ["mr-dim", "mr-grid", "mr-angle"])
+def test_skyline_two_phase_partition_invariance(lineitem, oracle_2d, algo):
+    got = skyline_two_phase(lineitem, DIMS2, algo=algo, num_partitions=8)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+
+
+def test_skyline_3d(lineitem, sf_dir):
+    oracle = as_sorted(duck_skyline(sf_dir, "lineitem", DIMS3))
+    got = skyline(lineitem, DIMS3)
+    assert spark_rows(got, all_cols(lineitem)) == oracle
+
+
+def test_skyline_tree_merge(lineitem, oracle_2d):
+    got = skyline(lineitem, DIMS2, merge_partitions=4)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+
+
+def test_grouped_skyline(events, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = grouped_skyline(
+        events.withColumn("unix_ms", F.unix_millis("ts").cast("double")),
+        ["value", "unix_ms"], by="event_type",
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = con.sql(
+        """
+        WITH e AS (SELECT *, cast(epoch_ms(ts) as double) unix_ms FROM events)
+        SELECT t.event_id, t.value FROM e t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e u
+          WHERE u.event_type = t.event_type
+            AND u.value <= t.value AND u.unix_ms <= t.unix_ms
+            AND (u.value < t.value OR u.unix_ms < t.unix_ms)
+        )
+        """
+    ).fetchall()
+    got_rows = as_sorted(
+        [tuple(r) for r in got.select("event_id", "value").collect()]
+    )
+    assert got_rows == as_sorted(oracle)
+
+
+def test_duplicates_survive(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0, 2.0) for i in range(5)] + [(9, 0.5, 3.0)],
+        "id long, d0 double, d1 double",
+    )
+    assert skyline(df, ["d0", "d1"]).count() == 6
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id long, d0 double, d1 double")
+    assert skyline(df, ["d0", "d1"]).count() == 0
+    assert skyline_two_phase(df, ["d0", "d1"], num_partitions=4).count() == 0

@@ -1,0 +1,79 @@
+"""Emulate the driver's correctness gate locally.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` twin at a
+given sf dir (default sf0.01), comparing row-count, column names, and an
+order-insensitive multiset of values (columns sorted by name, floats
+rounded).  Usage:  python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flink_skyline_qos_spark.session import get_spark  # noqa: E402
+from flink_skyline_qos_spark.sources.tables import TABLES  # noqa: E402
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+        t_spark = time.time() - t0
+        if name not in os_:
+            print(f"  {name}: rows={len(srows)} (rows-only, no oracle) "
+                  f"[{t_spark:.1f}s]")
+            continue
+        t0 = time.time()
+        rel = con.sql(os_[name])
+        ocols = rel.columns
+        orows = rel.fetchall()
+        t_duck = time.time() - t0
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_vals = ok_cols and canon(scols, srows) == canon(ocols, orows)
+        status = "OK" if ok_vals else "FAIL"
+        print(f"  {name}: {status} spark={len(srows)} duck={len(orows)} "
+              f"[spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
+        if not ok_vals:
+            failures.append(name)
+            if not ok_cols:
+                print(f"    cols spark={sorted(scols)} duck={sorted(ocols)}")
+            else:
+                a, b = canon(scols, srows), canon(ocols, orows)
+                sa, sb = set(a), set(b)
+                print(f"    only-spark={list(sa - sb)[:3]}")
+                print(f"    only-duck={list(sb - sa)[:3]}")
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
