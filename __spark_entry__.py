@@ -29,6 +29,28 @@ from flink_skyline_qos_spark import (  # noqa: E402
     skyline_not_exists_sql,
     skyline_two_phase,
 )
+from flink_skyline_qos_spark.functions.text import (  # noqa: E402
+    text_stats,
+    text_stats_sql,
+)
+from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from flink_skyline_qos_spark.operators.partitioners import (  # noqa: E402
+    mr_dim_sql,
+)
+from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    cosine_topk_ivf,
+    embedding_near_dup_pairs,
+)
+from flink_skyline_qos_spark.plans.metrics import (  # noqa: E402
+    metrics_oracle_sql,
+    skyline_query_metrics,
+)
 from flink_skyline_qos_spark.plans.queries import (  # noqa: E402
     prefix_queries_oracle_sql,
     run_prefix_queries,
@@ -122,6 +144,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         id_col="event_id",
     )
 
+    # --- result metrics (A4 optimality + A7 record assembly) ---
+    q["skyline_metrics_mr_dim"] = lambda s, d: skyline_query_metrics(
+        _li(s, d), LI_DIMS2, query_id="q1", algo="mr-dim",
+        num_partitions=NUM_PARTS, domain_max=LI_DOMAIN,
+    )
+
+    # --- dedup suite over documents ---
+    q["exact_dedup_documents"] = lambda s, d: exact_dedup(
+        load_table(s, d, "documents")
+    )
+    q["ngram_jaccard_documents"] = lambda s, d: ngram_jaccard_pairs(
+        load_table(s, d, "documents"), k=3, unit="word", threshold=0.05,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    q["minhash_dedup_documents"] = lambda s, d: minhash_lsh_pairs(
+        load_table(s, d, "documents"), num_hashes=64, bands=16,
+        shingle_k=5, threshold=0.5,
+    )  # rows-only: xxhash64 has no DuckDB twin
+    q["simhash_near_dup_documents"] = lambda s, d: simhash_near_dup_pairs(
+        load_table(s, d, "documents"), max_hamming=3,
+    )  # rows-only: xxhash64 has no DuckDB twin
+
+    # --- text analysis over documents ---
+    q["text_stats_documents"] = lambda s, d: text_stats(
+        load_table(s, d, "documents")
+    )
+
+    # --- similarity search over embeddings ---
+    def _ann(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = cosine_topk(emb, qs, k=10)
+        return out.select("query_id", "vec_id",
+                          F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    q["ann_topk_embeddings"] = _ann
+
+    def _ann_ivf(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = cosine_topk_ivf(emb, qs, k=10, n_cells=8, nprobe=8)
+        return out.select("query_id", "vec_id",
+                          F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    # nprobe == n_cells ⇒ exhaustive ⇒ exact: same oracle as brute force
+    q["ann_topk_ivf_embeddings"] = _ann_ivf
+
+    q["embedding_near_dup"] = lambda s, d: embedding_near_dup_pairs(
+        load_table(s, d, "embeddings"), threshold=0.35, block_col="label",
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
     return q
 
 
@@ -155,5 +229,72 @@ def oracle_sql() -> dict[str, str]:
     o["prefix_query_skyline_events"] = prefix_queries_oracle_sql(
         _EV_SQL, EVENT_TRIGGERS, ["value", "unix_ms"], id_col="event_id"
     )
+
+    o["skyline_metrics_mr_dim"] = metrics_oracle_sql(
+        li, LI_DIMS2, query_id="q1",
+        pid_sql=mr_dim_sql("t.l_extendedprice", NUM_PARTS, LI_DOMAIN),
+        num_partitions=NUM_PARTS,
+    )
+
+    o["exact_dedup_documents"] = (
+        "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+    o["ngram_jaccard_documents"] = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(w) - 2, 1)),
+     i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.05
+""".strip()
+
+    o["text_stats_documents"] = text_stats_sql("documents")
+
+    _ann_oracle = """
+WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 6) AS cos_sim, cast(rn AS int) AS rank
+FROM ranked WHERE rn <= 10
+""".strip()
+    o["ann_topk_embeddings"] = _ann_oracle
+    o["ann_topk_ivf_embeddings"] = _ann_oracle
+
+    o["embedding_near_dup"] = """
+WITH d AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+""".strip()
 
     return o

@@ -1,0 +1,87 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus a reference-comparable synthetic run:
+the BASELINE.md headline is "2-D anti-correlated, 1M records, total
+processing time ≈ 17.3-19.5 s (par=4)"; `anticorr_1m_2d` reproduces
+that workload (1M generated anti-correlated points, two-phase MR-Angle
+skyline) so the numbers are directly comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flink_skyline_qos_spark.session import get_spark  # noqa: E402
+from flink_skyline_qos_spark.operators.skyline import skyline_two_phase  # noqa: E402
+from flink_skyline_qos_spark.sources.generators import generate_points  # noqa: E402
+
+HEADLINE = [
+    "skyline_2d_lineitem",
+    "skyline_3d_lineitem",
+    "skyline_2d_mr_dim",
+    "skyline_2d_mr_grid",
+    "skyline_2d_mr_angle",
+    "grouped_skyline_events",
+    "prefix_query_skyline_events",
+    "minhash_dedup_documents",
+    "ngram_jaccard_documents",
+    "text_stats_documents",
+    "ann_topk_embeddings",
+    "skyline_metrics_mr_dim",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + Python worker pool outside timed sections
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # Reference-comparable synthetic workload (BASELINE.md row 1).
+    pts = generate_points(spark, 1_000_000, 2, dist="anti_correlated",
+                          num_partitions=2 * cpus)
+    pts = pts.persist()
+    pts.count()  # materialize generation outside the timed skyline
+    t0 = time.perf_counter()
+    n = skyline_two_phase(pts, ["d0", "d1"], algo="mr-angle",
+                          num_partitions=2 * cpus, domain_max=10000.0).count()
+    timings["anticorr_1m_2d"] = round(time.perf_counter() - t0, 3)
+    print(f"# anticorr_1m_2d: skyline={n} in {timings['anticorr_1m_2d']}s",
+          file=sys.stderr)
+    pts.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

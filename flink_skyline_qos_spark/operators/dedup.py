@@ -85,25 +85,35 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64, *,
-                      seed: int = 42) -> Column:
-    """Array<long> MinHash signature of a shingle array.
+def shingle_hashes(shingles: Column) -> Column:
+    """Base hash array: `xxhash64` per shingle reduced into [0, 2³¹-1)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
 
-    Base hash is `xxhash64` (JVM); each of the `num_hashes` permutations
-    is (a·h + b) mod 2⁶¹-1 folded with `array_min` — all codegen'd.
+
+def minhash_signature(base_hashes: Column, num_hashes: int = 64, *,
+                      seed: int = 42) -> Column:
+    """Array<long> MinHash signature from a base-hash array.
+
+    Single `aggregate` fold over the shingles: each step permutes the
+    hash `num_hashes` ways ((a·h + b) mod 2³¹-1) and folds element-wise
+    minima — the base array is traversed exactly once regardless of
+    signature width (the 64-×-array_min formulation re-evaluates the
+    input per permutation; Catalyst's ProjectCollapse would undo any
+    two-step projection).
     """
-    sigs = []
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    for a, b in _hash_params(num_hashes, seed):
-        sigs.append(
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: ((h * F.lit(a) % _MERSENNE) + F.lit(b)) % _MERSENNE,
-                )
-            )
-        )
-    return F.array(*sigs)
+    params = _hash_params(num_hashes, seed)
+
+    def _perms(h: Column) -> Column:
+        return F.array(*[
+            ((h * F.lit(a) % _MERSENNE) + F.lit(b)) % _MERSENNE
+            for a, b in params
+        ])
+
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    return F.aggregate(
+        base_hashes, init,
+        lambda acc, h: F.zip_with(acc, _perms(h), lambda x, y: F.least(x, y)),
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -123,9 +133,11 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     rows_per_band = num_hashes // bands
     sh = (char_shingles(F.col(text_col), shingle_k) if shingle_unit == "char"
           else word_shingles(F.col(text_col), shingle_k))
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(sh, num_hashes, seed=seed).alias("sig"),
+    hashed = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(sh).alias("__h")
+    )
+    sig = hashed.select(
+        "id", minhash_signature(F.col("__h"), num_hashes, seed=seed).alias("sig"),
     ).persist()
     band_cols = [
         F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1)
@@ -233,7 +245,8 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id",
     Token hashing stays JVM-side (`xxhash64` per token); only the 64-way
     bit-majority fold runs in NumPy over Arrow batches.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("token_hashes"),

@@ -115,24 +115,22 @@ def metrics_to_json(metrics: DataFrame) -> DataFrame:
 def metrics_oracle_sql(table_sql: str, cols: Sequence[str], *, query_id: str,
                        pid_sql: str, num_partitions: int) -> str:
     """DuckDB twin of :func:`skyline_query_metrics` (no timing columns)."""
-    from ..functions.dominance import dominance_sql
+    from ..functions.dominance import skyline_not_exists_sql
 
-    dom = dominance_sql(cols, "u", "b")
+    base = f"(SELECT t.*, {pid_sql} AS origin_partition FROM {table_sql} t)"
+    local_sky = skyline_not_exists_sql(
+        base, cols, select="t.*", partition_by=["origin_partition"]
+    )
+    # global skyline composes over the CTE NAME so the local pipeline's SQL
+    # is expanded (and evaluated) once, not once per reference
+    global_sky = skyline_not_exists_sql("local_sky", cols, select="t.*")
     return f"""
-WITH base AS (SELECT t.*, {pid_sql} AS origin_partition FROM {table_sql} t),
-local_sky AS (
-  SELECT * FROM base b WHERE NOT EXISTS (
-    SELECT 1 FROM base u
-    WHERE u.origin_partition = b.origin_partition AND {dom})
-),
-global_sky AS (
-  SELECT * FROM local_sky b WHERE NOT EXISTS (
-    SELECT 1 FROM local_sky u WHERE {dom})
-),
+WITH local_sky AS ({local_sky}),
+global_sky AS ({global_sky}),
 sizes AS (SELECT origin_partition, count(*) AS n FROM local_sky GROUP BY 1),
 surv AS (SELECT origin_partition, count(*) AS s FROM global_sky GROUP BY 1)
 SELECT '{query_id}' AS query_id,
-       (SELECT count(*) FROM base) AS record_count,
+       (SELECT count(*) FROM {table_sql} t) AS record_count,
        (SELECT count(*) FROM global_sky) AS skyline_size,
        round(coalesce((SELECT sum(coalesce(s.s, 0) * 1.0 / z.n)
                        FROM sizes z LEFT JOIN surv s USING (origin_partition)

@@ -1,0 +1,88 @@
+"""Dedup operators: known-duplicate corpora with exact expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest near the old stone bridge")
+NEAR = BASE.replace("green", "dark")          # one-token change
+FAR = "completely different text about spark sql engines and columnar formats"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR), (4, FAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = exact_dedup(corpus)
+    got = {(r.doc_id, r.dup_count) for r in out.collect()}
+    assert got == {(0, 2), (2, 1), (3, 2)}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    got = df.select(word_shingles(F.col("text"), 3).alias("s")).first()[0]
+    assert sorted(got) == ["a b c", "b c d"]
+
+
+def test_minhash_finds_exact_and_near_dups(corpus):
+    pairs = minhash_lsh_pairs(corpus, num_hashes=64, bands=16, shingle_k=5)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0          # identical docs: full signature match
+    assert got[(3, 4)] == 1.0
+    assert got.get((0, 2), 0) > 0.5    # near-dup lands in a shared bucket
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_minhash_estimates_track_true_jaccard(corpus):
+    est = {(r.id_a, r.id_b): r.est_jaccard
+           for r in minhash_lsh_pairs(corpus, num_hashes=64, bands=16,
+                                      shingle_k=5).collect()}
+    true = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(corpus, k=5, unit="char",
+                                         threshold=0.0).collect()}
+    for pair, e in est.items():
+        assert abs(e - true[pair]) < 0.35  # 64 hashes → coarse but correlated
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(corpus, k=3, unit="word",
+                                        threshold=0.0).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(3, 4)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+
+
+def test_simhash_identical_and_near(corpus):
+    h = {r.id: r.simhash for r in simhash(corpus).collect()}
+    assert h[0] == h[1] and h[3] == h[4]
+    ham02 = bin((h[0] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham02 < 24              # one-token change flips few bits
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_dup_pairs(
+                 corpus, max_hamming=max(ham02, 1)).collect()}
+    assert pairs[(0, 1)] == 0
+    # the 16-bit-quarter blocking finds (0,2) iff some quarter matches
+    quarters_match = any(
+        ((h[0] >> (16 * q)) & 0xFFFF) == ((h[2] >> (16 * q)) & 0xFFFF)
+        for q in range(4)
+    )
+    assert ((0, 2) in pairs) == quarters_match
+    assert (0, 3) not in pairs
+
+
+def test_simhash_empty_text(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert simhash(df).first().simhash == 0

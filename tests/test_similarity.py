@@ -1,0 +1,86 @@
+"""Similarity search: brute-force exactness vs NumPy, IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    embedding_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rs = np.random.RandomState(7)
+    m = rs.randn(200, 16).astype(np.float32)
+    rows = [(i, m[i].tolist(), int(i % 4)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    return df, m.astype(np.float64)
+
+
+def np_topk(m, qids, k):
+    normed = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = normed @ normed[q]
+        order = np.lexsort((np.arange(len(m)), -sims))
+        out[q] = list(order[:k])
+    return out
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    df, m = vecs
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(df, queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    expected = np_topk(m, [0, 1, 2], 5)
+    for q in [0, 1, 2]:
+        ids = [v for _, v, _ in sorted(by_q[q])]
+        assert ids == expected[q]
+        assert sorted(by_q[q])[0][1] == q  # self is rank 1 (cos=1)
+
+
+def test_ivf_full_probe_is_exact(vecs):
+    df, m = vecs
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.rank): r.vec_id
+             for r in cosine_topk(df, queries, k=5).collect()}
+    ivf = {(r.query_id, r.rank): r.vec_id
+           for r in cosine_topk_ivf(df, queries, k=5, n_cells=4,
+                                    nprobe=4).collect()}
+    assert exact == ivf
+
+
+def test_ivf_partial_probe_recall(vecs):
+    df, m = vecs
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(df, queries, k=5).collect()
+    approx = cosine_topk_ivf(df, queries, k=5, n_cells=8, nprobe=3).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # partial probe trades recall for 8/3x less work
+
+
+def test_near_dup_pairs_blocked(vecs):
+    df, _ = vecs
+    dup = df.filter(F.col("vec_id") == 0).select(
+        F.lit(999).alias("vec_id").cast("long"), "embedding",
+        F.lit(0).alias("label"),
+    )
+    with_dup = df.unionByName(dup)
+    pairs = embedding_near_dup_pairs(with_dup, threshold=0.999,
+                                     block_col="label").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 999)}
