@@ -1,0 +1,113 @@
+"""Continuous keyed-state local skylines via ``applyInPandasWithState``.
+
+The closest structural analogue to the reference's
+``SkylineLocalProcessor`` (`FlinkSkyline.java:214-316`): one state entry
+per space partition holding that partition's running local skyline,
+updated incrementally on every micro-batch, emitting the refreshed local
+skyline downstream (output mode ``update``).
+
+Where :mod:`.engine` materializes state as a parquet table (best for the
+trigger/barrier workflow), this variant keeps it in Spark's managed
+GroupState — checkpointed, per-key, exactly the reference's
+``ListState<ServiceTuple>`` (FlinkSkyline.java:219-229).  The global
+merge stays downstream (a second stateful stage is restricted in
+Structured Streaming): run :func:`operators.skyline.skyline` over the
+sink table per consumer, which is also what the reference's global
+aggregator does on demand.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+import numpy as np
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from ..operators.kernels import merge_skylines, skyline_mask
+from ..operators.partitioners import partitioner_expr
+
+__all__ = ["continuous_local_skylines"]
+
+
+def _schemas(dims: int) -> tuple[StructType, StructType]:
+    fields = [StructField("pid", IntegerType()),
+              StructField("id", LongType())] + [
+        StructField(f"d{i}", DoubleType()) for i in range(dims)
+    ]
+    out = StructType(fields)
+    # GroupState holds ONE row per key → column-major arrays: the running
+    # local skyline as (ids[], values[][]) — the ListState<ServiceTuple>
+    # analogue (FlinkSkyline.java:219-229) in Arrow-friendly form.
+    state = StructType([
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(ArrayType(DoubleType()))),
+    ])
+    return out, state
+
+
+def _update_fn(dims: int):
+    cols = [f"d{i}" for i in range(dims)]
+
+    def fn(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            ids, vals = state.get  # type: ignore[misc]
+            prev_ids = np.asarray(ids, dtype=np.int64)
+            prev_vals = np.asarray([list(v) for v in vals], dtype=float) \
+                .reshape(len(ids), dims)
+        else:
+            prev_ids = np.empty(0, dtype=np.int64)
+            prev_vals = np.empty((0, dims), dtype=float)
+        new_vals = batch[cols].to_numpy(float)
+        cand_mask = skyline_mask(new_vals)
+        cand_ids = batch["id"].to_numpy(np.int64)[cand_mask]
+        cand_vals = new_vals[cand_mask]
+        if len(prev_ids) == 0:
+            sky_ids, sky_vals = cand_ids, cand_vals
+        else:
+            old_keep, new_keep = merge_skylines(prev_vals, cand_vals)
+            sky_ids = np.concatenate([prev_ids[old_keep],
+                                      cand_ids[new_keep]])
+            sky_vals = np.concatenate([prev_vals[old_keep],
+                                       cand_vals[new_keep]])
+        # .tolist() everywhere: state rows go through the Python pickler,
+        # which rejects numpy scalar types.
+        state.update((sky_ids.tolist(), sky_vals.tolist()))
+        out = pd.DataFrame({"pid": np.full(len(sky_ids), key[0]),
+                            "id": sky_ids})
+        for i, c in enumerate(cols):
+            out[c] = sky_vals[:, i]
+        yield out
+
+    return fn
+
+
+def continuous_local_skylines(stream: DataFrame, dims: int, *,
+                              algo: str = "mr-dim", num_partitions: int = 8,
+                              domain_max: float = 10000.0) -> DataFrame:
+    """Streaming DataFrame of refreshed per-partition local skylines.
+
+    `stream` must already carry ``id, d0..d{dims-1}`` (e.g. the output of
+    :func:`wire.parse_service_tuples`).  Each update batch re-emits the
+    full local skyline of every partition touched by the batch.
+    """
+    cols = [F.col(f"d{i}") for i in range(dims)]
+    pid = partitioner_expr(algo, cols, num_partitions, domain_max)
+    out_schema, state_schema = _schemas(dims)
+    return (
+        stream.withColumn("pid", pid.cast("int"))
+        .groupBy("pid")
+        .applyInPandasWithState(
+            _update_fn(dims),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
