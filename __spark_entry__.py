@@ -33,6 +33,11 @@ from flink_skyline_qos_spark.functions.text import (  # noqa: E402
     text_stats,
     text_stats_sql,
 )
+from flink_skyline_qos_spark.functions.multimodal import (  # noqa: E402
+    decode_media,
+    decode_media_sql,
+    pack_fake_media,
+)
 from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
@@ -55,7 +60,17 @@ from flink_skyline_qos_spark.plans.queries import (  # noqa: E402
     prefix_queries_oracle_sql,
     run_prefix_queries,
 )
+from flink_skyline_qos_spark.sources.generators import (  # noqa: E402
+    generate_points_hash,
+    generate_points_sql,
+)
 from flink_skyline_qos_spark.sources.tables import load_table  # noqa: E402
+from flink_skyline_qos_spark.streaming.engine import (  # noqa: E402
+    SkylinePipeline,
+)
+from flink_skyline_qos_spark.streaming.wire import (  # noqa: E402
+    serialize_service_tuples,
+)
 
 # Fixed domain constants shared verbatim by Spark exprs and oracle SQL —
 # the reference takes --domain from the CLI (FlinkSkyline.java:71).
@@ -170,6 +185,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # --- streaming pipeline (ST1-ST7): foreachBatch ingest, record-ID
+    # barrier, incremental local-skyline state, trigger-released answer.
+    # Deterministic generated stream → same rows the SQL oracle derives.
+    def _streaming_pipeline(s: SparkSession, d: str) -> DataFrame:
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="skystream_")
+        data_dir = os.path.join(work, "data")
+        trig_dir = os.path.join(work, "trig")
+        pts = generate_points_hash(s, 4000, 2, dist="anti_correlated")
+        serialize_service_tuples(pts, 2).write.mode("overwrite").text(data_dir)
+        os.makedirs(trig_dir, exist_ok=True)
+        with open(os.path.join(trig_dir, "t.csv"), "w") as fh:
+            fh.write("q1,3999\n")
+        pipe = SkylinePipeline(s, os.path.join(work, "state"), dims=2,
+                               algo="mr-grid", num_partitions=NUM_PARTS,
+                               domain_max=10000.0)
+        pipe.run_available_now(data_dir, trig_dir)
+        return pipe.results().select("query_id", "id", "d0", "d1")
+
+    q["streaming_pipeline_skyline"] = _streaming_pipeline
+
+    # --- multimodal: pack → decode round-trip over binary columns ---
+    # mean_byte (content stat, not SQL-reproducible) stays pytest-only.
+    q["media_decode_documents"] = lambda s, d: decode_media(
+        pack_fake_media(load_table(s, d, "documents"))
+    ).drop("mean_byte")
+
     # --- similarity search over embeddings ---
     def _ann(s: SparkSession, d: str) -> DataFrame:
         emb = load_table(s, d, "embeddings")
@@ -191,6 +234,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("cos_sim", 6).alias("cos_sim"), "rank")
     # nprobe == n_cells ⇒ exhaustive ⇒ exact: same oracle as brute force
     q["ann_topk_ivf_embeddings"] = _ann_ivf
+
+    # --- synthetic generators (S5), deterministic hash-seeded twins ---
+    GEN_N = 20_000
+    for dist in ("uniform", "correlated", "anti_correlated"):
+        q[f"gen_{dist}_2d"] = (
+            lambda s, d, dist=dist: generate_points_hash(
+                s, GEN_N, 2, dist=dist)
+        )
+    # generator feeding the two-phase skyline — S5 composed with K3+A1+A2
+    q["gen_anticorr_skyline_2d"] = lambda s, d: skyline_two_phase(
+        generate_points_hash(s, GEN_N, 2, dist="anti_correlated"),
+        ["d0", "d1"], algo="mr-angle", num_partitions=NUM_PARTS,
+        domain_max=10000.0,
+    )
 
     q["embedding_near_dup"] = lambda s, d: embedding_near_dup_pairs(
         load_table(s, d, "embeddings"), threshold=0.35, block_col="label",
@@ -284,6 +341,22 @@ FROM ranked WHERE rn <= 10
 """.strip()
     o["ann_topk_embeddings"] = _ann_oracle
     o["ann_topk_ivf_embeddings"] = _ann_oracle
+
+    o["streaming_pipeline_skyline"] = skyline_not_exists_sql(
+        f"({generate_points_sql(4000, 2, dist='anti_correlated')})",
+        ["d0", "d1"], select="'q1' AS query_id, t.id, t.d0, t.d1",
+    )
+
+    o["media_decode_documents"] = decode_media_sql(
+        "(SELECT doc_id FROM documents)")
+
+    GEN_N = 20_000
+    for dist in ("uniform", "correlated", "anti_correlated"):
+        o[f"gen_{dist}_2d"] = generate_points_sql(GEN_N, 2, dist=dist)
+    o["gen_anticorr_skyline_2d"] = skyline_not_exists_sql(
+        f"({generate_points_sql(GEN_N, 2, dist='anti_correlated')})",
+        ["d0", "d1"],
+    )
 
     o["embedding_near_dup"] = """
 WITH d AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings)

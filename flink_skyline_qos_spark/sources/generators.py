@@ -89,3 +89,95 @@ def generate_points(spark: SparkSession, n: int, dims: int = 2, *,
         return df.select("id", *cols)
 
     raise ValueError(f"unknown distribution: {dist}")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (hash-seeded) generators — engine-portable.
+#
+# `rand(seed)` above is partition-layout-dependent and has no DuckDB twin.
+# These variants derive every draw from md5(id:salt) — a pure function of
+# the row id — so the same SQL reproduces them bit-for-bit in DuckDB and
+# the generator queries go through the full value-hash oracle gate.
+# u(id, salt) = int(md5(id || ':' || salt)[:8 hex]) / 2^32  ∈ [0, 1).
+# ---------------------------------------------------------------------------
+
+_TWO32 = float(1 << 32)
+
+
+def _u01(salt: str):
+    h = F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{salt}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_TWO32)
+
+
+def _u01_sql(salt: str) -> str:
+    return (f"(('0x' || substr(md5(id::VARCHAR || ':{salt}'), 1, 8))::BIGINT"
+            f" / {_TWO32:.1f})")
+
+
+def _clamp_int_sql(expr: str, d_min: float, d_max: float) -> str:
+    return (f"cast(least(greatest(floor({expr}), {float(d_min)!r}), "
+            f"{float(d_max)!r}) as double)")
+
+
+def _dist_exprs(dims: int, dist: str, d_min: float, d_max: float):
+    """Shared recipe → list of (spark Column, duckdb SQL) per dimension."""
+    rng = d_max - d_min
+    if dist == "uniform":
+        return [
+            (_clamp_int(_u01(f"u{i}") * (rng + 1) + F.lit(d_min), d_min, d_max),
+             _clamp_int_sql(f"{_u01_sql(f'u{i}')} * {rng + 1!r} + {d_min!r}",
+                            d_min, d_max))
+            for i in range(dims)
+        ]
+    if dist == "correlated":
+        rho = 0.9
+        base = _u01("base") * rng + F.lit(d_min)
+        base_sql = f"({_u01_sql('base')} * {rng!r} + {d_min!r})"
+        out = []
+        for i in range(dims):
+            noise = (_u01(f"u{i}") * 2 - 1) * ((1 - rho) * rng)
+            noise_sql = (f"(({_u01_sql(f'u{i}')} * 2 - 1) * "
+                         f"{(1 - rho) * rng!r})")
+            out.append((_clamp_int(base + noise, d_min, d_max),
+                        _clamp_int_sql(f"{base_sql} + {noise_sql}",
+                                       d_min, d_max)))
+        return out
+    if dist == "anti_correlated":
+        eps = _epsilon(dims)
+        mean = (d_min + d_max) / 2.0 * dims
+        slack = eps * rng * dims
+        total = reduce(add, [_u01(f"u{i}") for i in range(dims)])
+        total_sql = " + ".join(_u01_sql(f"u{i}") for i in range(dims))
+        target = _u01("t") * (2 * slack) + F.lit(mean - slack)
+        target_sql = f"({_u01_sql('t')} * {2 * slack!r} + {mean - slack!r})"
+        scale = F.when(total != 0, target / total).otherwise(F.lit(1.0))
+        scale_sql = (f"(CASE WHEN ({total_sql}) <> 0 THEN {target_sql} / "
+                     f"({total_sql}) ELSE 1.0 END)")
+        return [
+            (_clamp_int(_u01(f"u{i}") * scale, d_min, d_max),
+             _clamp_int_sql(f"{_u01_sql(f'u{i}')} * {scale_sql}",
+                            d_min, d_max))
+            for i in range(dims)
+        ]
+    raise ValueError(f"unknown distribution: {dist}")
+
+
+def generate_points_hash(spark: SparkSession, n: int, dims: int = 2, *,
+                         dist: str = "uniform", d_min: float = 0.0,
+                         d_max: float = 10000.0,
+                         num_partitions: int = 8) -> DataFrame:
+    """Deterministic twin of :func:`generate_points` — every value a pure
+    function of `id`, reproducible across engines and partitionings."""
+    df = spark.range(0, n, 1, num_partitions)
+    exprs = _dist_exprs(dims, dist, d_min, d_max)
+    return df.select("id", *[c.alias(f"d{i}") for i, (c, _) in enumerate(exprs)])
+
+
+def generate_points_sql(n: int, dims: int = 2, *, dist: str = "uniform",
+                        d_min: float = 0.0, d_max: float = 10000.0) -> str:
+    """DuckDB oracle SQL producing the exact rows of
+    :func:`generate_points_hash`."""
+    exprs = _dist_exprs(dims, dist, d_min, d_max)
+    cols = ", ".join(f"{sql} AS d{i}" for i, (_, sql) in enumerate(exprs))
+    return (f"SELECT id, {cols} FROM "
+            f"(SELECT range AS id FROM range(0, {n}))")
