@@ -47,6 +47,14 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
 from flink_skyline_qos_spark.operators.partitioners import (  # noqa: E402
     mr_dim_sql,
 )
+from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
+    grid_prefilter,
+    grid_prefilter_sql,
+    k_dominant_skyline,
+    k_dominant_skyline_sql,
+    top_k_dominating,
+    top_k_dominating_sql,
+)
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_ivf,
@@ -147,6 +155,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("pid").agg(F.count("*").alias("n_rows"))
             )
         q[f"{algo.replace('-', '_')}_partition_counts"] = _counts
+
+    # --- P4 grid pre-filter (reference had it disabled; we guard it) ---
+    q["grid_prefilter_lineitem"] = lambda s, d: grid_prefilter(
+        _li(s, d), LI_DIMS2, domain_max=LI_DOMAIN)
+
+    # --- skyline variants: ranked + high-dim relaxation ---
+    PART_COLS = ["p_partkey", "p_size", "p_retailprice"]
+    q["topk_dominating_part"] = lambda s, d: top_k_dominating(
+        load_table(s, d, "part").select(*PART_COLS),
+        ["p_retailprice", "p_size"], k=20, id_cols=["p_partkey"],
+    )
+    # NOTE: often empty on real data — k-dominance is cyclic, points can
+    # mutually eliminate (Chan et al. §3); non-empty semantics pinned in
+    # tests/test_variants.py with a constructed fixture.
+    q["k_dominant_skyline_lineitem"] = lambda s, d: k_dominant_skyline(
+        _li(s, d), LI_DIMS3, k=2)
 
     # --- grouped skyline (keyed-state analogue) ---
     q["grouped_skyline_events"] = lambda s, d: grouped_skyline(
@@ -277,6 +301,15 @@ def oracle_sql() -> dict[str, str]:
         o[f"{algo.replace('-', '_')}_partition_counts"] = (
             f"SELECT {pid} AS pid, count(*) AS n_rows FROM {li} t GROUP BY 1"
         )
+
+    o["grid_prefilter_lineitem"] = grid_prefilter_sql(
+        li, LI_DIMS2, domain_max=LI_DOMAIN)
+    o["topk_dominating_part"] = top_k_dominating_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_retailprice", "p_size"], k=20, id_cols=["p_partkey"],
+    )
+    o["k_dominant_skyline_lineitem"] = k_dominant_skyline_sql(
+        li, LI_DIMS3, k=2)
 
     o["grouped_skyline_events"] = skyline_not_exists_sql(
         _EV_SQL, ["value", "unix_ms"], select="t.*",

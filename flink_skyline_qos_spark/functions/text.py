@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "bpe_token_count",
     "char_count",
     "punct_ratio",
     "stopword_count",
@@ -50,6 +51,23 @@ def token_count(text: Column) -> Column:
 def token_count_sql(col: str) -> str:
     return (f"cast(CASE WHEN length(trim({col})) = 0 THEN 0 "
             f"ELSE len(string_split_regex(trim({col}), '\\s+')) END as bigint)")
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs
+# (whitespace dropped) — the GPT-2-style split shape, kept to constructs
+# whose semantics are identical in Java regex and DuckDB's RE2.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter/digit/punct runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_PATTERN), 0)) \
+        .cast("long")
+
+
+def bpe_token_count_sql(col: str) -> str:
+    return (f"cast(len(regexp_extract_all({col}, "
+            f"'{_BPE_PATTERN}')) as bigint)")
 
 
 def char_count(text: Column) -> Column:
@@ -156,6 +174,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         char_count(t).alias("n_chars_computed"),
         token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         stopword_count(t, "en").alias("en_stopwords"),
         quality_score(t, "en").alias("quality"),
@@ -170,6 +189,7 @@ def text_stats_sql(table: str, text_col: str = "text") -> str:
         "SELECT doc_id, "
         f"cast(length({c}) as bigint) AS n_chars_computed, "
         f"{token_count_sql(c)} AS n_tokens, "
+        f"{bpe_token_count_sql(c)} AS n_bpe_tokens, "
         f"round({punct_ratio_sql(c)}, 6) AS punct_ratio, "
         f"{stopword_count_sql(c, 'en')} AS en_stopwords, "
         f"{quality_score_sql(c, 'en')} AS quality, "

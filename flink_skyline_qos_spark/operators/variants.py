@@ -1,0 +1,177 @@
+"""Skyline variants and prefilters beyond the reference's core operator.
+
+* :func:`grid_prefilter` — the reference's P4 `GridDominanceFilter`
+  (`/root/reference/java/org.main/FlinkSkyline.java:717-733`), which is
+  COMMENTED OUT there over Flink deadlock fears (PDF p.12).  We enable it
+  with a correctness guard the reference lacks: dropping every point that
+  is ≥ domain/2 in all dimensions is only lossless when a *witness* point
+  with all dimensions ≤ domain/2 exists (the witness dominates everything
+  strictly inside the upper region).  Without the guard, a corpus
+  clustered in the upper corner would lose its entire skyline.
+
+* :func:`top_k_dominating` — top-k dominating points (Papadias et al.,
+  "Progressive Skyline Computation"): the k points that dominate the
+  largest number of others.  The "ranked" answer the reference's skyline
+  deliberately avoids; a natural companion query.
+
+* :func:`k_dominant_skyline` — k-dominant skyline (Chan et al., SIGMOD
+  2006): relax dominance to "≤ in at least k dimensions, < in at least
+  one of those".  Shrinks the exploding high-dimensional skyline (the
+  reference's 4-D optimality collapse to 0.25, PDF §5.4, is exactly the
+  disease this treats).  k-dominance is non-transitive, so this is NOT
+  decomposable — implemented as a single declarative anti-join, which
+  Catalyst plans as a (broadcast) nested-loop; use on pre-reduced inputs
+  (e.g. the ordinary skyline) at scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_, or_
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dominance import dominance_sql
+
+__all__ = [
+    "grid_prefilter",
+    "grid_prefilter_sql",
+    "top_k_dominating",
+    "top_k_dominating_sql",
+    "k_dominant_skyline",
+    "k_dominant_skyline_sql",
+]
+
+
+def grid_prefilter(df: DataFrame, cols: Sequence[str],
+                   domain_max: float) -> DataFrame:
+    """Drop points dominated by the domain midpoint — IF a witness exists.
+
+    Pure narrow `filter()` (predicate-pushdown friendly); the witness
+    check is one cheap aggregate.  Lossless: witness w has w_i ≤ mid ∀i,
+    a dropped point p has p_i ≥ mid ∀i and p_j > mid for some j ⇒ w
+    dominates p.  Exact-midpoint ties are kept (ties never dominate).
+    """
+    mid = domain_max / 2.0
+    in_lower = reduce(and_, [F.col(c) <= mid for c in cols])
+    has_witness = df.filter(in_lower).limit(1).count() > 0
+    if not has_witness:
+        return df
+    all_ge = reduce(and_, [F.col(c) >= mid for c in cols])
+    any_gt = reduce(or_, [F.col(c) > mid for c in cols])
+    return df.filter(~(all_ge & any_gt))
+
+
+def grid_prefilter_sql(table: str, cols: Sequence[str],
+                       domain_max: float) -> str:
+    """DuckDB twin of :func:`grid_prefilter` (witness via EXISTS)."""
+    mid = domain_max / 2.0
+    lower = " AND ".join(f"u.{c} <= {mid!r}" for c in cols)
+    all_ge = " AND ".join(f"t.{c} >= {mid!r}" for c in cols)
+    any_gt = " OR ".join(f"t.{c} > {mid!r}" for c in cols)
+    return (
+        f"SELECT t.* FROM {table} t WHERE NOT (({all_ge}) AND ({any_gt}) "
+        f"AND EXISTS (SELECT 1 FROM {table} u WHERE {lower}))"
+    )
+
+
+def top_k_dominating(df: DataFrame, cols: Sequence[str], k: int = 10, *,
+                     id_cols: Sequence[str] | None = None) -> DataFrame:
+    """The k points dominating the most others; ties broken by `id_cols`.
+
+    Theta-join + count.  At scale, run after :func:`grid_prefilter` or
+    against a sampled candidate set — dominance counts are monotone under
+    the prefilter (dropped points dominate nothing they didn't already).
+    """
+    from ..functions.dominance import dominates
+
+    t, u = df.alias("t"), df.alias("u")
+    cond = dominates([F.col(f"t.{c}") for c in cols],
+                     [F.col(f"u.{c}") for c in cols])
+    counts = (
+        t.join(u, cond, "left")
+        .groupBy(*[F.col(f"t.{c}").alias(c) for c in df.columns])
+        .agg(F.count(F.col(f"u.{cols[0]}")).alias("dominated_count"))
+    )
+    order = [F.col("dominated_count").desc()] + [
+        F.col(c) for c in (id_cols or [])
+    ]
+    return counts.orderBy(*order).limit(k)
+
+
+def top_k_dominating_sql(table: str, cols: Sequence[str], k: int = 10, *,
+                         id_cols: Sequence[str] | None = None) -> str:
+    pred = dominance_sql(cols, "t", "u")
+    order = "dominated_count DESC" + "".join(
+        f", {c}" for c in (id_cols or []))
+    return (
+        f"SELECT t.*, (SELECT count(*) FROM {table} u WHERE {pred}) "
+        f"AS dominated_count FROM {table} t "
+        f"ORDER BY {order} LIMIT {k}"
+    )
+
+
+def _k_dominates(a_cols, b_cols, k: int):
+    """a k-dominates b: a ≤ b in ≥ k dims AND a < b in ≥ 1 dim AND
+    a ≤ b wherever a < b counts — the Chan et al. definition reduces to
+    (#{a_i ≤ b_i} ≥ k) ∧ (#{a_i < b_i} ≥ 1) when comparing a's best k
+    subspace (any k dims where a ≤ b include every dim where a < b that
+    we may pick; a strict dim is itself a ≤ dim)."""
+    n_le = reduce(F.Column.__add__, [
+        F.when(x <= y, 1).otherwise(0) for x, y in zip(a_cols, b_cols)
+    ])
+    n_lt = reduce(F.Column.__add__, [
+        F.when(x < y, 1).otherwise(0) for x, y in zip(a_cols, b_cols)
+    ])
+    return (n_le >= k) & (n_lt >= 1)
+
+
+def k_dominant_skyline(df: DataFrame, cols: Sequence[str],
+                       k: int) -> DataFrame:
+    """Points not k-dominated by any other point (k < dims relaxes;
+    k == dims reduces to the ordinary skyline).
+
+    Scale shape: full dominance implies k-dominance, so the k-dominant
+    skyline ⊆ ordinary skyline.  Compute the (small, decomposable)
+    skyline first, then stream the FULL input once against the
+    broadcast candidates — k-dominance is non-transitive, so dominators
+    must be sought in the whole input, but candidates need not be.
+    """
+    if not 1 <= k <= len(cols):
+        raise ValueError("need 1 <= k <= len(cols)")
+    from .skyline import skyline
+
+    cand = skyline(df, cols)
+    c, u = cand.alias("c"), df.alias("u")
+    cond = _k_dominates([F.col(f"u.{x}") for x in cols],
+                        [F.col(f"c.{x}") for x in cols], k)
+    dominated = (
+        u.join(F.broadcast(c), cond, "inner")
+        .select(*[F.col(f"c.{x}").alias(x) for x in df.columns])
+        .distinct()
+    )
+    eq = reduce(and_, [
+        F.col(f"c.{x}").eqNullSafe(F.col(f"d.{x}")) for x in df.columns
+    ])
+    return (
+        cand.alias("c")
+        .join(dominated.alias("d"), eq, "left_anti")
+    )
+
+
+def k_dominant_skyline_sql(table: str, cols: Sequence[str], k: int) -> str:
+    """DuckDB twin, same candidates-first reduction (O(n·|skyline|))."""
+    from ..functions.dominance import skyline_not_exists_sql
+
+    n_le = " + ".join(
+        f"CASE WHEN u.{c} <= c.{c} THEN 1 ELSE 0 END" for c in cols)
+    n_lt = " + ".join(
+        f"CASE WHEN u.{c} < c.{c} THEN 1 ELSE 0 END" for c in cols)
+    cand = skyline_not_exists_sql(table, cols)
+    return (
+        f"WITH cand AS ({cand}) SELECT c.* FROM cand c WHERE NOT EXISTS ("
+        f"SELECT 1 FROM {table} u "
+        f"WHERE ({n_le}) >= {k} AND ({n_lt}) >= 1)"
+    )

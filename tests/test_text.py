@@ -72,8 +72,9 @@ def test_quality_score_bounds(docs):
 def test_text_stats_schema(docs):
     out = text_stats(docs)
     assert out.columns == [
-        "doc_id", "n_chars_computed", "n_tokens", "punct_ratio",
-        "en_stopwords", "quality", "lang_pred", "fingerprint",
+        "doc_id", "n_chars_computed", "n_tokens", "n_bpe_tokens",
+        "punct_ratio", "en_stopwords", "quality", "lang_pred",
+        "fingerprint",
     ]
     fp = one(out, "fingerprint")
     assert fp[0] != fp[1] and len(fp[0]) == 32

@@ -1,0 +1,90 @@
+"""Variant suite: guarded P4 prefilter, top-k dominating, k-dominant
+skyline, BPE-ish token counting."""
+
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.functions.text import bpe_token_count
+from flink_skyline_qos_spark.operators.skyline import skyline
+from flink_skyline_qos_spark.operators.variants import (
+    grid_prefilter,
+    k_dominant_skyline,
+    top_k_dominating,
+)
+
+
+def test_grid_prefilter_lossless_for_skyline(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 9.0), (2, 9.0, 1.0), (3, 6.0, 6.0), (4, 4.0, 4.0),
+         (5, 5.0, 5.0)],
+        "id long, d0 double, d1 double")
+    out = grid_prefilter(df, ["d0", "d1"], domain_max=10.0)
+    # witness (4,4) exists → (6,6) dropped; midpoint tie (5,5) kept
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {1, 2, 4, 5}
+    # skyline unchanged by the prefilter
+    a = {tuple(r) for r in skyline(df, ["d0", "d1"]).collect()}
+    b = {tuple(r) for r in skyline(out, ["d0", "d1"]).collect()}
+    assert a == b
+
+
+def test_grid_prefilter_no_witness_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, 6.0, 9.0), (2, 9.0, 6.0), (3, 8.0, 8.0)],
+        "id long, d0 double, d1 double")
+    out = grid_prefilter(df, ["d0", "d1"], domain_max=10.0)
+    # upper-corner corpus: unguarded P4 would wrongly drop EVERYTHING
+    assert out.count() == 3
+
+
+def test_top_k_dominating(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, 3.0), (4, 0.0, 9.0)],
+        "id long, d0 double, d1 double")
+    out = top_k_dominating(df, ["d0", "d1"], k=2, id_cols=["id"]).collect()
+    assert [(r["id"], r["dominated_count"]) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_k_dominant_reduces_to_skyline_at_full_k(spark, lineitem):
+    df = lineitem.limit(2000).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    cols = ["l_extendedprice", "l_discount"]
+    a = {tuple(r) for r in k_dominant_skyline(df, cols, k=2).collect()}
+    b = {tuple(r) for r in skyline(df, cols).collect()}
+    assert a == b
+
+
+def test_k_dominant_known_answer(spark):
+    """Constructed case with a provably non-empty k-dominant skyline."""
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0),   # 2-dominates everyone, 2-dominated by nobody
+         (2, 0.0, 1.0, 1.0),   # fully dominated by id=1
+         (3, 1.0, 0.0, 1.0),   # fully dominated by id=1
+         (4, 1.0, 1.0, 0.0)],  # full-skyline member, but 2-dominated by id=1
+        "id long, d0 double, d1 double, d2 double")
+    out = k_dominant_skyline(df, ["d0", "d1", "d2"], k=2).collect()
+    assert [r["id"] for r in out] == [1]
+    # ordinary skyline keeps 4 too → relaxation strictly shrinks, non-empty
+    full = {r["id"] for r in skyline(df, ["d0", "d1", "d2"]).collect()}
+    assert full == {1, 4}
+
+
+def test_k_dominant_is_subset_and_smaller(spark, lineitem):
+    df = lineitem.limit(2000).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    full = {tuple(r) for r in skyline(df, cols).collect()}
+    relaxed = {tuple(r) for r in k_dominant_skyline(df, cols, k=2).collect()}
+    assert relaxed <= full
+    assert len(relaxed) < len(full)
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("Hello, world! abc123 €",), ("",), ("   ",), ("a-b",)],
+        "text string")
+    got = [r[0] for r in
+           df.select(bpe_token_count(F.col("text"))).collect()]
+    # "Hello" "," "world" "!" "abc" "123" "€" = 7 ; "" = 0 ; blanks = 0 ;
+    # "a" "-" "b" = 3
+    assert got == [7, 0, 0, 3]
