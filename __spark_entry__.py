@@ -156,6 +156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         q[f"{algo.replace('-', '_')}_partition_counts"] = _counts
 
+    # --- SQL surface: the engine-portable ANSI NOT-EXISTS skyline runs
+    # VERBATIM as Spark SQL — the oracle entry is the same string, so
+    # this checks literal cross-engine SQL parity of the declarative form.
+    def _sql_surface(s: SparkSession, d: str) -> DataFrame:
+        _li(s, d).createOrReplaceTempView("lineitem_v")
+        return s.sql(skyline_not_exists_sql(
+            "(SELECT l_orderkey, l_extendedprice, l_discount "
+            "FROM lineitem_v)", LI_DIMS2))
+
+    q["skyline_sql_surface_lineitem"] = _sql_surface
+
     # --- P4 grid pre-filter (reference had it disabled; we guard it) ---
     q["grid_prefilter_lineitem"] = lambda s, d: grid_prefilter(
         _li(s, d), LI_DIMS2, domain_max=LI_DOMAIN)
@@ -176,6 +187,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grouped_skyline_events"] = lambda s, d: grouped_skyline(
         _events_ms(s, d), ["value", "unix_ms"], by="event_type"
     )
+
+    # --- tumbling-window skyline ("skyline of each hour") — the natural
+    # Spark event-time extension of the prefix-query model (SURVEY §7.7)
+    def _windowed(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events").select(
+            "event_id", "event_type", "value",
+            F.unix_millis("ts").cast("double").alias("unix_ms"),
+            F.unix_timestamp(F.window("ts", "1 hour").start)
+            .alias("win_start"))
+        return grouped_skyline(ev, ["value", "unix_ms"], by="win_start")
+
+    q["windowed_skyline_events"] = _windowed
 
     # --- prefix/trigger queries (ST2 barrier semantics) ---
     q["prefix_query_skyline_events"] = lambda s, d: run_prefix_queries(
@@ -302,6 +325,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {pid} AS pid, count(*) AS n_rows FROM {li} t GROUP BY 1"
         )
 
+    o["skyline_sql_surface_lineitem"] = skyline_not_exists_sql(
+        "(SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem)",
+        LI_DIMS2)
+
     o["grid_prefilter_lineitem"] = grid_prefilter_sql(
         li, LI_DIMS2, domain_max=LI_DOMAIN)
     o["topk_dominating_part"] = top_k_dominating_sql(
@@ -314,6 +341,14 @@ def oracle_sql() -> dict[str, str]:
     o["grouped_skyline_events"] = skyline_not_exists_sql(
         _EV_SQL, ["value", "unix_ms"], select="t.*",
         partition_by=["event_type"],
+    )
+
+    o["windowed_skyline_events"] = skyline_not_exists_sql(
+        "(SELECT event_id, event_type, value, "
+        "cast(epoch_ms(ts) as double) AS unix_ms, "
+        "cast(epoch(time_bucket(INTERVAL '1 hour', ts)) as bigint) "
+        "AS win_start FROM events)",
+        ["value", "unix_ms"], select="t.*", partition_by=["win_start"],
     )
 
     o["prefix_query_skyline_events"] = prefix_queries_oracle_sql(

@@ -53,15 +53,44 @@ def dominated_by_any(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+def _skyline_mask_2d(values: np.ndarray) -> np.ndarray:
+    """Exact 2-D skyline in O(n log n): sort by (d0, d1), one scan.
+
+    After sorting, p is dominated iff some strictly-smaller-d0 point has
+    d1 ≤ p.d1, or a same-d0 point has d1 < p.d1.  So p survives iff it
+    holds its d0-group's min d1 AND that min beats (strictly) the
+    running min over all earlier groups.  Duplicate points all survive
+    (ties never dominate), matching the generic kernel.
+    """
+    n = values.shape[0]
+    idx = np.lexsort((values[:, 1], values[:, 0]))
+    d0 = values[idx, 0]
+    d1 = values[idx, 1]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(d0[1:], d0[:-1], out=new_grp[1:])
+    gid = np.cumsum(new_grp) - 1
+    gmin = d1[new_grp]  # min d1 per group (d1-sorted within group)
+    prefix_before = np.concatenate(
+        ([np.inf], np.minimum.accumulate(gmin)[:-1]))[gid]
+    keep_sorted = (d1 == gmin[gid]) & (d1 < prefix_before)
+    out = np.zeros(n, dtype=bool)
+    out[idx] = keep_sorted
+    return out
+
+
 def skyline_mask(values: np.ndarray) -> np.ndarray:
     """Boolean mask of skyline membership for an (n, d) float array.
 
-    Sort-by-sum single forward pass; O(n·S) comparisons where S is the
+    2-D inputs take the O(n log n) sort-scan path; higher dimensions use
+    a sort-by-sum single forward pass, O(n·S) comparisons where S is the
     running skyline size, fully vectorized in blocks.
     """
     n = values.shape[0]
     if n == 0:
         return np.zeros(0, dtype=bool)
+    if values.shape[1] == 2:
+        return _skyline_mask_2d(values)
     order = np.argsort(values.sum(axis=1), kind="stable")
     sv = values[order]
     keep_sorted = np.zeros(n, dtype=bool)
@@ -95,6 +124,9 @@ def merge_skylines(old: np.ndarray, new: np.ndarray) -> tuple[np.ndarray, np.nda
         return np.zeros(0, dtype=bool), np.ones(new.shape[0], dtype=bool)
     if new.shape[0] == 0:
         return np.ones(old.shape[0], dtype=bool), np.zeros(0, dtype=bool)
+    if old.shape[1] == 2:
+        mask = _skyline_mask_2d(np.concatenate([old, new], axis=0))
+        return mask[: old.shape[0]], mask[old.shape[0]:]
     new_keep = ~dominated_by_any(old, new)
     # Transitivity: a new point dominated by an old one can't evict anything
     # the old set didn't already evict — only surviving new points matter.

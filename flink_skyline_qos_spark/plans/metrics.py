@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..operators.partitioners import partitioner_expr
 from ..operators.skyline import _group_prune, _prune_batches
 
-__all__ = ["skyline_query_metrics", "metrics_to_json"]
+__all__ = ["skyline_query_metrics", "metrics_to_json", "write_metrics_csv"]
 
 
 def skyline_query_metrics(points: DataFrame, cols: Sequence[str], *,
@@ -103,6 +103,25 @@ def skyline_query_metrics(points: DataFrame, cols: Sequence[str], *,
         return out
     finally:
         local.unpersist()
+
+
+def write_metrics_csv(metrics: DataFrame, path: str) -> None:
+    """S4: append-style CSV metrics sink with the reference collector's
+    column order (`metrics_collector.py:60-72`) where present.
+
+    Missing timing columns are written as 0 — the collector does the
+    same for malformed records.
+    """
+    ref_order = [
+        "query_id", "record_count", "skyline_size", "optimality",
+        "ingest_ms", "local_ms", "global_ms", "total_ms", "latency_ms",
+    ]
+    cols = [
+        (F.col(c) if c in metrics.columns else F.lit(0).alias(c))
+        for c in ref_order
+    ]
+    metrics.select(*cols).write.mode("append") \
+        .option("header", True).csv(path)
 
 
 def metrics_to_json(metrics: DataFrame) -> DataFrame:

@@ -24,7 +24,15 @@ def get_spark(app_name: str = "flink-skyline-qos-spark", *,
     return (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode runs every task inside the driver JVM; the 1g
+        # default heap GC-thrashes under 32 concurrent Arrow tasks.
+        # Takes effect at JVM launch — i.e. on the first session of the
+        # process (exactly how tests/bench/driver invoke us).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # deterministic time bucketing (window alignment) across engines
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,6 +144,7 @@ class SkylinePipeline:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch handler over the tagged union of both streams."""
+        t_batch0 = time.perf_counter()
         batch = batch.persist()
         try:
             pts = parse_service_tuples(
@@ -185,13 +187,17 @@ class SkylinePipeline:
             # Persist BEFORE answering so a released query reads its own
             # batch's ingest — and a retry of this epoch overwrites in place.
             self._save(batch_id, state, meta)
+            ingest_ms = int((time.perf_counter() - t_batch0) * 1000)
             if released:
-                self._answer(batch_id, released, meta)
+                self._answer(batch_id, released, meta,
+                             ingest_ms=ingest_ms, t_batch0=t_batch0)
         finally:
             batch.unpersist()
 
     def _answer(self, batch_id: int, released: list[tuple[str, int]],
-                meta: dict) -> None:
+                meta: dict, *, ingest_ms: int = 0,
+                t_batch0: float | None = None) -> None:
+        t_g0 = time.perf_counter()
         es = _epochs(self.points_dir)
         local = self.spark.read.parquet(
             os.path.join(self.points_dir, f"epoch={es[-1]}"))
@@ -207,17 +213,26 @@ class SkylinePipeline:
             opt = sum(surv.get(p, 0) / sizes[p] for p in sizes) \
                 / self.num_partitions
             out = None
-            rows = []
-            for qid, k in released:
+            for qid, _k in released:
                 tagged = glob.drop("pid").select(
                     F.lit(str(qid)).alias("query_id"), "*")
                 out = tagged if out is None else out.unionByName(tagged)
-                rows.append((str(qid), meta["record_count"], sky_size,
-                             round(opt, 4), batch_id))
             out.write.mode("append").parquet(self.results_dir)
+            # A5 timing shape (metrics_collector.py:60-72): ingest =
+            # state update, global = merge+emit, total = batch wall,
+            # latency = trigger receipt (batch start) → emission.
+            global_ms = int((time.perf_counter() - t_g0) * 1000)
+            now = time.perf_counter()
+            total_ms = int((now - (t_batch0 or t_g0)) * 1000)
+            rows = [
+                (str(qid), meta["record_count"], sky_size, round(opt, 4),
+                 batch_id, ingest_ms, global_ms, total_ms, total_ms)
+                for qid, _k in released
+            ]
             self.spark.createDataFrame(
                 rows, "query_id string, record_count long, skyline_size long,"
-                      " optimality double, batch_id long",
+                      " optimality double, batch_id long, ingest_ms long,"
+                      " global_ms long, total_ms long, latency_ms long",
             ).write.mode("append").parquet(self.metrics_dir)
         finally:
             glob.unpersist()
