@@ -29,6 +29,9 @@ from flink_skyline_qos_spark import (  # noqa: E402
     skyline_not_exists_sql,
     skyline_two_phase,
 )
+from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
+    skyline_broadcast_verify,
+)
 from flink_skyline_qos_spark.functions.text import (  # noqa: E402
     text_stats,
     text_stats_sql,
@@ -295,6 +298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["d0", "d1"], algo="mr-angle", num_partitions=NUM_PARTS,
         domain_max=10000.0,
     )
+    # 4-D through the huge-survivor broadcast-verify strategy
+    q["gen_anticorr_skyline_4d"] = lambda s, d: skyline_broadcast_verify(
+        generate_points_hash(s, GEN_N, 4, dist="anti_correlated"),
+        ["d0", "d1", "d2", "d3"],
+    )
 
     q["embedding_near_dup"] = lambda s, d: embedding_near_dup_pairs(
         load_table(s, d, "embeddings"), threshold=0.35, block_col="label",
@@ -424,6 +432,10 @@ FROM ranked WHERE rn <= 10
     o["gen_anticorr_skyline_2d"] = skyline_not_exists_sql(
         f"({generate_points_sql(GEN_N, 2, dist='anti_correlated')})",
         ["d0", "d1"],
+    )
+    o["gen_anticorr_skyline_4d"] = skyline_not_exists_sql(
+        f"({generate_points_sql(GEN_N, 4, dist='anti_correlated')})",
+        ["d0", "d1", "d2", "d3"],
     )
 
     o["embedding_near_dup"] = """

@@ -68,18 +68,35 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs})",
               file=sys.stderr)
 
-    # Reference-comparable synthetic workload (BASELINE.md row 1).
-    pts = generate_points(spark, 1_000_000, 2, dist="anti_correlated",
-                          num_partitions=2 * cpus)
-    pts = pts.persist()
-    pts.count()  # materialize generation outside the timed skyline
-    t0 = time.perf_counter()
-    n = skyline_two_phase(pts, ["d0", "d1"], algo="mr-angle",
-                          num_partitions=2 * cpus, domain_max=10000.0).count()
-    timings["anticorr_1m_2d"] = round(time.perf_counter() - t0, 3)
-    print(f"# anticorr_1m_2d: skyline={n} in {timings['anticorr_1m_2d']}s",
-          file=sys.stderr)
-    pts.unpersist()
+    # Reference-comparable synthetic workloads (BASELINE.md): 1M
+    # anti-correlated points at 2-D / 3-D / 4-D.  Reference totals:
+    # 17.3 s / 27.0 s / 691.9 s (graph_paper_figures.py:28-32).  2-D uses
+    # the reference-parity two-phase plan; 3-D/4-D use broadcast-verify —
+    # the huge-survivor strategy (ARCHITECTURE.md §2).
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+
+    for dims, name, run in (
+        (2, "anticorr_1m_2d",
+         lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
+                                     num_partitions=2 * cpus,
+                                     domain_max=10000.0)),
+        (3, "anticorr_1m_3d",
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"])),
+        (4, "anticorr_1m_4d",
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"])),
+    ):
+        pts = generate_points(spark, 1_000_000, dims,
+                              dist="anti_correlated",
+                              num_partitions=2 * cpus).persist()
+        pts.count()  # materialize generation outside the timed skyline
+        t0 = time.perf_counter()
+        n = run(pts).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: skyline={n} in {timings[name]}s", file=sys.stderr)
+        pts.unpersist()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -79,35 +79,88 @@ def _skyline_mask_2d(values: np.ndarray) -> np.ndarray:
     return out
 
 
+def _dominated_sorted(a: np.ndarray, a_sums: np.ndarray,
+                      b: np.ndarray, b_sums: np.ndarray) -> np.ndarray:
+    """Mask over rows of `b`: dominated by some row of `a`, EXPLOITING
+    sums: a dominates b ⟹ sum(a) < sum(b) exactly (all-≤ with one-<
+    strictly shrinks the dim-sum).  So the d `lt` matrices of the
+    generic test collapse into ONE sum comparison — (d+1) matrix ops
+    instead of (2d+1).
+
+    FP soundness: rounded float sums of a dominating pair can collide
+    (difference below ulp).  fp addition is monotone, so le_all ⇒
+    fl_sum(a) ≤ fl_sum(b); the ambiguous le_all ∧ sum-equal pairs (true
+    duplicates, plus the pathological near-dup case) get the exact
+    any-< check — a branch that almost never fires on real data.
+    """
+    nb = b.shape[0]
+    out = np.zeros(nb, dtype=bool)
+    if a.shape[0] == 0 or nb == 0:
+        return out
+    d = a.shape[1]
+    a_sorted = bool(a_sums.size) and bool((a_sums[1:] >= a_sums[:-1]).all())
+    for s in range(0, nb, _B_CHUNK):
+        bc = b[s : s + _B_CHUNK]
+        bs = b_sums[s : s + _B_CHUNK]
+        bs_max = bs.max()
+        dom = np.zeros(bc.shape[0], dtype=bool)
+        for t in range(0, a.shape[0], _A_CHUNK):
+            if a_sorted and a_sums[t] > bs_max:
+                break  # all later slabs have larger sums — cannot dominate
+            ac = a[t : t + _A_CHUNK]
+            le_all = ac[:, 0][:, None] <= bc[None, :, 0]
+            for k in range(1, d):
+                le_all &= ac[:, k][:, None] <= bc[None, :, k]
+            sum_lt = a_sums[t : t + _A_CHUNK][:, None] < bs[None, :]
+            dom_bt = le_all & sum_lt
+            amb = le_all & ~sum_lt
+            if amb.any():
+                lt_any = ac[:, 0][:, None] < bc[None, :, 0]
+                for k in range(1, d):
+                    lt_any |= ac[:, k][:, None] < bc[None, :, k]
+                dom_bt |= amb & lt_any
+            dom |= dom_bt.any(axis=0)
+            if dom.all():
+                break
+        out[s : s + _B_CHUNK] = dom
+    return out
+
+
 def skyline_mask(values: np.ndarray) -> np.ndarray:
     """Boolean mask of skyline membership for an (n, d) float array.
 
     2-D inputs take the O(n log n) sort-scan path; higher dimensions use
     a sort-by-sum single forward pass, O(n·S) comparisons where S is the
-    running skyline size, fully vectorized in blocks.
+    running skyline size, fully vectorized in blocks with the sum-trick
+    (see :func:`_dominated_sorted`).
     """
     n = values.shape[0]
     if n == 0:
         return np.zeros(0, dtype=bool)
     if values.shape[1] == 2:
         return _skyline_mask_2d(values)
-    order = np.argsort(values.sum(axis=1), kind="stable")
+    sums = values.sum(axis=1)
+    order = np.argsort(sums, kind="stable")
     sv = values[order]
+    ssums = sums[order]
     keep_sorted = np.zeros(n, dtype=bool)
     sky = np.empty((0, values.shape[1]), dtype=values.dtype)
+    sky_sums = np.empty(0, dtype=sums.dtype)
     for s in range(0, n, _B_CHUNK):
         blk = sv[s : s + _B_CHUNK]
-        dom = dominated_by_any(sky, blk)
+        bsums = ssums[s : s + _B_CHUNK]
+        dom = _dominated_sorted(sky, sky_sums, blk, bsums)
         # Within-block: dominators sort strictly earlier (smaller sum), and
         # dominance is transitive, so only block survivors can dominate.
         idx = np.flatnonzero(~dom)
         cand = blk[idx]
         if idx.size > 1:
-            sub_dom = dominated_by_any(cand, cand)  # ties never dominate → safe
+            sub_dom = _dominated_sorted(cand, bsums[idx], cand, bsums[idx])
             idx = idx[~sub_dom]
             cand = blk[idx]
         keep_sorted[s + idx] = True
         sky = np.concatenate([sky, cand], axis=0)
+        sky_sums = np.concatenate([sky_sums, ssums[s : s + _B_CHUNK][idx]])
     out = np.zeros(n, dtype=bool)
     out[order] = keep_sorted
     return out

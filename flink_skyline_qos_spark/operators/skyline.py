@@ -45,6 +45,7 @@ __all__ = [
     "skyline",
     "skyline_two_phase",
     "skyline_anti_join",
+    "skyline_broadcast_verify",
     "grouped_skyline",
 ]
 
@@ -106,6 +107,44 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
         pruned.repartition(1)
         .mapInPandas(_prune_batches(cols), schema=df.schema)
     )
+
+
+def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Skyline for the huge-survivor regime (high-dim anti-correlated).
+
+    When local skylines barely prune (4-D anti-correlated: ~75 % of
+    points survive — PDF §5.4), the single final-merge task pays
+    O(|C|²) alone and dominates wall time.  Here the candidate VALUES
+    (dims only, ~tens of MB for millions of rows) are collected and
+    broadcast, and each partition verifies its own candidates against
+    the full set in parallel — same O(|C|²·d) comparisons, spread over
+    every core, with no shuffle of the candidates at all.
+
+    Exact: skyline(S) = {p ∈ C : ¬∃q ∈ C, q dom p} where C ⊇ skyline(S)
+    is any superset produced by local pruning.
+    """
+    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
+    cand_vals = np.asarray(
+        [list(r) for r in pruned.select(*cols).collect()], dtype=np.float64
+    ).reshape(-1, len(cols))
+    sums = cand_vals.sum(axis=1)
+    order = np.argsort(sums, kind="stable")
+    ref = df.sparkSession.sparkContext.broadcast(
+        (cand_vals[order], sums[order]))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels import _dominated_sorted
+
+        a, a_sums = ref.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b = _values(pdf, cols)
+            out = pdf[~_dominated_sorted(a, a_sums, b, b.sum(axis=1))]
+            if not out.empty:
+                yield out
+
+    return pruned.mapInPandas(verify, schema=df.schema)
 
 
 def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,

@@ -67,6 +67,18 @@ def test_skyline_tree_merge(lineitem, oracle_2d):
     assert spark_rows(got, all_cols(lineitem)) == oracle_2d
 
 
+def test_skyline_broadcast_verify(lineitem, oracle_2d, sf_dir):
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+
+    got = skyline_broadcast_verify(lineitem, DIMS2)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+    oracle3 = as_sorted(duck_skyline(sf_dir, "lineitem", DIMS3))
+    got3 = skyline_broadcast_verify(lineitem, DIMS3)
+    assert spark_rows(got3, all_cols(lineitem)) == oracle3
+
+
 def test_grouped_skyline(events, sf_dir):
     from pyspark.sql import functions as F
 
