@@ -41,16 +41,18 @@ __all__ = [
 _MERSENNE = (1 << 31) - 1
 
 
-def _scale_out(df: DataFrame) -> DataFrame:
+def _scale_out(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """Ensure at least default-parallelism partitions before heavy
     per-row compute.
 
     A small parquet table arrives as one split and would serialize the
     shingling/hashing stage on a single core; at 100 TB inputs already
-    carry thousands of splits and this is a no-op.
+    carry thousands of splits and this is a no-op.  `probe` lets the
+    partition count be read off a simpler upstream plan (``.rdd`` plan
+    conversion on a heavy projection is not free).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if (probe if probe is not None else df).rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -183,15 +185,16 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     sh = (char_shingles(F.col(text_col), shingle_k, distinct=False)
           if shingle_unit == "char"
           else word_shingles(F.col(text_col), shingle_k, distinct=False))
-    # NOTE: no _scale_out here — measured on local[32]: the extra
-    # text shuffle + 32-way Python worker fan-out costs more than the
-    # single-split shingling it parallelizes (signature fold dominates
-    # and is already batched); at real scale the input has many splits.
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
         .alias("__h"),
     )
+    # scale-out AFTER the JVM hashing projection: the shuffle then moves
+    # compact hash arrays (not raw text) and parallelizes the signature
+    # fold + banding on few-split inputs (measured faster than either
+    # no-repartition or repartitioning the text itself on local[32]).
+    hashed = _scale_out(hashed, probe=df)
     if impl == "numpy":
         sig = hashed.mapInPandas(
             _minhash_fold_np(num_hashes, seed),
