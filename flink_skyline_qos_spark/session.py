@@ -37,7 +37,10 @@ def get_spark(app_name: str = "flink-skyline-qos-spark", *,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ~64k rows/batch: fewer kernel invocations per partition for the
+        # incremental skyline prune (measured ~1.5× on 1M 3-D); a few MB
+        # per batch at typical widths — far below worker memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
         .getOrCreate()
