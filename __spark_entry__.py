@@ -257,6 +257,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_pipeline_skyline"] = _streaming_pipeline
 
+    # --- continuous keyed-state variant (applyInPandasWithState): the
+    # merge of all emitted local skylines equals the batch skyline (every
+    # evicted point's dominator is also emitted — dominance transitivity).
+    def _streaming_continuous(s: SparkSession, d: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from flink_skyline_qos_spark.streaming.continuous import (
+            continuous_local_skylines,
+        )
+        from flink_skyline_qos_spark.streaming.sources import file_stream
+        from flink_skyline_qos_spark.streaming.wire import (
+            parse_service_tuples,
+        )
+
+        work = tempfile.mkdtemp(prefix="skycont_")
+        data_dir = os.path.join(work, "data")
+        pts = generate_points_hash(s, 4000, 2, dist="anti_correlated")
+        serialize_service_tuples(pts, 2).write.mode("overwrite").text(data_dir)
+        stream = parse_service_tuples(
+            file_stream(s, data_dir, max_files_per_trigger=1), 2)
+        out = continuous_local_skylines(
+            stream, dims=2, algo="mr-dim", num_partitions=NUM_PARTS,
+            domain_max=10000.0)
+        name = f"cont_{uuid.uuid4().hex[:8]}"
+        query = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", os.path.join(work, "ckpt"))
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        emitted = s.table(name).select("id", "d0", "d1").distinct()
+        return skyline(emitted, ["d0", "d1"])
+
+    q["streaming_continuous_skyline"] = _streaming_continuous
+
     # --- multimodal: pack → decode round-trip over binary columns ---
     # mean_byte (content stat, not SQL-reproducible) stays pytest-only.
     q["media_decode_documents"] = lambda s, d: decode_media(
@@ -421,6 +456,10 @@ FROM ranked WHERE rn <= 10
     o["streaming_pipeline_skyline"] = skyline_not_exists_sql(
         f"({generate_points_sql(4000, 2, dist='anti_correlated')})",
         ["d0", "d1"], select="'q1' AS query_id, t.id, t.d0, t.d1",
+    )
+    o["streaming_continuous_skyline"] = skyline_not_exists_sql(
+        f"({generate_points_sql(4000, 2, dist='anti_correlated')})",
+        ["d0", "d1"], select="t.id, t.d0, t.d1",
     )
 
     o["media_decode_documents"] = decode_media_sql(

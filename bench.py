@@ -85,7 +85,8 @@ def main() -> None:
         (3, "anticorr_1m_3d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"])),
         (4, "anticorr_1m_4d",
-         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"])),
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
+                                            pre_merge_partitions=cpus)),
     ):
         pts = generate_points(spark, 1_000_000, dims,
                               dist="anti_correlated",

@@ -24,7 +24,13 @@ from .operators.skyline import (
     grouped_skyline,
     skyline,
     skyline_anti_join,
+    skyline_broadcast_verify,
     skyline_two_phase,
+)
+from .operators.variants import (
+    grid_prefilter,
+    k_dominant_skyline,
+    top_k_dominating,
 )
 from .session import get_spark
 
@@ -32,6 +38,8 @@ __all__ = [
     "dominates", "dominates_array", "dominance_sql", "skyline_not_exists_sql",
     "mr_dim", "mr_grid", "mr_angle", "partitioner_expr", "partitioner_sql",
     "grid_dominance_prefilter",
-    "skyline", "skyline_two_phase", "skyline_anti_join", "grouped_skyline",
+    "skyline", "skyline_two_phase", "skyline_anti_join",
+    "skyline_broadcast_verify", "grouped_skyline",
+    "grid_prefilter", "k_dominant_skyline", "top_k_dominating",
     "get_spark",
 ]

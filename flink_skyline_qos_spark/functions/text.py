@@ -22,6 +22,7 @@ __all__ = [
     "quality_score",
     "lang_scores",
     "doc_fingerprint",
+    "rolling_fingerprint",
     "text_stats",
     "STOPWORDS",
 ]
@@ -167,6 +168,43 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+# Rabin-Karp-style rolling polynomial hash.  Base/modulus chosen so
+# every intermediate stays below 2⁶³ (h < P, code ≤ 0x10FFFF ⇒
+# h·B + code < 2³¹·2³¹ + 2²¹): overflow-free in both engines' BIGINT.
+_RH_BASE = 1_000_003
+_RH_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """64-bit-safe rolling hash over the codepoint sequence.
+
+    h ← (h·B + codepoint) mod P, folded left-to-right — the classic
+    Rabin-Karp document fingerprint, as a pure `aggregate` Column
+    expression (no UDF).
+    """
+    codes = F.transform(F.split(text, ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * F.lit(_RH_BASE) + c.cast("long")) % F.lit(_RH_MOD),
+    )
+
+
+def rolling_fingerprint_sql(col: str) -> str:
+    """DuckDB twin of :func:`rolling_fingerprint`.
+
+    Spark's split("") yields codepoints in order; DuckDB's
+    string_split on '' does the same.  `ascii()` returns the full
+    codepoint (not just ASCII) in both engines.
+    """
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform(string_split({col}, ''), "
+        f"ch -> cast(ascii(ch) as bigint))), "
+        f"(h, c) -> (h * {_RH_BASE} + c) % {_RH_MOD})"
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document feature frame: counts, ratios, quality, lang, fingerprint."""
     t = F.col(text_col)
@@ -180,6 +218,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t, "en").alias("quality"),
         lang_scores(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
+        rolling_fingerprint(t).alias("rolling_fp"),
     )
 
 
@@ -194,6 +233,7 @@ def text_stats_sql(table: str, text_col: str = "text") -> str:
         f"{stopword_count_sql(c, 'en')} AS en_stopwords, "
         f"{quality_score_sql(c, 'en')} AS quality, "
         f"{lang_scores_sql(c)} AS lang_pred, "
-        f"md5({c}) AS fingerprint "
+        f"md5({c}) AS fingerprint, "
+        f"{rolling_fingerprint_sql(c)} AS rolling_fp "
         f"FROM {table}"
     )

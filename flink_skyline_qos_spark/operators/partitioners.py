@@ -141,7 +141,9 @@ def grid_dominance_prefilter(dims: Sequence[Column], domain_max: float) -> Colum
     midpoint region and can never be in the skyline *provided at least one
     point lies strictly inside the lower half in all dims* — the reference
     applies it unconditionally on its [0,domain] synthetic data; we expose
-    it as an opt-in prune for the same data model.
+    it as an opt-in prune for the same data model.  For arbitrary data use
+    :func:`..operators.variants.grid_prefilter`, which adds the witness
+    check that makes the prune unconditionally lossless.
     """
     mid = domain_max / 2.0
     all_worse = reduce(and_, [c >= F.lit(mid) for c in dims])

@@ -109,7 +109,9 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
     )
 
 
-def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
+                             pre_merge_partitions: int | None = None
+                             ) -> DataFrame:
     """Skyline for the huge-survivor regime (high-dim anti-correlated).
 
     When local skylines barely prune (4-D anti-correlated: ~75 % of
@@ -122,8 +124,18 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
     Exact: skyline(S) = {p ∈ C : ¬∃q ∈ C, q dom p} where C ⊇ skyline(S)
     is any superset produced by local pruning.
+
+    `pre_merge_partitions` inserts one shuffled re-prune of the
+    candidates before verification: an extra cheap exchange of survivors
+    that shrinks |C| (cross-partition dominated points die), and verify
+    work falls with |C|² — worth it exactly when local pruning is weak
+    (high-dim anti-correlated).
     """
-    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
+    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
+    if pre_merge_partitions and pre_merge_partitions > 1:
+        pruned = pruned.repartition(pre_merge_partitions) \
+            .mapInPandas(_prune_batches(cols), schema=df.schema)
+    pruned = pruned.persist()
     cand_vals = np.asarray(
         [list(r) for r in pruned.select(*cols).collect()], dtype=np.float64
     ).reshape(-1, len(cols))

@@ -74,7 +74,7 @@ def test_text_stats_schema(docs):
     assert out.columns == [
         "doc_id", "n_chars_computed", "n_tokens", "n_bpe_tokens",
         "punct_ratio", "en_stopwords", "quality", "lang_pred",
-        "fingerprint",
+        "fingerprint", "rolling_fp",
     ]
     fp = one(out, "fingerprint")
     assert fp[0] != fp[1] and len(fp[0]) == 32
