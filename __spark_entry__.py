@@ -61,6 +61,7 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_ivf,
+    embedding_near_dup_lsh,
     embedding_near_dup_pairs,
 )
 from flink_skyline_qos_spark.plans.metrics import (  # noqa: E402
@@ -338,6 +339,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         generate_points_hash(s, GEN_N, 4, dist="anti_correlated"),
         ["d0", "d1", "d2", "d3"],
     )
+
+    # unlabeled scale path: random-hyperplane LSH blocking, exact verify.
+    # rows-only: the Gaussian plane matrix has no SQL twin.
+    q["embedding_near_dup_lsh"] = lambda s, d: embedding_near_dup_lsh(
+        load_table(s, d, "embeddings"), threshold=0.35,
+        n_planes=32, bands=8,
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
     q["embedding_near_dup"] = lambda s, d: embedding_near_dup_pairs(
         load_table(s, d, "embeddings"), threshold=0.35, block_col="label",

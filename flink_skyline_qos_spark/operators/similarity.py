@@ -153,6 +153,70 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     )
 
 
+def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_planes: int = 32, bands: int = 8,
+                           seed: int = 42,
+                           max_bucket: int = 2000) -> DataFrame:
+    """Near-duplicate pairs WITHOUT a blocking column — the 100 TB path.
+
+    Random-hyperplane (SimHash-for-cosine) LSH: sign bits of `n_planes`
+    fixed Gaussian projections, banded into `bands` equi-join keys
+    (pigeonhole on sign agreement); exact cosine computed only on bucket
+    cohabitants.  Recall is probabilistic (P[same bit] = 1 − θ/π per
+    plane), tunable via n_planes/bands; candidates are verified exactly,
+    so precision is 1.  `max_bucket` caps degenerate buckets.
+    """
+    assert n_planes % bands == 0
+    rows_per_band = n_planes // bands
+    dim = len(df.select(vec_col).first()[0])
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    def signs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.asarray([np.asarray(x, dtype=np.float64)
+                            for x in pdf[vec_col]])
+            bits = (v @ bc.value) >= 0  # (n, n_planes)
+            weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+            out = {"id": pdf[id_col], vec_col: pdf[vec_col]}
+            for band in range(bands):
+                chunk = bits[:, band * rows_per_band:(band + 1) * rows_per_band]
+                out[f"b{band}"] = chunk.astype(np.int64) @ weights
+            yield pd.DataFrame(out)
+
+    sig_schema = (f"id long, {vec_col} array<float>, "
+                  + ", ".join(f"b{i} long" for i in range(bands)))
+    sig = df.select(F.col(id_col), F.col(vec_col)) \
+        .mapInPandas(signs, schema=sig_schema)
+    banded = sig.select(
+        "id", vec_col,
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
+        .alias("band", "bucket"))
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")),
+        ["band", "bucket"])
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col(f"a.{vec_col}").alias("va"),
+                F.col(f"b.{vec_col}").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = F.transform("va", lambda x: x.cast("double"))
+    vb = F.transform("vb", lambda x: x.cast("double"))
+    return cand.select(
+        "id_a", "id_b", cosine_similarity(va, vb).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              block_col: str | None = None) -> DataFrame:

@@ -84,3 +84,23 @@ def test_near_dup_pairs_blocked(vecs):
     pairs = embedding_near_dup_pairs(with_dup, threshold=0.999,
                                      block_col="label").collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 999)}
+
+
+def test_near_dup_lsh_unblocked(vecs):
+    from flink_skyline_qos_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    df, _ = vecs
+    dup = df.filter(F.col("vec_id") == 0).select(
+        F.lit(999).alias("vec_id").cast("long"), "embedding",
+        F.lit(0).alias("label"),
+    )
+    with_dup = df.unionByName(dup)
+    # an exact duplicate agrees on every hyperplane sign → always a
+    # bucket cohabitant → found with probability 1, no blocking column
+    pairs = embedding_near_dup_lsh(with_dup, threshold=0.999).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 999) in found
+    for r in pairs:
+        assert r.cos_sim >= 0.999
