@@ -258,14 +258,17 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     sh = (char_shingles(F.col(text_col), k) if unit == "char"
           else word_shingles(F.col(text_col), k))
     ex = _scale_out(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
-    sizes = ex.select("id", F.size("sh").alias("n_sh"))
     # join on a 64-bit gram hash, not the gram text: narrows the shuffle
     # (8 B vs whole strings) and makes the equi-join key fixed-width.
     # Collision risk merges two grams — P ≈ n²/2⁶⁵, immaterial next to
     # the shingle-level noise this estimator already carries.
-    # persist: the self-join would otherwise re-shingle the corpus twice.
+    # persist: the self-join + sizes would otherwise re-shingle the
+    # corpus three times.
     flat = ex.select("id", F.explode("sh").alias("g")) \
         .select("id", F.xxhash64("g").alias("g")).persist()
+    # |shingle set| per doc, off the persisted index (shingles are
+    # already distinct, so the count of exploded rows IS the set size)
+    sizes = flat.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         flat.alias("a")
         .join(flat.alias("b"),
