@@ -84,6 +84,10 @@ def top_k_dominating(df: DataFrame, cols: Sequence[str], k: int = 10, *,
     Theta-join + count.  At scale, run after :func:`grid_prefilter` or
     against a sampled candidate set — dominance counts are monotone under
     the prefilter (dropped points dominate nothing they didn't already).
+
+    Requires rows to be unique (give every point a key column): exact
+    duplicates collapse into one group and their counts merge.  Pass
+    `id_cols` with a unique key for a total output order.
     """
     from ..functions.dominance import dominates
 

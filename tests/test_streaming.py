@@ -213,3 +213,21 @@ def test_continuous_local_skylines(spark, tmp_path, points_2d):
     expect = {(r["d0"], r["d1"]) for r in
               skyline(points_2d, ["d0", "d1"]).collect()}
     assert got == expect
+
+
+def test_write_metrics_csv(spark, tmp_path):
+    """S4: reference collector column order, zeros for absent timings."""
+    from flink_skyline_qos_spark.plans.metrics import write_metrics_csv
+
+    m = spark.createDataFrame(
+        [("q1", 100, 7, 0.5)],
+        "query_id string, record_count long, skyline_size long, "
+        "optimality double")
+    path = str(tmp_path / "metrics_csv")
+    write_metrics_csv(m, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.columns == [
+        "query_id", "record_count", "skyline_size", "optimality",
+        "ingest_ms", "local_ms", "global_ms", "total_ms", "latency_ms"]
+    row = back.first()
+    assert row["query_id"] == "q1" and row["ingest_ms"] == "0"
