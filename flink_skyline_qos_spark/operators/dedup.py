@@ -205,6 +205,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
             minhash_signature(F.col("__h"), num_hashes, seed=seed)
             .alias("sig"),
         ).persist()
+    sig.count()  # pin the cache before the banded self-join (see ngram)
     band_cols = [
         F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1)
                                for r in range(rows_per_band)]).alias("bucket")
@@ -266,6 +267,11 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     # corpus three times.
     flat = ex.select("id", F.explode("sh").alias("g")) \
         .select("id", F.xxhash64("g").alias("g")).persist()
+    # eager materialization: a persisted frame referenced on BOTH sides
+    # of a self-join inside one action races its own cache population —
+    # both sides recompute whenever the write loses the race (observed
+    # 5× run-to-run swings).  One tiny count job pins the cache first.
+    flat.count()
     # |shingle set| per doc, off the persisted index (shingles are
     # already distinct, so the count of exploded rows IS the set size)
     sizes = flat.groupBy("id").agg(F.count("*").alias("n_sh"))
