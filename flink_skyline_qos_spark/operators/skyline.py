@@ -162,20 +162,28 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
 def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,
                       algo: str = "mr-dim", num_partitions: int = 8,
                       domain_max: float | None = None,
-                      partition_col: str | None = None) -> DataFrame:
+                      partition_col: str | None = None,
+                      prefilter: bool = False) -> DataFrame:
     """Reference-parity two-phase skyline with an explicit space partitioner.
 
     Mirrors shuffle #1 + local BNL + global merge
     (FlinkSkyline.java:138,407-444,546-568).  When `partition_col` is
     given, the MR-* partition id is kept in the output under that name
     (the reference's originPartition tag, FlinkSkyline.java:389-391) —
-    feeding the optimality metric.
+    feeding the optimality metric.  `prefilter` applies the
+    witness-guarded dominated-region prune (P4 — the filter the
+    reference ships disabled, FlinkSkyline.java:120-124) before the
+    shuffle, cutting shuffle #1 volume losslessly.
     """
     if domain_max is None:
         # The reference takes --domain from the CLI; infer from data when absent.
         domain_max = float(
             df.select(F.greatest(*[F.max(c) for c in cols])).first()[0] or 1.0
         )
+    if prefilter:
+        from .variants import grid_prefilter
+
+        df = grid_prefilter(df, cols, domain_max)
     pid_name = partition_col or "__pid"
     dims = [F.col(c) for c in cols]
     tagged = df.withColumn(

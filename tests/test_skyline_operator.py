@@ -118,3 +118,9 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "id long, d0 double, d1 double")
     assert skyline(df, ["d0", "d1"]).count() == 0
     assert skyline_two_phase(df, ["d0", "d1"], num_partitions=4).count() == 0
+
+
+def test_two_phase_with_prefilter(lineitem, oracle_2d):
+    got = skyline_two_phase(lineitem, DIMS2, algo="mr-grid",
+                            num_partitions=8, prefilter=True)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
