@@ -204,6 +204,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_skyline_events"] = _windowed
 
+    # sliding windows (1 h window, 30 min slide → every event in exactly
+    # two windows); salted grouped kernel exercises the skew path.
+    def _sliding(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events").select(
+            "event_id", "event_type", "value",
+            F.unix_millis("ts").cast("double").alias("unix_ms"),
+            F.unix_timestamp(F.window("ts", "1 hour", "30 minutes").start)
+            .alias("win_start"))
+        return grouped_skyline(ev, ["value", "unix_ms"], by="win_start",
+                               salt=4)
+
+    q["sliding_skyline_events"] = _sliding
+
     # --- prefix/trigger queries (ST2 barrier semantics) ---
     q["prefix_query_skyline_events"] = lambda s, d: run_prefix_queries(
         _events_ms(s, d), EVENT_TRIGGERS, ["value", "unix_ms"],
@@ -398,6 +411,15 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT event_id, event_type, value, "
         "cast(epoch_ms(ts) as double) AS unix_ms, "
         "cast(epoch(time_bucket(INTERVAL '1 hour', ts)) as bigint) "
+        "AS win_start FROM events)",
+        ["value", "unix_ms"], select="t.*", partition_by=["win_start"],
+    )
+
+    o["sliding_skyline_events"] = skyline_not_exists_sql(
+        "(SELECT event_id, event_type, value, "
+        "cast(epoch_ms(ts) as double) AS unix_ms, "
+        "cast(unnest([epoch(time_bucket(INTERVAL '30 minutes', ts)), "
+        "epoch(time_bucket(INTERVAL '30 minutes', ts)) - 1800]) as bigint) "
         "AS win_start FROM events)",
         ["value", "unix_ms"], select="t.*", partition_by=["win_start"],
     )

@@ -215,11 +215,27 @@ def skyline_anti_join(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
 
 def grouped_skyline(df: DataFrame, cols: Sequence[str],
-                    by: Sequence[str] | str) -> DataFrame:
+                    by: Sequence[str] | str, *,
+                    salt: int | None = None) -> DataFrame:
     """Skyline within each group of `by` (e.g. per event_type).
 
     A capability the reference lacks but its keyed-state design implies;
     one shuffle on the group key, exact per-group kernel.
+
+    `salt` handles skewed groups (one key holding most rows would
+    serialize on a single task): a first pass prunes within
+    (group, hash-salt) sub-groups — `salt`-way parallel per key — and a
+    second pass merges the survivors per group.  Exact for any salt
+    because skyline is decomposable under any partitioning (SURVEY
+    §1.4); the second shuffle carries only sub-skyline survivors.
     """
     by = [by] if isinstance(by, str) else list(by)
+    if salt and salt > 1:
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                             F.lit(salt)))
+        partial = salted.groupBy(*by, "__salt").applyInPandas(
+            _group_prune(cols), schema=salted.schema).drop("__salt")
+        return partial.groupBy(*by).applyInPandas(
+            _group_prune(cols), schema=df.schema)
     return df.groupBy(*by).applyInPandas(_group_prune(cols), schema=df.schema)

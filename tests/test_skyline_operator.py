@@ -124,3 +124,18 @@ def test_two_phase_with_prefilter(lineitem, oracle_2d):
     got = skyline_two_phase(lineitem, DIMS2, algo="mr-grid",
                             num_partitions=8, prefilter=True)
     assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+
+
+def test_grouped_skyline_salted_equals_plain(events):
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        "event_id", "event_type", "value",
+        F.unix_millis("ts").cast("double").alias("unix_ms"))
+    plain = {tuple(r) for r in
+             grouped_skyline(ev, ["value", "unix_ms"],
+                             by="event_type").collect()}
+    salted = {tuple(r) for r in
+              grouped_skyline(ev, ["value", "unix_ms"], by="event_type",
+                              salt=8).collect()}
+    assert salted == plain
