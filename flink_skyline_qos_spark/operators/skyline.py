@@ -46,6 +46,7 @@ __all__ = [
     "skyline_two_phase",
     "skyline_anti_join",
     "skyline_broadcast_verify",
+    "skyline_auto",
     "grouped_skyline",
 ]
 
@@ -135,13 +136,18 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     if pre_merge_partitions and pre_merge_partitions > 1:
         pruned = pruned.repartition(pre_merge_partitions) \
             .mapInPandas(_prune_batches(cols), schema=df.schema)
-    pruned = pruned.persist()
+    return _verify_against_broadcast(pruned.persist(), cols)
+
+
+def _verify_against_broadcast(pruned: DataFrame,
+                              cols: Sequence[str]) -> DataFrame:
+    """Broadcast `pruned`'s dim values; drop its dominated rows in place."""
     cand_vals = np.asarray(
         [list(r) for r in pruned.select(*cols).collect()], dtype=np.float64
     ).reshape(-1, len(cols))
     sums = cand_vals.sum(axis=1)
     order = np.argsort(sums, kind="stable")
-    ref = df.sparkSession.sparkContext.broadcast(
+    ref = pruned.sparkSession.sparkContext.broadcast(
         (cand_vals[order], sums[order]))
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,7 +162,29 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
             if not out.empty:
                 yield out
 
-    return pruned.mapInPandas(verify, schema=df.schema)
+    return pruned.mapInPandas(verify, schema=pruned.schema)
+
+
+def skyline_auto(df: DataFrame, cols: Sequence[str], *,
+                 broadcast_threshold: int = 100_000) -> DataFrame:
+    """Adaptive skyline: measure the local-pruned survivor count, then
+    pick the physical strategy it calls for.
+
+    Small survivor sets (the common 2-D/3-D case) finish with the tiny
+    single-task merge; huge ones (high-dim anti-correlated) switch to
+    the all-cores broadcast verification.  The decision costs one
+    count over the already-persisted pruned frame — the same
+    measure-then-replan move AQE makes at shuffle boundaries, applied
+    to the one operator Catalyst cannot see into.
+    """
+    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
+    n = pruned.count()
+    if n > broadcast_threshold:
+        return _verify_against_broadcast(pruned, cols)
+    return (
+        pruned.repartition(1)
+        .mapInPandas(_prune_batches(cols), schema=df.schema)
+    )
 
 
 def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,

@@ -139,3 +139,14 @@ def test_grouped_skyline_salted_equals_plain(events):
               grouped_skyline(ev, ["value", "unix_ms"], by="event_type",
                               salt=8).collect()}
     assert salted == plain
+
+
+def test_skyline_auto_both_branches(lineitem, oracle_2d):
+    from flink_skyline_qos_spark.operators.skyline import skyline_auto
+
+    # tiny survivor set → merge branch
+    got = skyline_auto(lineitem, DIMS2)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+    # threshold 0 → broadcast-verify branch, same answer
+    got_b = skyline_auto(lineitem, DIMS2, broadcast_threshold=0)
+    assert spark_rows(got_b, all_cols(lineitem)) == oracle_2d
