@@ -223,11 +223,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         id_col="event_id",
     )
 
-    # --- result metrics (A4 optimality + A7 record assembly) ---
-    q["skyline_metrics_mr_dim"] = lambda s, d: skyline_query_metrics(
-        _li(s, d), LI_DIMS2, query_id="q1", algo="mr-dim",
-        num_partitions=NUM_PARTS, domain_max=LI_DOMAIN,
-    )
+    # --- result metrics (A4 optimality + A7 record assembly), one per
+    # partitioner — optimality is partitioner-dependent (PDF §5.4) ---
+    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+        q[f"skyline_metrics_{algo.replace('-', '_')}"] = (
+            lambda s, d, a=algo: skyline_query_metrics(
+                _li(s, d), LI_DIMS2, query_id="q1", algo=a,
+                num_partitions=NUM_PARTS, domain_max=LI_DOMAIN,
+            )
+        )
 
     # --- dedup suite over documents ---
     q["exact_dedup_documents"] = lambda s, d: exact_dedup(
@@ -428,11 +432,13 @@ def oracle_sql() -> dict[str, str]:
         _EV_SQL, EVENT_TRIGGERS, ["value", "unix_ms"], id_col="event_id"
     )
 
-    o["skyline_metrics_mr_dim"] = metrics_oracle_sql(
-        li, LI_DIMS2, query_id="q1",
-        pid_sql=mr_dim_sql("t.l_extendedprice", NUM_PARTS, LI_DOMAIN),
-        num_partitions=NUM_PARTS,
-    )
+    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+        o[f"skyline_metrics_{algo.replace('-', '_')}"] = metrics_oracle_sql(
+            li, LI_DIMS2, query_id="q1",
+            pid_sql=partitioner_sql(
+                algo, [f"t.{c}" for c in LI_DIMS2], NUM_PARTS, LI_DOMAIN),
+            num_partitions=NUM_PARTS,
+        )
 
     o["exact_dedup_documents"] = (
         "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
