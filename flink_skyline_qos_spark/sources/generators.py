@@ -120,25 +120,36 @@ def _clamp_int_sql(expr: str, d_min: float, d_max: float) -> str:
 
 
 def _dist_exprs(dims: int, dist: str, d_min: float, d_max: float):
-    """Shared recipe → list of (spark Column, duckdb SQL) per dimension."""
+    """Shared recipe → list of (column-thunk, duckdb SQL) per dimension.
+
+    The Spark side is a zero-arg thunk, NOT an eager Column: building a
+    Column requires an active SparkContext, and `generate_points_sql`
+    must stay callable from a Spark-less process (the driver may build
+    the DuckDB oracle strings before — or without — starting Spark).
+    """
     rng = d_max - d_min
     if dist == "uniform":
         return [
-            (_clamp_int(_u01(f"u{i}") * (rng + 1) + F.lit(d_min), d_min, d_max),
+            ((lambda i=i: _clamp_int(
+                _u01(f"u{i}") * (rng + 1) + F.lit(d_min), d_min, d_max)),
              _clamp_int_sql(f"{_u01_sql(f'u{i}')} * {rng + 1!r} + {d_min!r}",
                             d_min, d_max))
             for i in range(dims)
         ]
     if dist == "correlated":
         rho = 0.9
-        base = _u01("base") * rng + F.lit(d_min)
         base_sql = f"({_u01_sql('base')} * {rng!r} + {d_min!r})"
+
+        def _corr_col(i):
+            base = _u01("base") * rng + F.lit(d_min)
+            noise = (_u01(f"u{i}") * 2 - 1) * ((1 - rho) * rng)
+            return _clamp_int(base + noise, d_min, d_max)
+
         out = []
         for i in range(dims):
-            noise = (_u01(f"u{i}") * 2 - 1) * ((1 - rho) * rng)
             noise_sql = (f"(({_u01_sql(f'u{i}')} * 2 - 1) * "
                          f"{(1 - rho) * rng!r})")
-            out.append((_clamp_int(base + noise, d_min, d_max),
+            out.append(((lambda i=i: _corr_col(i)),
                         _clamp_int_sql(f"{base_sql} + {noise_sql}",
                                        d_min, d_max)))
         return out
@@ -146,15 +157,19 @@ def _dist_exprs(dims: int, dist: str, d_min: float, d_max: float):
         eps = _epsilon(dims)
         mean = (d_min + d_max) / 2.0 * dims
         slack = eps * rng * dims
-        total = reduce(add, [_u01(f"u{i}") for i in range(dims)])
         total_sql = " + ".join(_u01_sql(f"u{i}") for i in range(dims))
-        target = _u01("t") * (2 * slack) + F.lit(mean - slack)
         target_sql = f"({_u01_sql('t')} * {2 * slack!r} + {mean - slack!r})"
-        scale = F.when(total != 0, target / total).otherwise(F.lit(1.0))
         scale_sql = (f"(CASE WHEN ({total_sql}) <> 0 THEN {target_sql} / "
                      f"({total_sql}) ELSE 1.0 END)")
+
+        def _anti_col(i):
+            total = reduce(add, [_u01(f"u{j}") for j in range(dims)])
+            target = _u01("t") * (2 * slack) + F.lit(mean - slack)
+            scale = F.when(total != 0, target / total).otherwise(F.lit(1.0))
+            return _clamp_int(_u01(f"u{i}") * scale, d_min, d_max)
+
         return [
-            (_clamp_int(_u01(f"u{i}") * scale, d_min, d_max),
+            ((lambda i=i: _anti_col(i)),
              _clamp_int_sql(f"{_u01_sql(f'u{i}')} * {scale_sql}",
                             d_min, d_max))
             for i in range(dims)
@@ -170,13 +185,15 @@ def generate_points_hash(spark: SparkSession, n: int, dims: int = 2, *,
     function of `id`, reproducible across engines and partitionings."""
     df = spark.range(0, n, 1, num_partitions)
     exprs = _dist_exprs(dims, dist, d_min, d_max)
-    return df.select("id", *[c.alias(f"d{i}") for i, (c, _) in enumerate(exprs)])
+    return df.select(
+        "id", *[fn().alias(f"d{i}") for i, (fn, _) in enumerate(exprs)])
 
 
 def generate_points_sql(n: int, dims: int = 2, *, dist: str = "uniform",
                         d_min: float = 0.0, d_max: float = 10000.0) -> str:
     """DuckDB oracle SQL producing the exact rows of
-    :func:`generate_points_hash`."""
+    :func:`generate_points_hash`.  Spark-free: safe to call before any
+    SparkSession exists."""
     exprs = _dist_exprs(dims, dist, d_min, d_max)
     cols = ", ".join(f"{sql} AS d{i}" for i, (_, sql) in enumerate(exprs))
     return (f"SELECT id, {cols} FROM "
