@@ -275,9 +275,19 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     # |shingle set| per doc, off the persisted index (shingles are
     # already distinct, so the count of exploded rows IS the set size)
     sizes = flat.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # grams present in a single document can never produce a pair: drop
+    # them from BOTH join sides (sizes above still count them, so |A∪B|
+    # stays exact).  On web-scale corpora the df=1 tail is the bulk of
+    # the index, so this semi-join prunes most of the self-join shuffle.
+    # Regular (not broadcast) semi-join: `shared` scales with the corpus,
+    # and it co-partitions on `g` with the self-join that follows; AQE
+    # still downgrades to broadcast when it is actually small.
+    shared = (flat.groupBy("g").agg(F.count("*").alias("__df"))
+              .filter(F.col("__df") > 1).drop("__df"))
+    joinable = flat.join(shared, "g", "left_semi")
     inter = (
-        flat.alias("a")
-        .join(flat.alias("b"),
+        joinable.alias("a")
+        .join(joinable.alias("b"),
               (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
