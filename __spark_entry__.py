@@ -205,15 +205,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["windowed_skyline_events"] = _windowed
 
     # sliding windows (1 h window, 30 min slide → every event in exactly
-    # two windows); salted grouped kernel exercises the skew path.
+    # two windows).  2-D ⇒ the all-JVM window plan (skew-immune: each
+    # group is collapsed to its distinct-d0 rows before the sorted
+    # scan); the salted pandas kernel stays pinned in
+    # tests/test_skyline_operator.py.
     def _sliding(s: SparkSession, d: str) -> DataFrame:
         ev = load_table(s, d, "events").select(
             "event_id", "event_type", "value",
             F.unix_millis("ts").cast("double").alias("unix_ms"),
             F.unix_timestamp(F.window("ts", "1 hour", "30 minutes").start)
             .alias("win_start"))
-        return grouped_skyline(ev, ["value", "unix_ms"], by="win_start",
-                               salt=4)
+        return grouped_skyline(ev, ["value", "unix_ms"], by="win_start")
 
     q["sliding_skyline_events"] = _sliding
 

@@ -242,22 +242,69 @@ def skyline_anti_join(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return t.join(u, cond, "left_anti")
 
 
+def _grouped_skyline_2d_window(df: DataFrame, cols: Sequence[str],
+                               by: Sequence[str]) -> DataFrame:
+    """2-D grouped skyline as a pure window-function plan — no Python.
+
+    p = (d0, d1) is dominated within its group iff
+      (a) some row with d0' <  p.d0 has d1' ≤ p.d1, or
+      (b) some row with d0' == p.d0 has d1' <  p.d1.
+    Reduce to one row per distinct (group, d0) carrying min(d1) — the
+    partial agg is map-side combined — then a per-group running min over
+    the *preceding* distinct d0 values gives (a) and the per-d0 min gives
+    (b).  Ties (exact duplicates) survive, matching the kernel semantics
+    (SURVEY §1.4).  Everything stays in whole-stage codegen; the only
+    per-group serial work is the sorted scan over distinct d0 values,
+    already collapsed by the aggregation — far smaller than the group.
+    """
+    from pyspark.sql.window import Window
+
+    d0, d1 = cols
+    per = df.groupBy(*by, d0).agg(F.min(d1).alias("__min1"))
+    w = (Window.partitionBy(*by).orderBy(d0)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    per = per.withColumn("__prev", F.min("__min1").over(w))
+    dominated = (
+        (F.col("__prev").isNotNull() & (F.col("__prev") <= F.col(d1)))
+        | (F.col(d1) > F.col("__min1"))
+    )
+    return (df.join(per, [*by, d0])
+            .filter(~dominated)
+            .drop("__min1", "__prev")
+            .select(*df.columns))
+
+
 def grouped_skyline(df: DataFrame, cols: Sequence[str],
                     by: Sequence[str] | str, *,
-                    salt: int | None = None) -> DataFrame:
+                    salt: int | None = None,
+                    strategy: str = "auto") -> DataFrame:
     """Skyline within each group of `by` (e.g. per event_type).
 
     A capability the reference lacks but its keyed-state design implies;
     one shuffle on the group key, exact per-group kernel.
 
-    `salt` handles skewed groups (one key holding most rows would
-    serialize on a single task): a first pass prunes within
-    (group, hash-salt) sub-groups — `salt`-way parallel per key — and a
-    second pass merges the survivors per group.  Exact for any salt
-    because skyline is decomposable under any partitioning (SURVEY
-    §1.4); the second shuffle carries only sub-skyline survivors.
+    `strategy`:
+    * ``"auto"`` — 2-D uses the all-JVM window plan (below); ≥3-D the
+      pandas kernel.
+    * ``"window"`` (2-D only) — pure window-function plan, zero Python:
+      the group is first collapsed to one row per distinct d0 (partial
+      agg, map-side combined), so even a heavily skewed group costs its
+      distinct-d0 count, not its row count, on the single window task.
+    * ``"kernel"`` — `applyInPandas` NumPy kernel per group; `salt`
+      handles skewed groups (one key holding most rows would serialize
+      on a single task): a first pass prunes within (group, hash-salt)
+      sub-groups — `salt`-way parallel per key — and a second pass
+      merges the survivors per group.  Exact for any salt because
+      skyline is decomposable under any partitioning (SURVEY §1.4); the
+      second shuffle carries only sub-skyline survivors.
     """
     by = [by] if isinstance(by, str) else list(by)
+    if strategy == "auto":
+        strategy = "window" if len(cols) == 2 else "kernel"
+    if strategy == "window":
+        if len(cols) != 2:
+            raise ValueError("window strategy requires exactly 2 dims")
+        return _grouped_skyline_2d_window(df, cols, by)
     if salt and salt > 1:
         salted = df.withColumn(
             "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]),

@@ -126,19 +126,40 @@ def test_two_phase_with_prefilter(lineitem, oracle_2d):
     assert spark_rows(got, all_cols(lineitem)) == oracle_2d
 
 
-def test_grouped_skyline_salted_equals_plain(events):
+def test_grouped_skyline_strategies_agree(events):
+    """window plan ≡ pandas kernel ≡ salted pandas kernel (2-D)."""
     from pyspark.sql import functions as F
 
     ev = events.select(
         "event_id", "event_type", "value",
         F.unix_millis("ts").cast("double").alias("unix_ms"))
-    plain = {tuple(r) for r in
-             grouped_skyline(ev, ["value", "unix_ms"],
-                             by="event_type").collect()}
+    window = {tuple(r) for r in
+              grouped_skyline(ev, ["value", "unix_ms"], by="event_type",
+                              strategy="window").collect()}
+    kernel = {tuple(r) for r in
+              grouped_skyline(ev, ["value", "unix_ms"], by="event_type",
+                              strategy="kernel").collect()}
     salted = {tuple(r) for r in
               grouped_skyline(ev, ["value", "unix_ms"], by="event_type",
-                              salt=8).collect()}
-    assert salted == plain
+                              strategy="kernel", salt=8).collect()}
+    assert window == kernel == salted
+    assert window  # non-vacuous
+
+
+def test_grouped_skyline_window_duplicates_and_ties(spark):
+    """Exact duplicates survive; same-d0 strictly-smaller-d1 dominates."""
+    df = spark.createDataFrame(
+        [
+            ("g", 1, 1.0, 5.0), ("g", 2, 1.0, 5.0),   # duplicate minima
+            ("g", 3, 1.0, 7.0),                        # same d0, worse d1
+            ("g", 4, 2.0, 5.0),                        # dominated via d0
+            ("g", 5, 2.0, 4.0),                        # incomparable
+            ("h", 6, 9.0, 9.0),                        # other group
+        ],
+        "grp string, id long, d0 double, d1 double",
+    )
+    got = grouped_skyline(df, ["d0", "d1"], by="grp", strategy="window")
+    assert {r.id for r in got.collect()} == {1, 2, 5, 6}
 
 
 def test_skyline_auto_both_branches(lineitem, oracle_2d):
