@@ -58,6 +58,12 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     top_k_dominating,
     top_k_dominating_sql,
 )
+from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
+    deterministic_sample,
+    deterministic_sample_sql,
+    hash_split,
+    hash_split_sql,
+)
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_ivf,
@@ -254,6 +260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_stats_documents"] = lambda s, d: text_stats(
         load_table(s, d, "documents")
     )
+
+    # --- deterministic sampling / splitting (content-stable md5
+    # buckets; reproducible across engines/reruns/repartitioning) ---
+    q["sample_documents"] = lambda s, d: deterministic_sample(
+        load_table(s, d, "documents"), 0.1, ["doc_id"])
+    q["split_documents"] = lambda s, d: hash_split(
+        load_table(s, d, "documents").select("doc_id"),
+        {"train": 0.9, "val": 0.05, "test": 0.05}, ["doc_id"])
 
     # --- streaming pipeline (ST1-ST7): foreachBatch ingest, record-ID
     # barrier, incremental local-skyline state, trigger-released answer.
@@ -468,6 +482,12 @@ WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.05
 """.strip()
 
     o["text_stats_documents"] = text_stats_sql("documents")
+
+    o["sample_documents"] = deterministic_sample_sql(
+        "documents", 0.1, ["doc_id"])
+    o["split_documents"] = hash_split_sql(
+        "(SELECT doc_id FROM documents)",
+        {"train": 0.9, "val": 0.05, "test": 0.05}, ["doc_id"])
 
     _ann_oracle = """
 WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,101 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+A 100 TB corpus is sampled/split by *content-stable hashing*, never by
+`rand()`: the decision for a row is a pure function of its key, so it
+is reproducible across runs, engines, executors, and re-partitioning,
+and rows never migrate between train/val/test when the pipeline is
+re-run on a grown corpus.  (The reference has no sampling surface; this
+extends the engine for the training-data use cases the brief mandates.)
+
+Everything is a JVM-side Column expression — md5 of the key, first 32
+bits as an integer bucket in [0, 2³²) — with a bit-identical SQL twin
+(`conv(substr(md5(..)..),16,10)` ≡ DuckDB `('0x'||substr(md5(..)..))::BIGINT`),
+so both operators are exactly oracle-checkable.  Filters sit directly
+on the scan (predicate pushdown of the md5 expr itself is not possible,
+but column pruning is, and the filter is evaluated inside whole-stage
+codegen with zero shuffles).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "deterministic_sample_sql",
+    "hash_split",
+    "hash_split_sql",
+]
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key_cols: Sequence[str], seed: int = 42) -> Column:
+    """Uniform bucket in [0, 2³²) from md5 of (seed, *key columns)."""
+    parts = [F.lit(str(seed))] + [F.col(c).cast("string") for c in key_cols]
+    hex8 = F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long")
+
+
+def _bucket_sql(key_cols: Sequence[str], seed: int) -> str:
+    parts = ", ".join([f"'{seed}'"] + [f"CAST({c} AS VARCHAR)" for c in key_cols])
+    return f"('0x' || substr(md5(concat_ws('|', {parts})), 1, 8))::BIGINT"
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_cols: Sequence[str], *,
+                         seed: int = 42) -> DataFrame:
+    """Content-stable `fraction` sample: row kept iff its hash bucket
+    falls below `fraction · 2³²`.  Exact expectation, zero variance
+    across reruns, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_bucket(key_cols, seed) < int(fraction * _BUCKETS))
+
+
+def deterministic_sample_sql(table_sql: str, fraction: float,
+                             key_cols: Sequence[str], *,
+                             seed: int = 42) -> str:
+    """DuckDB twin of :func:`deterministic_sample` (bit-identical rows)."""
+    return (f"SELECT * FROM {table_sql} "
+            f"WHERE {_bucket_sql(key_cols, seed)} < {int(fraction * _BUCKETS)}")
+
+
+def _thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
+    total = sum(weights.values())
+    acc, out = 0.0, []
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, int(acc * _BUCKETS)))
+    # guard against float round-down leaving a sliver unassigned
+    out[-1] = (out[-1][0], _BUCKETS)
+    return out
+
+
+def hash_split(df: DataFrame, weights: Mapping[str, float],
+               key_cols: Sequence[str], *, seed: int = 42,
+               split_col: str = "split") -> DataFrame:
+    """Assign every row a split label (e.g. train/val/test) by hash
+    bucket against cumulative weight thresholds.  Disjoint, exhaustive,
+    content-stable: a document keeps its split across reruns and corpus
+    growth, which is what prevents train/test leakage in practice."""
+    b = hash_bucket(key_cols, seed)
+    expr = None
+    for name, hi in _thresholds(weights):
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(table_sql: str, weights: Mapping[str, float],
+                   key_cols: Sequence[str], *, seed: int = 42,
+                   split_col: str = "split") -> str:
+    """DuckDB twin of :func:`hash_split`."""
+    b = _bucket_sql(key_cols, seed)
+    whens = " ".join(f"WHEN {b} < {hi} THEN '{name}'"
+                     for name, hi in _thresholds(weights))
+    return f"SELECT *, CASE {whens} END AS {split_col} FROM {table_sql}"
