@@ -83,21 +83,31 @@ def main() -> None:
                                      num_partitions=2 * cpus,
                                      domain_max=10000.0)),
         (3, "anticorr_1m_3d",
-         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"])),
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"],
+                                            pre_merge_partitions=cpus)),
         (4, "anticorr_1m_4d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
                                             pre_merge_partitions=cpus)),
     ):
-        pts = generate_points(spark, 1_000_000, dims,
-                              dist="anti_correlated",
-                              num_partitions=2 * cpus).persist()
-        pts.count()  # materialize generation outside the timed skyline
-        t0 = time.perf_counter()
-        n = run(pts).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: skyline={n} in {timings[name]}s", file=sys.stderr)
-        pts.unpersist()
-        spark.catalog.clearCache()
+        base = generate_points(spark, 1_000_000, dims,
+                               dist="anti_correlated",
+                               num_partitions=2 * cpus)
+        # best of two, like the headline queries: single runs on this host
+        # swing 2-4× under contention.  clearCache between runs drops both
+        # the input persist and any operator-internal persists (Spark's
+        # cache manager would otherwise serve run 2 from run 1's plan
+        # cache, making it a no-op), so each run re-pins its own input.
+        runs = []
+        for _ in range(2):
+            pts = base.persist()
+            pts.count()  # materialize generation outside the timed skyline
+            t0 = time.perf_counter()
+            n = run(pts).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        timings[name] = min(runs)
+        print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs})",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

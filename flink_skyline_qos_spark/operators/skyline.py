@@ -111,17 +111,17 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
 
 
 def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
-                             pre_merge_partitions: int | None = None
-                             ) -> DataFrame:
+                             pre_merge_partitions: int | None = None,
+                             verify_chunks: int | None = None) -> DataFrame:
     """Skyline for the huge-survivor regime (high-dim anti-correlated).
 
     When local skylines barely prune (4-D anti-correlated: ~75 % of
     points survive — PDF §5.4), the single final-merge task pays
-    O(|C|²) alone and dominates wall time.  Here the candidate VALUES
-    (dims only, ~tens of MB for millions of rows) are collected and
-    broadcast, and each partition verifies its own candidates against
-    the full set in parallel — same O(|C|²·d) comparisons, spread over
-    every core, with no shuffle of the candidates at all.
+    O(|C|²) alone and dominates wall time.  Here every candidate is
+    verified against the full candidate set with the work spread over
+    all cores — "broadcast" in the logical sense (each verify task sees
+    all candidate dim values); physically a driver-free
+    scatter-replicate exchange (:func:`_verify_scatter`).
 
     Exact: skyline(S) = {p ∈ C : ¬∃q ∈ C, q dom p} where C ⊇ skyline(S)
     is any superset produced by local pruning.
@@ -136,33 +136,59 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     if pre_merge_partitions and pre_merge_partitions > 1:
         pruned = pruned.repartition(pre_merge_partitions) \
             .mapInPandas(_prune_batches(cols), schema=df.schema)
-    return _verify_against_broadcast(pruned.persist(), cols)
+    return _verify_scatter(pruned, cols, chunks=verify_chunks)
 
 
-def _verify_against_broadcast(pruned: DataFrame,
-                              cols: Sequence[str]) -> DataFrame:
-    """Broadcast `pruned`'s dim values; drop its dominated rows in place."""
-    cand_vals = np.asarray(
-        [list(r) for r in pruned.select(*cols).collect()], dtype=np.float64
-    ).reshape(-1, len(cols))
-    sums = cand_vals.sum(axis=1)
-    order = np.argsort(sums, kind="stable")
-    ref = pruned.sparkSession.sparkContext.broadcast(
-        (cand_vals[order], sums[order]))
+def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
+                    chunks: int | None = None) -> DataFrame:
+    """Drop `pruned`'s dominated rows without any driver-side data path.
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    The naive parallel verify collects all candidate values to the
+    driver and `sparkContext.broadcast`s them — fine at tens of MB, a
+    driver OOM + re-serialization bottleneck when 4-D anti-correlated
+    survivor sets reach tens of millions of rows at 100 TB scale.  Here
+    the same all-pairs check is a fragment-replicate exchange instead:
+
+    * the full rows are hash-split into `chunks` verify groups, and
+    * the candidates' DIM VALUES ONLY are replicated into every group
+      via `explode` (one shuffle of chunks × |C| narrow rows),
+
+    then one `applyInPandas` per group verifies |C|/chunks rows against
+    the complete candidate set with the vectorized sorted-sum kernel.
+    Total comparisons are identical to the broadcast form; no node —
+    least of all the driver — ever holds more than |C|·d values.
+    """
+    spark = pruned.sparkSession
+    k = max(int(chunks or spark.sparkContext.defaultParallelism), 1)
+    # Both the verify side and the replicated candidate side read `pruned`;
+    # pin it so the upstream local prune is not computed twice.
+    pruned = pruned.persist()
+    dims = [F.col(c) for c in cols]
+    b_side = (pruned
+              .withColumn("__ck", F.pmod(F.xxhash64(*dims), F.lit(k)))
+              .withColumn("__role", F.lit(1)))
+    a_side = (pruned.select(*dims)
+              .withColumn("__ck", F.explode(
+                  F.array(*[F.lit(i) for i in range(k)])))
+              .withColumn("__role", F.lit(0)))
+    unioned = b_side.unionByName(a_side, allowMissingColumns=True)
+    out_cols = pruned.columns
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         from .kernels import _dominated_sorted
 
-        a, a_sums = ref.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            b = _values(pdf, cols)
-            out = pdf[~_dominated_sorted(a, a_sums, b, b.sum(axis=1))]
-            if not out.empty:
-                yield out
+        a_pdf = pdf[pdf["__role"] == 0]
+        b_pdf = pdf[pdf["__role"] == 1]
+        if b_pdf.empty:
+            return b_pdf[out_cols]
+        a = _values(a_pdf, cols)
+        a_sums = a.sum(axis=1)
+        order = np.argsort(a_sums, kind="stable")
+        b = _values(b_pdf, cols)
+        keep = ~_dominated_sorted(a[order], a_sums[order], b, b.sum(axis=1))
+        return b_pdf[keep][out_cols]
 
-    return pruned.mapInPandas(verify, schema=pruned.schema)
+    return unioned.groupBy("__ck").applyInPandas(verify, schema=pruned.schema)
 
 
 def skyline_auto(df: DataFrame, cols: Sequence[str], *,
@@ -180,7 +206,13 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
     n = pruned.count()
     if n > broadcast_threshold:
-        return _verify_against_broadcast(pruned, cols)
+        # Huge-survivor regime: one shuffled re-prune first (cross-partition
+        # dominated candidates die, and verify cost falls with |C|²), then
+        # the driver-free scatter verify.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        re_pruned = (pruned.repartition(par)
+                     .mapInPandas(_prune_batches(cols), schema=df.schema))
+        return _verify_scatter(re_pruned, cols)
     return (
         pruned.repartition(1)
         .mapInPandas(_prune_batches(cols), schema=df.schema)
