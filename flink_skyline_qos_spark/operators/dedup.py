@@ -251,61 +251,104 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
                         threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above `threshold`.
 
-    Inverted-index style: explode distinct shingles, self-join on
-    shingle, count intersections, derive |A∪B| = |A|+|B|−|A∩B|.  This is
-    the exact verifier for LSH candidates; on its own it is quadratic in
-    per-shingle document frequency — use after blocking at scale.
+    Set-similarity join with exactness-preserving pruning (the
+    MapReduce formulation of Vernica et al. 2010 / PPJoin's prefix
+    principle), instead of the naive inverted-index self-join whose
+    shuffle is O(Σ_g df(g)²):
+
+    * **df=1 drop** — a gram in a single document can never witness a
+      pair; both candidate generation and verification run on the
+      df≥2 sub-sets (any common gram has df≥2, so |A∩B| is unchanged).
+    * **Prefix filter** — grams are globally ordered by (df, g)
+      ascending (rarest first).  If J(A,B) ≥ τ then |A∩B| ≥
+      ⌈τ·max(|A|,|B|)⌉ ≥ α_X := ⌈τ·|X|⌉, and the first common gram in
+      the global order sits within the first |X'| − α_X + 1 grams of
+      BOTH reduced sets (it is followed by ≥ |A∩B|−1 common grams).
+      Only those prefixes are exploded into the index — each doc's
+      α−1 most frequent grams, precisely the df² head that makes the
+      naive join quadratic, are never indexed.
+    * **Length filter** — J ≥ τ ⇒ min(|A|,|B|) ≥ τ·max(|A|,|B|),
+      applied inside the candidate join.
+
+    Candidates are then verified exactly: per-doc sorted gram-hash
+    arrays are joined back and |A∩B| computed with `array_intersect`
+    (JVM, O(|A|+|B|) per pair) — no quadratic groupBy-count pass.
+
+    Grams are compared via `xxhash64`: narrows shuffles to fixed 8 B
+    keys; collision risk P ≈ n²/2⁶⁵ is immaterial next to shingle-level
+    noise.  At 100 TB every stage is a hash shuffle on `g` or `id`
+    with no driver-side state.
     """
+    tau = float(threshold)
     sh = (char_shingles(F.col(text_col), k) if unit == "char"
           else word_shingles(F.col(text_col), k))
     ex = _scale_out(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
-    # join on a 64-bit gram hash, not the gram text: narrows the shuffle
-    # (8 B vs whole strings) and makes the equi-join key fixed-width.
-    # Collision risk merges two grams — P ≈ n²/2⁶⁵, immaterial next to
-    # the shingle-level noise this estimator already carries.
-    # persist: the self-join + sizes would otherwise re-shingle the
-    # corpus three times.
+    # persist: sizes, gram-df, and the doc-array build all read this
+    # index.  Eager count first: a persisted frame referenced on both
+    # sides of one action races its own cache population (observed 5×
+    # run-to-run swings when the write loses the race).
     flat = ex.select("id", F.explode("sh").alias("g")) \
         .select("id", F.xxhash64("g").alias("g")).persist()
-    # eager materialization: a persisted frame referenced on BOTH sides
-    # of a self-join inside one action races its own cache population —
-    # both sides recompute whenever the write loses the race (observed
-    # 5× run-to-run swings).  One tiny count job pins the cache first.
     flat.count()
-    # |shingle set| per doc, off the persisted index (shingles are
-    # already distinct, so the count of exploded rows IS the set size)
+    # |shingle set| per doc (shingles are already distinct, so the
+    # exploded-row count IS the set size) — taken BEFORE the df=1 drop
+    # so |A∪B| = n_a + n_b − |A∩B| stays exact.
     sizes = flat.groupBy("id").agg(F.count("*").alias("n_sh"))
-    # grams present in a single document can never produce a pair: drop
-    # them from BOTH join sides (sizes above still count them, so |A∪B|
-    # stays exact).  On web-scale corpora the df=1 tail is the bulk of
-    # the index, so this semi-join prunes most of the self-join shuffle.
-    # Regular (not broadcast) semi-join: `shared` scales with the corpus,
-    # and it co-partitions on `g` with the self-join that follows; AQE
-    # still downgrades to broadcast when it is actually small.
-    shared = (flat.groupBy("g").agg(F.count("*").alias("__df"))
-              .filter(F.col("__df") > 1).drop("__df"))
-    joinable = flat.join(shared, "g", "left_semi")
-    inter = (
-        joinable.alias("a")
-        .join(joinable.alias("b"),
-              (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+    # Regular (not broadcast) join with the gram-frequency table: it
+    # scales with the corpus and co-partitions on `g`; AQE downgrades
+    # to broadcast when it is actually small.
+    gram_df = (flat.groupBy("g").agg(F.count("*").alias("gdf"))
+               .filter(F.col("gdf") > 1))
+    # per-doc gram arrays in global (df, g) order; persisted — read by
+    # the prefix index and by both sides of the verification join.
+    doc = (
+        flat.join(gram_df, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("gdf", "g"))).alias("og"))
+        .join(sizes, "id")
+        .select("id", "n_sh",
+                F.transform("og", lambda x: x["g"]).alias("grams"))
+    ).persist()
+    doc.count()
+    # α−1e-9: τ·n in float can land a hair above the exact product and
+    # ceil() one too high → a too-short prefix would MISS pairs.  Erring
+    # low only lengthens the prefix (more candidates, still exact).
+    alpha = F.greatest(F.ceil(F.col("n_sh") * tau - 1e-9), F.lit(1))
+    plen = F.size("grams") - alpha + 1
+    prefix = (
+        doc.withColumn("__plen", plen)
+        # plen ≤ 0 ⇔ |A'| < α: even all-common falls short of τ — no
+        # qualifying pair can involve this doc, skip it entirely.
+        .filter(F.col("__plen") > 0)
+        .select("id", "n_sh",
+                F.explode(F.slice("grams", 1, F.col("__plen"))).alias("g"))
     )
-    size_a = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
-    size_b = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
-    out = (
-        inter.join(F.broadcast(size_a), "id_a")
-        .join(F.broadcast(size_b), "id_b")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                  >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * tau
+                  - F.lit(1e-9)))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    doc_a = doc.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"),
+                       F.col("grams").alias("grams_a"))
+    doc_b = doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"),
+                       F.col("grams").alias("grams_b"))
+    n_inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        cand.join(doc_a, "id_a").join(doc_b, "id_b")
+        .withColumn("n_inter", n_inter)
         .select(
             "id_a", "id_b",
             (F.col("n_inter")
              / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
              ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= tau)
     )
-    return out
 
 
 def _simhash_fold(num_bits: int = 64):
