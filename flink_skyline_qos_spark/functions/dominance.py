@@ -71,12 +71,19 @@ def skyline_not_exists_sql(table: str, cols: Sequence[str], extra_pred: str = ""
     Pareto dominance is transitive) ⇒ p ∉ C — so every dominator of a
     C-member is itself in C.  This turns the O(n²) nested loop into
     O(n·|pivots|) + O(|C|²); on real (non-adversarial) data |C| ≪ n.
+
+    `extra_pred` forces `prefilter` off: a dominator-restricting
+    predicate breaks the transitivity argument above (the pivot prune
+    would drop rows whose only dominators are NON-qualifying pivots),
+    so the prune is only sound when every dominator qualifies.
     """
     pred = dominance_sql(cols, "u", "t")
     grp = ""
     if partition_by:
         grp = " AND ".join(f"u.{g} = t.{g}" for g in partition_by) + " AND "
     extra = f"{extra_pred} AND " if extra_pred else ""
+    if extra_pred:
+        prefilter = False
     if not prefilter:
         return (
             f"SELECT {select} FROM {table} t WHERE NOT EXISTS "

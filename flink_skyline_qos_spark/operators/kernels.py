@@ -140,7 +140,15 @@ def skyline_mask(values: np.ndarray) -> np.ndarray:
     if values.shape[1] == 2:
         return _skyline_mask_2d(values)
     sums = values.sum(axis=1)
-    order = np.argsort(sums, kind="stable")
+    # Sort by (sum, d0, d1, ...): fp-rounded sums of a dominating pair can
+    # collide (all-<= only guarantees fl_sum(a) <= fl_sum(b)), and with a
+    # sum-only stable sort an equal-sum dominator could land in a LATER
+    # block than its victim — which, once accepted, is never re-checked.
+    # Lexicographic tie-break closes this: a dominator is all-<= and != its
+    # victim, hence strictly lexicographically smaller, so dominators always
+    # sort strictly earlier and accepted points are never evicted.
+    order = np.lexsort(
+        tuple(values[:, k] for k in reversed(range(values.shape[1]))) + (sums,))
     sv = values[order]
     ssums = sums[order]
     keep_sorted = np.zeros(n, dtype=bool)

@@ -288,7 +288,17 @@ def _grouped_skyline_2d_window(df: DataFrame, cols: Sequence[str],
     (SURVEY §1.4).  Everything stays in whole-stage codegen; the only
     per-group serial work is the sorted scan over distinct d0 values,
     already collapsed by the aggregation — far smaller than the group.
+
+    The join back is null-safe on the group keys: groupBy (and hence the
+    kernel strategy) treats NULL as a regular group value, so a
+    null-dropping equi-join would silently lose null-keyed groups here
+    while the kernel strategy keeps them.  Dimension columns are assumed
+    non-null (the parse path drops malformed rows — P2); see
+    :func:`grouped_skyline`.
     """
+    from functools import reduce
+    from operator import and_
+
     from pyspark.sql.window import Window
 
     d0, d1 = cols
@@ -296,14 +306,20 @@ def _grouped_skyline_2d_window(df: DataFrame, cols: Sequence[str],
     w = (Window.partitionBy(*by).orderBy(d0)
          .rowsBetween(Window.unboundedPreceding, -1))
     per = per.withColumn("__prev", F.min("__min1").over(w))
+    left = df.alias("l")
+    right = per.select(
+        *[F.col(c).alias(f"__r_{c}") for c in [*by, d0]], "__min1", "__prev"
+    ).alias("r")
+    cond = reduce(and_, [
+        F.col(f"l.{c}").eqNullSafe(F.col(f"__r_{c}")) for c in [*by, d0]
+    ])
     dominated = (
-        (F.col("__prev").isNotNull() & (F.col("__prev") <= F.col(d1)))
-        | (F.col(d1) > F.col("__min1"))
+        (F.col("__prev").isNotNull() & (F.col("__prev") <= F.col(f"l.{d1}")))
+        | (F.col(f"l.{d1}") > F.col("__min1"))
     )
-    return (df.join(per, [*by, d0])
+    return (left.join(right, cond)
             .filter(~dominated)
-            .drop("__min1", "__prev")
-            .select(*df.columns))
+            .select(*[F.col(f"l.{c}") for c in df.columns]))
 
 
 def grouped_skyline(df: DataFrame, cols: Sequence[str],
@@ -314,6 +330,11 @@ def grouped_skyline(df: DataFrame, cols: Sequence[str],
 
     A capability the reference lacks but its keyed-state design implies;
     one shuffle on the group key, exact per-group kernel.
+
+    NULL group keys form a regular group in every strategy (groupBy
+    semantics; the window plan joins back null-safely).  Dimension
+    columns must be non-null — the parse path guarantees this (P2,
+    `streaming/wire.py`); null/NaN dims have strategy-defined behavior.
 
     `strategy`:
     * ``"auto"`` — 2-D uses the all-JVM window plan (below); ≥3-D the

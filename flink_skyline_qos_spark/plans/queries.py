@@ -44,13 +44,25 @@ def run_prefix_queries(points: DataFrame, queries: Sequence[tuple[int, int]],
     """
     if not queries:
         raise ValueError("need at least one (query_id, required_count) trigger")
-    max_id = points.select(F.max(id_col)).first()[0]
+    # One aggregation job covers the barrier (max id) AND every prefix's
+    # record count — no per-query count jobs.
+    ks = sorted({int(k) for _, k in queries})
+    stats = points.agg(
+        F.max(id_col).alias("__max"),
+        F.count(F.lit(1)).alias("__total"),
+        *[F.sum((F.col(id_col) <= F.lit(k)).cast("long")).alias(f"__c_{k}")
+          for k in ks],
+    ).first()
+    max_id = stats["__max"]
     out: DataFrame | None = None
     for qid, k in queries:
-        prefix = points if (k == 0 or max_id is None or k > max_id) \
-            else points.filter(F.col(id_col) <= F.lit(k))
-        sky = skyline(prefix, cols).withColumn(
-            "query_id", F.lit(int(qid)).cast("long")
+        whole = k == 0 or max_id is None or k > max_id
+        prefix = points if whole else points.filter(F.col(id_col) <= F.lit(k))
+        rc = stats["__total"] if whole else stats[f"__c_{int(k)}"]
+        sky = (
+            skyline(prefix, cols)
+            .withColumn("query_id", F.lit(int(qid)).cast("long"))
+            .withColumn("record_count", F.lit(int(rc or 0)).cast("long"))
         )
         out = sky if out is None else out.unionByName(sky)
     return out
@@ -72,7 +84,11 @@ def prefix_queries_oracle_sql(table: str, queries: Sequence[tuple[int, int]],
         parts.append(
             skyline_not_exists_sql(
                 prefix, cols,
-                select=f"{select}, cast({qid} as bigint) AS query_id",
+                select=(
+                    f"{select}, cast({qid} as bigint) AS query_id, "
+                    f"cast((SELECT count(*) FROM {table} WHERE {where}) "
+                    f"as bigint) AS record_count"
+                ),
             )
         )
     return " UNION ALL ".join(parts)

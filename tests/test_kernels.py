@@ -102,6 +102,23 @@ def test_dominated_by_any_strictness():
     assert dominated_by_any(a, b).tolist() == [False, True, False]
 
 
+def test_equal_fp_sum_across_block_boundary():
+    # Regression: a dominating pair whose float64 dim-sums round to the SAME
+    # value (1e16 + 1 == 1e16 in fp), with the dominated copies filling the
+    # first _B_CHUNK block and the dominator landing in the next block.  A
+    # sum-only stable sort would accept the dominated points first and never
+    # re-check them; the lexicographic (sum, d0, d1, ...) tie-break sorts the
+    # dominator strictly earlier.
+    from flink_skyline_qos_spark.operators.kernels import _B_CHUNK
+
+    dominated = [1e16, 1.0, 0.0]
+    dominator = [1e16, 0.0, 0.0]
+    v = np.array([dominated] * _B_CHUNK + [dominator])
+    assert np.float64(1e16) + 1.0 == np.float64(1e16)  # premise of the test
+    m = skyline_mask(v)
+    assert m.sum() == 1 and m[-1]
+
+
 def test_empty():
     assert skyline_mask(np.zeros((0, 2))).shape == (0,)
     ok, nk = merge_skylines(np.zeros((0, 2)), np.zeros((0, 2)))

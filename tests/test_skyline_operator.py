@@ -162,6 +162,22 @@ def test_grouped_skyline_window_duplicates_and_ties(spark):
     assert {r.id for r in got.collect()} == {1, 2, 5, 6}
 
 
+def test_grouped_skyline_null_group_keys(spark):
+    """NULL group keys form a regular group in every strategy (the window
+    plan joins back null-safely — a plain equi-join would drop them)."""
+    df = spark.createDataFrame(
+        [
+            (None, 1, 1.0, 5.0), (None, 2, 2.0, 4.0),  # incomparable pair
+            (None, 3, 3.0, 6.0),                        # dominated by id=1
+            ("g", 4, 9.0, 9.0),
+        ],
+        "grp string, id long, d0 double, d1 double",
+    )
+    for strategy in ("window", "kernel"):
+        got = grouped_skyline(df, ["d0", "d1"], by="grp", strategy=strategy)
+        assert {r.id for r in got.collect()} == {1, 2, 4}, strategy
+
+
 def test_skyline_auto_both_branches(lineitem, oracle_2d):
     from flink_skyline_qos_spark.operators.skyline import skyline_auto
 
