@@ -187,11 +187,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "part").select(*PART_COLS),
         ["p_retailprice", "p_size"], k=20, id_cols=["p_partkey"],
     )
-    # NOTE: often empty on real data — k-dominance is cyclic, points can
-    # mutually eliminate (Chan et al. §3); non-empty semantics pinned in
-    # tests/test_variants.py with a constructed fixture.
-    q["k_dominant_skyline_lineitem"] = lambda s, d: k_dominant_skyline(
-        _li(s, d), LI_DIMS3, k=2)
+    # k-dominance is cyclic — points can mutually eliminate (Chan et al.
+    # §3) and many configs answer empty.  This (table, dims, k) is chosen
+    # to have a NON-EMPTY answer at every shipped scale factor (1 row at
+    # sf0.001/0.01/0.1) so the oracle row proves the semantics; the
+    # constructed-fixture test in tests/test_variants.py pins edge cases.
+    q["k_dominant_skyline_part"] = lambda s, d: k_dominant_skyline(
+        load_table(s, d, "part").select(*PART_COLS),
+        ["p_size", "p_retailprice", "p_partkey"], k=2)
 
     # --- grouped skyline (keyed-state analogue) ---
     q["grouped_skyline_events"] = lambda s, d: grouped_skyline(
@@ -419,8 +422,9 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_retailprice", "p_size"], k=20, id_cols=["p_partkey"],
     )
-    o["k_dominant_skyline_lineitem"] = k_dominant_skyline_sql(
-        li, LI_DIMS3, k=2)
+    o["k_dominant_skyline_part"] = k_dominant_skyline_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_size", "p_retailprice", "p_partkey"], k=2)
 
     o["grouped_skyline_events"] = skyline_not_exists_sql(
         _EV_SQL, ["value", "unix_ms"], select="t.*",
