@@ -215,6 +215,41 @@ def test_continuous_local_skylines(spark, tmp_path, points_2d):
     assert got == expect
 
 
+def test_query_metrics_cpu_accounting(lineitem):
+    """A6: kernel-measured per-partition CPU surfaces as nonzero
+    local_cpu_ms/global_cpu_ms straggler metrics on a real run."""
+    from flink_skyline_qos_spark.plans.metrics import skyline_query_metrics
+
+    m = skyline_query_metrics(
+        lineitem, ["l_extendedprice", "l_discount"], query_id="cpu",
+        algo="mr-dim", num_partitions=8, domain_max=120000.0,
+        with_timing=True,
+    ).first()
+    assert m["record_count"] > 0 and m["skyline_size"] > 0
+    assert 0.0 <= m["optimality"] <= 1.0
+    # perf_counter_ns totals over a 6k-row partition are sub-ms; the columns
+    # must exist and be sane, and total wall-clock must dominate kernel CPU.
+    assert m["local_cpu_ms"] >= 0 and m["global_cpu_ms"] >= 0
+    assert m["total_processing_time_ms"] > 0
+    assert m["local_processing_time_ms"] >= 0
+    assert m["global_processing_time_ms"] >= 0
+
+
+def test_query_metrics_cpu_nonzero_big(spark):
+    """A6 on enough data that the kernel CPU is measurably nonzero."""
+    from flink_skyline_qos_spark.plans.metrics import skyline_query_metrics
+    from flink_skyline_qos_spark.sources.generators import generate_points
+
+    pts = generate_points(spark, 200_000, 3, dist="anti_correlated", seed=7)
+    m = skyline_query_metrics(
+        pts, ["d0", "d1", "d2"], query_id="cpu-big", algo="mr-angle",
+        num_partitions=8, domain_max=10_000.0, with_timing=True,
+    ).first()
+    assert m["record_count"] == 200_000
+    assert m["local_cpu_ms"] > 0
+    assert m["global_cpu_ms"] > 0
+
+
 def test_write_metrics_csv(spark, tmp_path):
     """S4: reference collector column order, zeros for absent timings."""
     from flink_skyline_qos_spark.plans.metrics import write_metrics_csv
