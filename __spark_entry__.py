@@ -329,6 +329,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_continuous_skyline"] = _streaming_continuous
 
+    # --- continuous variant WITH the downstream global merge: per-batch
+    # global skyline + result metrics via foreachBatch; the final batch's
+    # emitted global answer equals the batch skyline of all data.
+    def _streaming_continuous_global(s: SparkSession, d: str) -> DataFrame:
+        import tempfile
+
+        from flink_skyline_qos_spark.streaming.continuous import (
+            continuous_local_skylines,
+            start_continuous_global,
+        )
+        from flink_skyline_qos_spark.streaming.sources import file_stream
+        from flink_skyline_qos_spark.streaming.wire import (
+            parse_service_tuples,
+        )
+
+        work = tempfile.mkdtemp(prefix="skyglob_")
+        data_dir = os.path.join(work, "data")
+        pts = generate_points_hash(s, 4000, 2, dist="anti_correlated")
+        serialize_service_tuples(pts, 2).write.mode("overwrite").text(data_dir)
+        # 3 files/trigger over the 8 part files → 3 batches: exercises the
+        # cross-batch latest-per-pid carry without 8× the job overhead.
+        stream = parse_service_tuples(
+            file_stream(s, data_dir, max_files_per_trigger=3), 2)
+        local = continuous_local_skylines(
+            stream, dims=2, algo="mr-dim", num_partitions=NUM_PARTS,
+            domain_max=10000.0)
+        query = start_continuous_global(
+            local, dims=2, out_dir=os.path.join(work, "out"),
+            num_partitions=NUM_PARTS)
+        query.awaitTermination()
+        emitted = s.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(work, "out", "global"))
+        last = emitted.agg(F.max("batch_id")).first()[0]
+        return emitted.filter(F.col("batch_id") == last) \
+            .select("id", "d0", "d1")
+
+    q["streaming_continuous_global"] = _streaming_continuous_global
+
     # --- multimodal: pack → decode round-trip over binary columns ---
     # mean_byte (content stat, not SQL-reproducible) stays pytest-only.
     q["media_decode_documents"] = lambda s, d: decode_media(
@@ -520,6 +558,10 @@ FROM ranked WHERE rn <= 10
         ["d0", "d1"], select="'q1' AS query_id, t.id, t.d0, t.d1",
     )
     o["streaming_continuous_skyline"] = skyline_not_exists_sql(
+        f"({generate_points_sql(4000, 2, dist='anti_correlated')})",
+        ["d0", "d1"], select="t.id, t.d0, t.d1",
+    )
+    o["streaming_continuous_global"] = skyline_not_exists_sql(
         f"({generate_points_sql(4000, 2, dist='anti_correlated')})",
         ["d0", "d1"], select="t.id, t.d0, t.d1",
     )

@@ -30,10 +30,12 @@ passthrough columns.
 
 from __future__ import annotations
 
+import time
 from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,15 +57,33 @@ def _values(pdf: pd.DataFrame, cols: Sequence[str]) -> np.ndarray:
     return pdf[list(cols)].to_numpy(dtype=np.float64, copy=False)
 
 
-def _prune_batches(cols: Sequence[str]):
-    """mapInPandas function: incremental skyline over this partition's batches."""
+class MaxAccumulator(AccumulatorParam):
+    """Spark accumulator keeping the max of added values — the A6
+    straggler metric (reference tracks max per-partition CPU,
+    FlinkSkyline.java:534-539).  Retry-safe: re-adding can't inflate a max."""
+
+    def zero(self, value):
+        return value
+
+    def addInPlace(self, a, b):
+        return a if a >= b else b
+
+
+def _prune_batches(cols: Sequence[str], cpu_acc=None):
+    """mapInPandas function: incremental skyline over this partition's batches.
+
+    `cpu_acc` (optional MaxAccumulator) receives this task's kernel
+    compute time in ns — A6 CPU accounting without touching the schema.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cpu_ns = 0
         sky_pdf: pd.DataFrame | None = None
         sky_v: np.ndarray | None = None
         for pdf in batches:
             if pdf.empty:
                 continue
+            t0 = time.perf_counter_ns()
             mask = skyline_mask(_values(pdf, cols))
             cand = pdf[mask]
             cand_v = _values(cand, cols)
@@ -74,17 +94,24 @@ def _prune_batches(cols: Sequence[str]):
                 sky_pdf = pd.concat([sky_pdf[old_keep], cand[new_keep]],
                                     ignore_index=True)
                 sky_v = np.concatenate([sky_v[old_keep], cand_v[new_keep]])
+            cpu_ns += time.perf_counter_ns() - t0
+        if cpu_acc is not None:
+            cpu_acc.add(cpu_ns)
         if sky_pdf is not None and not sky_pdf.empty:
             yield sky_pdf
 
     return fn
 
 
-def _group_prune(cols: Sequence[str]):
+def _group_prune(cols: Sequence[str], cpu_acc=None):
     """applyInPandas function: exact skyline of one whole group."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf[skyline_mask(_values(pdf, cols))]
+        t0 = time.perf_counter_ns()
+        out = pdf[skyline_mask(_values(pdf, cols))]
+        if cpu_acc is not None:
+            cpu_acc.add(time.perf_counter_ns() - t0)
+        return out
 
     return fn
 

@@ -10,14 +10,17 @@ Where :mod:`.engine` materializes state as a parquet table (best for the
 trigger/barrier workflow), this variant keeps it in Spark's managed
 GroupState — checkpointed, per-key, exactly the reference's
 ``ListState<ServiceTuple>`` (FlinkSkyline.java:219-229).  The global
-merge stays downstream (a second stateful stage is restricted in
-Structured Streaming): run :func:`operators.skyline.skyline` over the
-sink table per consumer, which is also what the reference's global
-aggregator does on demand.
+merge runs downstream in ``foreachBatch`` (a second stateful stage is
+restricted in Structured Streaming): :func:`start_continuous_global`
+carries the latest local skyline per partition across batches and emits
+the per-batch GLOBAL skyline + the reference's result metrics record
+(FlinkSkyline.java:610-650) — the complete two-phase continuous analogue.
 """
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
@@ -31,7 +34,7 @@ from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
 from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
-__all__ = ["continuous_local_skylines"]
+__all__ = ["continuous_local_skylines", "start_continuous_global"]
 
 
 def _schemas(dims: int) -> tuple[StructType, StructType]:
@@ -111,3 +114,91 @@ def continuous_local_skylines(stream: DataFrame, dims: int, *,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def start_continuous_global(local_updates: DataFrame, dims: int, *,
+                            out_dir: str, num_partitions: int = 8,
+                            available_now: bool = True):
+    """Global merge downstream of :func:`continuous_local_skylines`.
+
+    Each update batch carries the REFRESHED local skyline of every
+    partition the batch touched; this handler carries the latest local
+    skyline of every partition across batches (epoch-versioned parquet,
+    retry-idempotent like :class:`engine.SkylinePipeline`), merges them,
+    and emits per batch:
+
+    * ``global/batch_*/`` — the full global skyline rows (id, d0..),
+      tagged with ``batch_id`` — the reference's emitted answer;
+    * ``metrics/batch_*/`` — one result record (batch_id, skyline_size,
+      optimality, global_ms) matching FlinkSkyline.java:610-650's
+      assembly (record_count lives with the barrier workflow; the
+      continuous stream only ever sees skyline survivors).
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..operators.skyline import skyline
+    from .engine import _batch_subdir, _epochs, _gc
+
+    spark = local_updates.sparkSession
+    cols = [f"d{i}" for i in range(dims)]
+    latest_dir = os.path.join(out_dir, "latest_local")
+    global_dir = os.path.join(out_dir, "global")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        t0 = time.perf_counter()
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            # Latest-per-pid carry: untouched partitions keep their last
+            # emitted skyline; touched ones are replaced wholesale (the
+            # stateful stage re-emits the FULL refreshed local skyline).
+            es = [e for e in _epochs(latest_dir) if e < batch_id]
+            if es:
+                prev = spark.read.parquet(
+                    os.path.join(latest_dir, f"epoch={es[-1]}"))
+                touched = [int(r["pid"]) for r in
+                           batch.select("pid").distinct().collect()]
+                latest = prev.filter(~F.col("pid").isin(touched)) \
+                    .unionByName(batch)
+            else:
+                latest = batch
+            latest.write.mode("overwrite").parquet(
+                os.path.join(latest_dir, f"epoch={batch_id}"))
+            _gc(latest_dir)
+            cur = spark.read.parquet(
+                os.path.join(latest_dir, f"epoch={batch_id}"))
+            glob = skyline(cur, cols).persist()
+            try:
+                sizes = {int(r["pid"]): int(r["n"]) for r in
+                         cur.groupBy("pid").agg(
+                             F.count(F.lit(1)).alias("n")).collect()}
+                surv = {int(r["pid"]): int(r["n"]) for r in
+                        glob.groupBy("pid").agg(
+                            F.count(F.lit(1)).alias("n")).collect()}
+                sky_size = sum(surv.values())
+                opt = sum(surv.get(p, 0) / sizes[p] for p in sizes) \
+                    / num_partitions
+                glob.drop("pid").withColumn(
+                    "batch_id", F.lit(batch_id).cast("long")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(global_dir, _batch_subdir(batch_id)))
+                global_ms = int((time.perf_counter() - t0) * 1000)
+                spark.createDataFrame(
+                    [(batch_id, sky_size, round(opt, 4), global_ms)],
+                    "batch_id long, skyline_size long, optimality double,"
+                    " global_ms long",
+                ).write.mode("overwrite").parquet(
+                    os.path.join(metrics_dir, _batch_subdir(batch_id)))
+            finally:
+                glob.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = (local_updates.writeStream.foreachBatch(handle)
+              .outputMode("update")
+              .option("checkpointLocation", os.path.join(out_dir, "ckpt")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -12,9 +12,13 @@ countdown-latch (ST2/ST3/A3) all collapse into `foreachBatch`
 orchestration:
 
 * State = a versioned parquet table of per-partition local skylines
-  (`epoch={batchId}` subdirs — overwriting the same epoch on a batch
-  retry makes recovery idempotent, the exact property Flink gets from
-  checkpointed keyed state).
+  (`epoch={batchId}` subdirs).  Retry-idempotent: a batch ALWAYS resumes
+  from the largest epoch strictly below its own batch id, so a replay of
+  batch B re-reads B's true predecessor (never B's own half/fully
+  written output), re-derives the identical state, and overwrites
+  epoch=B in place; result/metrics rows land in per-batch-id
+  subdirectories written with overwrite — the exact exactly-once
+  property Flink gets from checkpointed keyed state.
 * Batch update = union(previous state, new batch) →
   `groupBy(pid).applyInPandas(local prune)` — ONE shuffle whose left
   side is already skyline-pruned (small), mirroring the reference's
@@ -40,12 +44,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.partitioners import partitioner_expr
-from ..operators.skyline import _group_prune, skyline
+from ..operators.skyline import (
+    MaxAccumulator,
+    _group_prune,
+    _prune_batches,
+    skyline,
+)
 from .wire import parse_service_tuples, parse_triggers
 
 __all__ = ["SkylinePipeline", "read_state_skyline"]
 
 _KEEP_EPOCHS = 2  # current + previous, for retry/debug
+
+
+def _batch_subdir(batch_id: int) -> str:
+    return f"batch_{batch_id:020d}"
 
 
 def _epochs(path: str) -> list[int]:
@@ -112,8 +125,19 @@ class SkylinePipeline:
 
     # -- state I/O ---------------------------------------------------------
 
-    def _load(self) -> tuple[DataFrame | None, dict]:
+    def _load(self, batch_id: int | None = None) -> tuple[DataFrame | None, dict]:
+        """State + meta to resume from.
+
+        With `batch_id`, only epochs STRICTLY BELOW it are eligible — on
+        a foreachBatch retry of batch B (after a _save(B) already
+        happened) this re-reads B's true predecessor instead of B's own
+        output, making the replay idempotent: no double union into
+        state, no double record_count, no re-released triggers, and the
+        epoch=B overwrite never targets the path the state plan reads.
+        """
         es = _epochs(self.points_dir)
+        if batch_id is not None:
+            es = [e for e in es if e < batch_id]
         state = None
         if es:
             state = self.spark.read.parquet(
@@ -122,6 +146,9 @@ class SkylinePipeline:
         metas = sorted(
             f for f in os.listdir(self.meta_dir) if f.endswith(".json")
         ) if os.path.isdir(self.meta_dir) else []
+        if batch_id is not None:
+            metas = [f for f in metas
+                     if int(f.split("=", 1)[1].split(".", 1)[0]) < batch_id]
         if metas:
             with open(os.path.join(self.meta_dir, metas[-1])) as fh:
                 meta = json.load(fh)
@@ -146,12 +173,13 @@ class SkylinePipeline:
         """foreachBatch handler over the tagged union of both streams."""
         t_batch0 = time.perf_counter()
         batch = batch.persist()
+        local_cpu_acc = self.spark.sparkContext.accumulator(0, MaxAccumulator())
         try:
             pts = parse_service_tuples(
                 batch.filter(F.col("kind") == 0), self.dims)
             trig = parse_triggers(batch.filter(F.col("kind") == 1))
 
-            prev, meta = self._load()
+            prev, meta = self._load(batch_id)
             agg = pts.select(
                 F.max("id").alias("mx"), F.count("*").alias("n")).first()
             if agg["n"]:
@@ -165,7 +193,8 @@ class SkylinePipeline:
                 unioned = tagged if prev is None \
                     else prev.unionByName(tagged)
                 state = unioned.groupBy("pid").applyInPandas(
-                    _group_prune(self.cols), schema=unioned.schema)
+                    _group_prune(self.cols, cpu_acc=local_cpu_acc),
+                    schema=unioned.schema)
             else:
                 state = prev if prev is not None else \
                     self.spark.createDataFrame(
@@ -190,20 +219,32 @@ class SkylinePipeline:
             ingest_ms = int((time.perf_counter() - t_batch0) * 1000)
             if released:
                 self._answer(batch_id, released, meta,
-                             ingest_ms=ingest_ms, t_batch0=t_batch0)
+                             ingest_ms=ingest_ms, t_batch0=t_batch0,
+                             local_cpu_ns=int(local_cpu_acc.value))
         finally:
             batch.unpersist()
 
     def _answer(self, batch_id: int, released: list[tuple[str, int]],
                 meta: dict, *, ingest_ms: int = 0,
-                t_batch0: float | None = None) -> None:
+                t_batch0: float | None = None,
+                local_cpu_ns: int = 0) -> None:
         t_g0 = time.perf_counter()
-        es = _epochs(self.points_dir)
+        global_cpu_acc = self.spark.sparkContext.accumulator(
+            0, MaxAccumulator())
         local = self.spark.read.parquet(
-            os.path.join(self.points_dir, f"epoch={es[-1]}"))
+            os.path.join(self.points_dir, f"epoch={batch_id}"))
         sizes = {int(r["pid"]): int(r["n"]) for r in
                  local.groupBy("pid").agg(F.count("*").alias("n")).collect()}
-        glob = skyline(local, self.cols).persist()
+        glob = (
+            local.mapInPandas(
+                _prune_batches(self.cols, cpu_acc=global_cpu_acc),
+                schema=local.schema)
+            .repartition(1)
+            .mapInPandas(
+                _prune_batches(self.cols, cpu_acc=global_cpu_acc),
+                schema=local.schema)
+            .persist()
+        )
         try:
             surv = {int(r["pid"]): int(r["n"]) for r in
                     glob.groupBy("pid").agg(F.count("*").alias("n")).collect()}
@@ -217,23 +258,32 @@ class SkylinePipeline:
                 tagged = glob.drop("pid").select(
                     F.lit(str(qid)).alias("query_id"), "*")
                 out = tagged if out is None else out.unionByName(tagged)
-            out.write.mode("append").parquet(self.results_dir)
+            # Per-batch-id subdir + overwrite ⇒ a batch retry replaces its
+            # own earlier rows instead of appending duplicates.
+            out.write.mode("overwrite").parquet(
+                os.path.join(self.results_dir, _batch_subdir(batch_id)))
             # A5 timing shape (metrics_collector.py:60-72): ingest =
             # state update, global = merge+emit, total = batch wall,
             # latency = trigger receipt (batch start) → emission.
+            # A6: {local,global}_cpu_ms = max task kernel CPU (straggler),
+            # measured by the kernels themselves (FlinkSkyline.java:534-539).
             global_ms = int((time.perf_counter() - t_g0) * 1000)
             now = time.perf_counter()
             total_ms = int((now - (t_batch0 or t_g0)) * 1000)
             rows = [
                 (str(qid), meta["record_count"], sky_size, round(opt, 4),
-                 batch_id, ingest_ms, global_ms, total_ms, total_ms)
+                 batch_id, ingest_ms, global_ms, total_ms, total_ms,
+                 local_cpu_ns // 1_000_000,
+                 int(global_cpu_acc.value) // 1_000_000)
                 for qid, _k in released
             ]
             self.spark.createDataFrame(
                 rows, "query_id string, record_count long, skyline_size long,"
                       " optimality double, batch_id long, ingest_ms long,"
-                      " global_ms long, total_ms long, latency_ms long",
-            ).write.mode("append").parquet(self.metrics_dir)
+                      " global_ms long, total_ms long, latency_ms long,"
+                      " local_cpu_ms long, global_cpu_ms long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.metrics_dir, _batch_subdir(batch_id)))
         finally:
             glob.unpersist()
 
@@ -266,7 +316,9 @@ class SkylinePipeline:
         q.awaitTermination()
 
     def results(self) -> DataFrame:
-        return self.spark.read.parquet(self.results_dir)
+        return self.spark.read.option("recursiveFileLookup", "true") \
+            .parquet(self.results_dir)
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(self.metrics_dir)
+        return self.spark.read.option("recursiveFileLookup", "true") \
+            .parquet(self.metrics_dir)

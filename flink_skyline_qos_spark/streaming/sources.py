@@ -17,42 +17,73 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "kafka_source_options",
+    "kafka_sink_options",
     "kafka_stream",
     "kafka_sink",
     "file_stream",
     "rate_stream",
 ]
 
+#: the reference raises the producer's max request to 10 MB for large
+#: skyline payloads (FlinkSkyline.java:179)
+KAFKA_MAX_REQUEST_SIZE = 10 * 1024 * 1024
+
+
+def kafka_source_options(servers: str, topic: str, *,
+                         starting_offsets: str = "earliest") -> dict[str, str]:
+    """The exact option plan of the reference's Kafka sources (S1/S2).
+
+    ``starting_offsets="earliest"`` mirrors the data source
+    (FlinkSkyline.java:87); ``"latest"`` the control/query source (:95).
+    Pure + testable in broker-less containers; :func:`kafka_stream`
+    applies it verbatim.
+    """
+    if starting_offsets not in ("earliest", "latest"):
+        raise ValueError("starting_offsets must be 'earliest' or 'latest'")
+    return {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(servers: str, topic: str, *,
+                       checkpoint_dir: str) -> dict[str, str]:
+    """Option plan of the reference's Kafka sink (S3), including the
+    10 MB ``max.request.size`` override (FlinkSkyline.java:177-183)."""
+    return {
+        "kafka.bootstrap.servers": servers,
+        "topic": topic,
+        "kafka.max.request.size": str(KAFKA_MAX_REQUEST_SIZE),
+        "checkpointLocation": checkpoint_dir,
+    }
+
 
 def kafka_stream(spark: SparkSession, servers: str, topic: str, *,
                  starting_offsets: str = "earliest") -> DataFrame:
     """``value: string`` stream from a Kafka topic (S1/S2).
 
-    `starting_offsets="earliest"` mirrors the data source, ``"latest"``
-    the control/query source (FlinkSkyline.java:87,95).
+    Requires the spark-sql-kafka connector on the classpath (absent in
+    the test container — the option plan itself is pinned by tests via
+    :func:`kafka_source_options`).
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .select(F.col("value").cast("string").alias("value"))
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+            servers, topic, starting_offsets=starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load().select(F.col("value").cast("string").alias("value"))
 
 
 def kafka_sink(df: DataFrame, servers: str, topic: str, *,
                checkpoint_dir: str, value_col: str = "value"):
-    """writeStream → Kafka (S3).  ``max.request.size`` raised like the
-    reference's 10 MB producer override (FlinkSkyline.java:179)."""
-    return (
-        df.select(F.col(value_col).cast("string").alias("value"))
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("topic", topic)
-        .option("kafka.max.request.size", str(10 * 1024 * 1024))
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    """writeStream → Kafka (S3) with the reference's producer override."""
+    writer = (df.select(F.col(value_col).cast("string").alias("value"))
+              .writeStream.format("kafka"))
+    for k, v in kafka_sink_options(
+            servers, topic, checkpoint_dir=checkpoint_dir).items():
+        writer = writer.option(k, v)
+    return writer
 
 
 def file_stream(spark: SparkSession, path: str, *,

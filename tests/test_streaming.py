@@ -215,6 +215,91 @@ def test_continuous_local_skylines(spark, tmp_path, points_2d):
     assert got == expect
 
 
+def test_pipeline_batch_retry_idempotent(spark, tmp_path, points_2d):
+    """Replaying a foreachBatch batch id (Spark's retry contract) must not
+    double-count records, duplicate state ties, or re-append results."""
+    work = str(tmp_path / "work")
+    pipe = SkylinePipeline(spark, work, dims=2, algo="mr-dim",
+                           num_partitions=4, domain_max=120000.0)
+    rows = points_2d.collect()
+    lines = [f"{r['id']},{r['d0']},{r['d1']}" for r in rows]
+    half = len(lines) // 2
+
+    def mk(ls, trigs):
+        return spark.createDataFrame(
+            [(line, 0) for line in ls] + [(t, 1) for t in trigs],
+            "value string, kind int")
+
+    b0 = mk(lines[:half], [])
+    pipe.process_batch(b0, 0)
+    pipe.process_batch(b0, 0)  # retry BEFORE any answer
+    b1 = mk(lines[half:], [f"q,{len(lines)}"])
+    pipe.process_batch(b1, 1)
+    pipe.process_batch(b1, 1)  # retry AFTER save + answer already happened
+
+    _, meta = pipe._load()
+    assert meta["record_count"] == len(lines)
+
+    expect = {(r["d0"], r["d1"]) for r in
+              skyline(points_2d, ["d0", "d1"]).collect()}
+    res = pipe.results()
+    got = {(r["d0"], r["d1"]) for r in
+           res.filter(F.col("query_id") == "q").collect()}
+    assert got == expect
+    assert res.count() == res.distinct().count()  # no retry duplicates
+
+    m = pipe.metrics()
+    assert m.count() == 1  # one released query, despite the replays
+    mrow = m.first()
+    assert mrow["record_count"] == len(lines)
+    assert mrow["local_cpu_ms"] >= 0 and mrow["global_cpu_ms"] >= 0
+
+
+def test_continuous_global_merge(spark, tmp_path, points_2d):
+    """ST4 + global: the foreachBatch merge downstream of the stateful
+    local stage emits, at the final batch, the exact batch skyline."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        continuous_local_skylines,
+        start_continuous_global,
+    )
+    from flink_skyline_qos_spark.streaming.sources import file_stream
+    from flink_skyline_qos_spark.streaming.wire import (
+        parse_service_tuples as parse,
+    )
+
+    data_dir = str(tmp_path / "data")
+    rows = points_2d.collect()
+    lines = [f"{r['id']},{r['d0']},{r['d1']}" for r in rows]
+    third = len(lines) // 3
+    _write_text(data_dir, "a.csv", lines[:third])
+    _write_text(data_dir, "b.csv", lines[third:2 * third])
+    _write_text(data_dir, "c.csv", lines[2 * third:])
+
+    stream = parse(file_stream(spark, data_dir, max_files_per_trigger=1), 2)
+    local = continuous_local_skylines(
+        stream, dims=2, algo="mr-grid", num_partitions=4,
+        domain_max=120000.0)
+    out_dir = str(tmp_path / "out")
+    q = start_continuous_global(local, dims=2, out_dir=out_dir,
+                                num_partitions=4)
+    q.awaitTermination()
+
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(out_dir, "global"))
+    last = emitted.agg(F.max("batch_id")).first()[0]
+    got = {(r["d0"], r["d1"]) for r in
+           emitted.filter(F.col("batch_id") == last).collect()}
+    expect = {(r["d0"], r["d1"]) for r in
+              skyline(points_2d, ["d0", "d1"]).collect()}
+    assert got == expect
+
+    metrics = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(out_dir, "metrics"))
+    mrow = metrics.orderBy(F.col("batch_id").desc()).first()
+    assert mrow["skyline_size"] == len(expect)
+    assert 0.0 <= mrow["optimality"] <= 1.0
+
+
 def test_query_metrics_cpu_accounting(lineitem):
     """A6: kernel-measured per-partition CPU surfaces as nonzero
     local_cpu_ms/global_cpu_ms straggler metrics on a real run."""
@@ -248,6 +333,81 @@ def test_query_metrics_cpu_nonzero_big(spark):
     assert m["record_count"] == 200_000
     assert m["local_cpu_ms"] > 0
     assert m["global_cpu_ms"] > 0
+
+
+def test_kafka_source_sink_option_plans():
+    """S1-S3 plan parity, broker-free: the option dicts the builders apply
+    verbatim must match the reference's source/sink configuration
+    (FlinkSkyline.java:84-97,177-183)."""
+    from flink_skyline_qos_spark.streaming.sources import (
+        KAFKA_MAX_REQUEST_SIZE,
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    data = kafka_source_options("b:9092", "input-tuples")
+    assert data["startingOffsets"] == "earliest"  # FlinkSkyline.java:87
+    assert data["subscribe"] == "input-tuples"
+    assert data["kafka.bootstrap.servers"] == "b:9092"
+
+    ctrl = kafka_source_options("b:9092", "queries",
+                                starting_offsets="latest")
+    assert ctrl["startingOffsets"] == "latest"  # FlinkSkyline.java:95
+
+    with pytest.raises(ValueError):
+        kafka_source_options("b:9092", "t", starting_offsets="bogus")
+
+    sink = kafka_sink_options("b:9092", "output-skyline",
+                              checkpoint_dir="/tmp/ck")
+    assert sink["topic"] == "output-skyline"
+    assert sink["kafka.max.request.size"] == str(10 * 1024 * 1024)
+    assert KAFKA_MAX_REQUEST_SIZE == 10 * 1024 * 1024  # FlinkSkyline.java:179
+    assert sink["checkpointLocation"] == "/tmp/ck"
+
+
+def test_kafka_stream_applies_option_plan(spark, monkeypatch):
+    """kafka_stream must push kafka_source_options verbatim into the
+    DataStreamReader (captured via the reader's option hook — the
+    container has no kafka connector, so .load() itself can't run)."""
+    import flink_skyline_qos_spark.streaming.sources as S
+    from pyspark.sql.streaming import DataStreamReader
+
+    seen: dict[str, str] = {}
+    orig_option = DataStreamReader.option
+
+    def capture(self, key, value):
+        seen[key] = value
+        return orig_option(self, key, value)
+
+    def fake_load(self, path=None):
+        raise RuntimeError("stop-before-load")
+
+    monkeypatch.setattr(DataStreamReader, "option", capture)
+    monkeypatch.setattr(DataStreamReader, "load", fake_load)
+    with pytest.raises(RuntimeError, match="stop-before-load"):
+        S.kafka_stream(spark, "b:9092", "input-tuples")
+    assert seen == S.kafka_source_options("b:9092", "input-tuples")
+
+
+def test_kafka_sink_applies_option_plan(spark, tmp_path, monkeypatch):
+    """kafka_sink pushes kafka_sink_options verbatim into the writer."""
+    import flink_skyline_qos_spark.streaming.sources as S
+    from pyspark.sql.streaming import DataStreamWriter
+
+    seen: dict[str, str] = {}
+    orig_option = DataStreamWriter.option
+
+    def capture(self, key, value):
+        seen[key] = value
+        return orig_option(self, key, value)
+
+    monkeypatch.setattr(DataStreamWriter, "option", capture)
+    stream = spark.readStream.format("rate").load() \
+        .selectExpr("cast(value as string) as value")
+    S.kafka_sink(stream, "b:9092", "output-skyline",
+                 checkpoint_dir=str(tmp_path / "ck"))
+    assert seen == S.kafka_sink_options(
+        "b:9092", "output-skyline", checkpoint_dir=str(tmp_path / "ck"))
 
 
 def test_write_metrics_csv(spark, tmp_path):
