@@ -46,3 +46,19 @@ def embeddings(spark, sf_dir):
     from flink_skyline_qos_spark.sources.tables import load_table
 
     return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture()
+def points_2d(spark, lineitem):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    return (
+        lineitem.limit(400)
+        .select(
+            F.monotonically_increasing_id().alias("rk"),
+            F.col("l_extendedprice").alias("d0"),
+            F.col("l_discount").alias("d1"))
+        .withColumn("id", F.row_number().over(Window.orderBy("rk")))
+        .select("id", "d0", "d1")
+    )

@@ -63,21 +63,6 @@ def _write_text(path, name, lines):
         fh.write("\n".join(lines) + "\n")
 
 
-@pytest.fixture()
-def points_2d(spark, lineitem):
-    from pyspark.sql.window import Window
-
-    return (
-        lineitem.limit(400)
-        .select(
-            F.monotonically_increasing_id().alias("rk"),
-            F.col("l_extendedprice").alias("d0"),
-            F.col("l_discount").alias("d1"))
-        .withColumn("id", F.row_number().over(Window.orderBy("rk")))
-        .select("id", "d0", "d1")
-    )
-
-
 def test_pipeline_end_to_end(spark, tmp_path, points_2d):
     work = str(tmp_path / "work")
     data_dir = str(tmp_path / "data")
