@@ -1,0 +1,144 @@
+"""Connected-components clustering: near-dup pairs → dedup clusters.
+
+The pair detectors (`operators/dedup.py`, `operators/similarity.py`)
+emit edges; an actually-deduplicated corpus needs the transitive
+closure — if A~B and B~C, all three are one cluster even when A~C is
+below threshold.  This module closes that gap:
+
+* :func:`connected_components` — alternating **large-star /
+  small-star** (Kiveris et al., *Connected Components in MapReduce and
+  Beyond*, SoCC'14).  Each round is two shuffles keyed on node id, and
+  the round count is O(log² n) **independent of graph diameter** — the
+  100 TB-safe choice over min-label propagation, whose round count is
+  the component diameter (pathological chains of borderline near-dups
+  do occur in crawl corpora).  No driver-side graph state: the driver
+  sees only per-round (count, checksum) scalars for the convergence
+  test.
+* :func:`dedup_clusters` — components over a corpus + pair set, every
+  document labeled (`cluster_id` = min doc id of its component,
+  singletons keep their own id) with an `is_canonical` keep flag: the
+  classic keep-first dedup policy, `filter(is_canonical)` yields the
+  deduplicated corpus.
+
+Reference parity: the reference has no clustering operator (it stops
+at skylines); this is part of the training-data suite the brief
+mandates beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct (u, v) with u < v; self-loops and nulls dropped."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, where m = min(Γ(u) ∪ {u})."""
+    sym = e.select("u", "v").union(e.select(F.col("v").alias("u"),
+                                            F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient u > v; connect every smaller neighbor (and u) to the min."""
+    ori = e.select(F.greatest("u", "v").alias("u"),
+                   F.least("u", "v").alias("v"))
+    m = ori.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        ori.join(m, "u")
+        .select(F.col("m").alias("nu"), F.col("v"))
+        .filter(F.col("nu") != F.col("v"))
+        .union(m.select(F.col("m").alias("nu"), F.col("u").alias("v")))
+        .select(F.least("nu", "v").alias("u"),
+                F.greatest("nu", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", *, nodes: DataFrame | None = None,
+                         node_col: str | None = None,
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component) for every node, component = min node id reachable.
+
+    ``nodes`` (single-column unless ``node_col`` names one) adds
+    isolated vertices, which come back as their own component.
+
+    Convergence is detected on (edge count, sum of per-edge xxhash64):
+    one tiny aggregate per round, no edge-set materialization on the
+    driver.  A checksum collision between different edge sets is
+    ~2⁻⁶⁴ per round — the same class of risk the md5/xxhash dedup
+    operators already accept.  Each round's frame is localCheckpointed
+    to truncate lineage (iterative plans otherwise grow exponentially).
+    """
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence "
+                           f"in {max_iter} rounds")
+    # Fixpoint = union of stars rooted at each component's min: a
+    # node's label is its root (non-roots), or itself (roots/isolated).
+    lab = (
+        e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .groupBy("node").agg(F.min("component").alias("component"))
+    )
+    members = e.select(F.col("u").alias("node")) \
+        .union(e.select(F.col("v").alias("node"))).distinct()
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        members = members.union(
+            nodes.select(F.col(nc).alias("node"))).distinct()
+    return (
+        members.join(lab, "node", "left")
+        .select("node",
+                F.coalesce("component", "node").alias("component"))
+    )
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, *,
+                   id_col: str = "doc_id", src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Label every document with its near-dup cluster.
+
+    Returns (id_col, cluster_id, is_canonical): ``cluster_id`` is the
+    min doc id of the connected component under ``pairs`` (own id for
+    singletons); ``is_canonical`` marks the member to keep —
+    ``filter(is_canonical)`` is the deduplicated corpus.
+    """
+    cc = connected_components(pairs, src, dst,
+                              nodes=df.select(id_col), node_col=id_col)
+    return cc.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -1,0 +1,95 @@
+"""Connected components (large-star/small-star) + dedup clustering."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.operators.clustering import (
+    connected_components, dedup_clusters)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min id: run find to full compression, then min per root
+    roots = {}
+    for x in range(n_nodes):
+        roots.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in roots.values() for x in members}
+
+
+def test_chain_is_one_component(spark):
+    # worst case for label propagation (diameter = n); star-rounds
+    # collapse it in O(log^2 n)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(21)}
+
+
+def test_two_components_and_isolated(spark):
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [3, 5, 9, 20, 21, 42]],
+                                  "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               edges, nodes=nodes, node_col="doc_id").collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 42: 42}
+
+
+def test_self_loops_nulls_and_duplicate_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 1), (None, 2), (2, None), (1, 2), (2, 1), (1, 2)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_empty_edges_all_singletons(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               edges, nodes=nodes, node_col="doc_id").collect()}
+    assert got == {1: 1, 2: 2}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0, max_size=25))
+def test_matches_union_find(spark, edge_list):
+    expect = _union_find(15, [(a, b) for a, b in edge_list if a != b])
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(15)], "n long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               edges, nodes=nodes, node_col="n").collect()}
+    assert got == expect
+
+
+def test_dedup_clusters_canonical_flag(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(4, 2), (2, 0)], "id_a long, id_b long")
+    out = dedup_clusters(docs, pairs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out}
+    assert got == {0: (0, True), 1: (1, True), 2: (0, False),
+                   3: (3, True), 4: (0, False), 5: (5, True)}
+    # keep-canonical = dedup'd corpus: one doc per cluster
+    kept = [d for d, (c, k) in got.items() if k]
+    assert sorted(kept) == [0, 1, 3, 5]
