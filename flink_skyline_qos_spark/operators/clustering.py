@@ -86,18 +86,26 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     Convergence is detected on (edge count, sum of per-edge xxhash64):
     one tiny aggregate per round, no edge-set materialization on the
-    driver.  A checksum collision between different edge sets is
-    ~2⁻⁶⁴ per round — the same class of risk the md5/xxhash dedup
-    operators already accept.  Each round's frame is localCheckpointed
-    to truncate lineage (iterative plans otherwise grow exponentially).
+    driver.  The sum runs in unbounded ``decimal(38,0)`` — xxhash64
+    values are uniform over the full int64 range, so a raw long sum
+    overflows almost surely and Spark 4's default ANSI mode raises
+    instead of wrapping.  A checksum collision between different edge
+    sets is ~2⁻⁶⁴ per round — the same class of risk the md5/xxhash
+    dedup operators already accept.  Each round's frame is
+    localCheckpointed to truncate lineage (iterative plans otherwise
+    grow exponentially); the previous round's blocks are unpersisted
+    once the new round is materialized so executor storage stays O(|E|)
+    rather than O(rounds · |E|).
     """
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e.unpersist()
+        e = nxt
         chk = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
         cur = (chk["n"], chk["h"])
         if cur == prev:
