@@ -41,6 +41,9 @@ from flink_skyline_qos_spark.functions.multimodal import (  # noqa: E402
     decode_media_sql,
     pack_fake_media,
 )
+from flink_skyline_qos_spark.operators.clustering import (  # noqa: E402
+    dedup_clusters,
+)
 from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
@@ -122,6 +125,21 @@ _EV_SQL = (
     "(SELECT event_id, user_id, event_type, value, "
     "cast(epoch_ms(ts) as double) AS unix_ms FROM events)"
 )
+
+# Shared DuckDB CTEs: word-3-gram shingle sets, per-doc set sizes, and
+# pairwise intersection counts over documents — the exact n-gram
+# Jaccard core, reused by the pair query and the clustering oracle.
+_NGRAM_CTES = """sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+     generate_series(1, greatest(len(w) - 2, 1)),
+     i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -258,6 +276,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dup_documents"] = lambda s, d: simhash_near_dup_pairs(
         load_table(s, d, "documents"), max_hamming=3,
     )  # rows-only: xxhash64 has no DuckDB twin
+
+    # --- near-dup clustering: transitive closure of the EXACT n-gram
+    # pair set (large-star/small-star), every doc labeled. The oracle is
+    # a DuckDB recursive CTE over the same pair SQL — full value check
+    # of the connected-components operator.
+    q["dedup_clusters_documents"] = lambda s, d: dedup_clusters(
+        load_table(s, d, "documents"),
+        ngram_jaccard_pairs(load_table(s, d, "documents"), k=3,
+                            unit="word", threshold=0.05),
+    )
 
     # --- text analysis over documents ---
     q["text_stats_documents"] = lambda s, d: text_stats(
@@ -503,24 +531,42 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents GROUP BY md5(text)"
     )
 
-    o["ngram_jaccard_documents"] = """
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-     generate_series(1, greatest(len(w) - 2, 1)),
-     i -> array_to_string(w[i:i+2], ' ')))) AS g
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+    o["ngram_jaccard_documents"] = f"""
+WITH {_NGRAM_CTES}
 SELECT id_a, id_b,
        round(n_inter * 1.0 / (na.n + nb.n - n_inter), 6) AS jaccard
 FROM inter
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.05
+""".strip()
+
+    # Connected components as min-label reachability: seed every doc
+    # with its own id, propagate labels along (symmetric) near-dup
+    # edges to a fixpoint, keep the min per node.  UNION (not ALL)
+    # dedups the working set so the recursion terminates.
+    o["dedup_clusters_documents"] = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+np AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE n_inter * 1.0 / (na.n + nb.n - n_inter) >= 0.05
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM np
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM np
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id,
+       min(comp) = node AS is_canonical
+FROM reach GROUP BY node
 """.strip()
 
     o["text_stats_documents"] = text_stats_sql("documents")
