@@ -117,7 +117,7 @@ def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", "user_id", "event_type", "value",
-        F.unix_millis("ts").cast("double").alias("unix_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("double").alias("unix_ms"),
     )
 
 
@@ -224,7 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _windowed(s: SparkSession, d: str) -> DataFrame:
         ev = load_table(s, d, "events").select(
             "event_id", "event_type", "value",
-            F.unix_millis("ts").cast("double").alias("unix_ms"),
+            F.unix_millis(F.col("ts").cast("timestamp")).cast("double").alias("unix_ms"),
             F.unix_timestamp(F.window("ts", "1 hour").start)
             .alias("win_start"))
         return grouped_skyline(ev, ["value", "unix_ms"], by="win_start")
@@ -239,7 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _sliding(s: SparkSession, d: str) -> DataFrame:
         ev = load_table(s, d, "events").select(
             "event_id", "event_type", "value",
-            F.unix_millis("ts").cast("double").alias("unix_ms"),
+            F.unix_millis(F.col("ts").cast("timestamp")).cast("double").alias("unix_ms"),
             F.unix_timestamp(F.window("ts", "1 hour", "30 minutes").start)
             .alias("win_start"))
         return grouped_skyline(ev, ["value", "unix_ms"], by="win_start")

@@ -83,7 +83,7 @@ def test_grouped_skyline(events, sf_dir):
     from pyspark.sql import functions as F
 
     got = grouped_skyline(
-        events.withColumn("unix_ms", F.unix_millis("ts").cast("double")),
+        events.withColumn("unix_ms", F.unix_millis(F.col("ts").cast("timestamp")).cast("double")),
         ["value", "unix_ms"], by="event_type",
     )
     con = duckdb.connect()
@@ -132,7 +132,7 @@ def test_grouped_skyline_strategies_agree(events):
 
     ev = events.select(
         "event_id", "event_type", "value",
-        F.unix_millis("ts").cast("double").alias("unix_ms"))
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("double").alias("unix_ms"))
     window = {tuple(r) for r in
               grouped_skyline(ev, ["value", "unix_ms"], by="event_type",
                               strategy="window").collect()}
