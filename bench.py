@@ -45,7 +45,19 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + Python worker pool outside timed sections
+    # Warm the JVM AND the Arrow Python worker pool outside timed
+    # sections: the first pandas-UDF stage in a fresh session pays the
+    # fork + numpy/pandas import of every daemon worker (measured 30-45 s
+    # across the first heavy queries at local[32] — the entire r2
+    # "regression" of skyline_metrics_mr_dim and most of minhash's).
+    # One narrow mapInPandas pass over one partition per core spins all
+    # of them up; a long-lived cluster job is always in this warm state.
+    def _ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, 64 * cpus, 1, 2 * cpus).selectExpr("id", "rand() x") \
+        .mapInPandas(_ident, schema="id long, x double").count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
     queries = entrymod.queries()

@@ -139,19 +139,31 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
 
 def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
                              pre_merge_partitions: int | None = None,
-                             verify_chunks: int | None = None) -> DataFrame:
+                             verify_chunks: int | None = None,
+                             scatter_threshold: int = 2_000_000) -> DataFrame:
     """Skyline for the huge-survivor regime (high-dim anti-correlated).
 
     When local skylines barely prune (4-D anti-correlated: ~75 % of
     points survive — PDF §5.4), the single final-merge task pays
     O(|C|²) alone and dominates wall time.  Here every candidate is
     verified against the full candidate set with the work spread over
-    all cores — "broadcast" in the logical sense (each verify task sees
-    all candidate dim values); physically a driver-free
-    scatter-replicate exchange (:func:`_verify_scatter`).
+    all cores.  Two physical forms, picked by measured survivor count
+    (the persist-pinning count doubles as the measurement — one extra
+    cached pass, same move AQE makes at shuffle boundaries):
 
-    Exact: skyline(S) = {p ∈ C : ¬∃q ∈ C, q dom p} where C ⊇ skyline(S)
-    is any superset produced by local pruning.
+    * ``|C| ≤ scatter_threshold`` — driver-broadcast of the candidates'
+      DIM VALUES ONLY (:func:`_verify_against_broadcast`).  The driver
+      holds |C|·d float64s (64 MB at the 2M/4-D default), pickled once
+      per executor; each task verifies its cached rows in place with
+      zero additional shuffle.
+    * above it — driver-free scatter-replicate exchange
+      (:func:`_verify_scatter`): same comparisons, no single node ever
+      holds the candidate matrix, at the price of a chunks × |C| narrow
+      shuffle.  The 100 TB path; survivor sets that big dwarf any
+      driver heap.
+
+    Exact either way: skyline(S) = {p ∈ C : ¬∃q ∈ C, q dom p} where
+    C ⊇ skyline(S) is any superset produced by local pruning.
 
     `pre_merge_partitions` inserts one shuffled re-prune of the
     candidates before verification: an extra cheap exchange of survivors
@@ -163,18 +175,59 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     if pre_merge_partitions and pre_merge_partitions > 1:
         pruned = pruned.repartition(pre_merge_partitions) \
             .mapInPandas(_prune_batches(cols), schema=df.schema)
+    # Pin and MATERIALIZE before anything reads it twice: an unpinned
+    # persist referenced on both sides of one action races its own cache
+    # population and can run the expensive local prune twice (observed
+    # 6× wall-time at 1M×4-D).  The count is also the strategy input.
+    pruned = pruned.persist()
+    n = pruned.count()
+    if n <= scatter_threshold:
+        return _verify_against_broadcast(pruned, cols)
     return _verify_scatter(pruned, cols, chunks=verify_chunks)
+
+
+def _verify_against_broadcast(pruned: DataFrame,
+                              cols: Sequence[str]) -> DataFrame:
+    """Broadcast `pruned`'s dim values; drop its dominated rows in place.
+
+    `pruned` must already be persisted + materialized (the Arrow
+    `toPandas` below then reads the cache, and the verify pass reuses
+    it).  Driver footprint is |C|·d float64s — candidate *values* only,
+    never full rows; the caller bounds |C| via `scatter_threshold`.
+    The candidate matrix is sorted by dim-sum ONCE here, so every verify
+    task runs the sorted-sum kernel directly.
+    """
+    cand = pruned.select(*cols).toPandas().to_numpy(dtype=np.float64)
+    cand = cand.reshape(-1, len(cols))
+    sums = cand.sum(axis=1)
+    order = np.argsort(sums, kind="stable")
+    ref = pruned.sparkSession.sparkContext.broadcast(
+        (cand[order], sums[order]))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels import _dominated_sorted
+
+        a, a_sums = ref.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b = _values(pdf, cols)
+            out = pdf[~_dominated_sorted(a, a_sums, b, b.sum(axis=1))]
+            if not out.empty:
+                yield out
+
+    return pruned.mapInPandas(verify, schema=pruned.schema)
 
 
 def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
                     chunks: int | None = None) -> DataFrame:
     """Drop `pruned`'s dominated rows without any driver-side data path.
 
-    The naive parallel verify collects all candidate values to the
-    driver and `sparkContext.broadcast`s them — fine at tens of MB, a
-    driver OOM + re-serialization bottleneck when 4-D anti-correlated
-    survivor sets reach tens of millions of rows at 100 TB scale.  Here
-    the same all-pairs check is a fragment-replicate exchange instead:
+    The broadcast verify holds |C|·d values on the driver — fine at
+    tens of MB, a driver OOM + re-serialization bottleneck when 4-D
+    anti-correlated survivor sets reach tens of millions of rows at
+    100 TB scale.  Here the same all-pairs check is a
+    fragment-replicate exchange instead:
 
     * the full rows are hash-split into `chunks` verify groups, and
     * the candidates' DIM VALUES ONLY are replicated into every group
@@ -183,13 +236,16 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
     then one `applyInPandas` per group verifies |C|/chunks rows against
     the complete candidate set with the vectorized sorted-sum kernel.
     Total comparisons are identical to the broadcast form; no node —
-    least of all the driver — ever holds more than |C|·d values.
+    least of all the driver — ever holds more than |C|·d values.  The
+    per-group argsort of the candidate matrix is O(|C| log |C|) against
+    the kernel's O(|C|²/chunks·d) — noise in the regime (|C| above
+    the caller's scatter threshold) where this path is chosen.
+
+    `pruned` must already be persisted + materialized: both the verify
+    side and the replicated candidate side read it inside one action.
     """
     spark = pruned.sparkSession
     k = max(int(chunks or spark.sparkContext.defaultParallelism), 1)
-    # Both the verify side and the replicated candidate side read `pruned`;
-    # pin it so the upstream local prune is not computed twice.
-    pruned = pruned.persist()
     dims = [F.col(c) for c in cols]
     b_side = (pruned
               .withColumn("__ck", F.pmod(F.xxhash64(*dims), F.lit(k)))
