@@ -47,8 +47,10 @@ from flink_skyline_qos_spark.operators.clustering import (  # noqa: E402
 from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    simhash_near_dup_pairs_sql,
 )
 from flink_skyline_qos_spark.operators.partitioners import (  # noqa: E402
     mr_dim_sql,
@@ -71,6 +73,7 @@ from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_ivf,
     embedding_near_dup_lsh,
+    embedding_near_dup_lsh_sql,
     embedding_near_dup_pairs,
 )
 from flink_skyline_qos_spark.plans.metrics import (  # noqa: E402
@@ -272,10 +275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_dedup_documents"] = lambda s, d: minhash_lsh_pairs(
         load_table(s, d, "documents"), num_hashes=64, bands=16,
         shingle_k=5, threshold=0.5,
-    )  # rows-only: xxhash64 has no DuckDB twin
+    )
     q["simhash_near_dup_documents"] = lambda s, d: simhash_near_dup_pairs(
         load_table(s, d, "documents"), max_hamming=3,
-    )  # rows-only: xxhash64 has no DuckDB twin
+    )
 
     # --- near-dup clustering: transitive closure of the EXACT n-gram
     # pair set (large-star/small-star), every doc labeled. The oracle is
@@ -286,6 +289,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ngram_jaccard_pairs(load_table(s, d, "documents"), k=3,
                             unit="word", threshold=0.05),
     )
+
+    # --- the full dedup pipeline as ONE query: MinHash-LSH candidate
+    # pairs → connected components → keep-first canonical corpus.
+    # Oracle: recursive min-label CTE over the exact minhash pair SQL.
+    def _dedup_corpus(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                  shingle_k=5, threshold=0.5)
+        labeled = dedup_clusters(docs, pairs)
+        return (docs.join(labeled, "doc_id")
+                .filter(F.col("is_canonical"))
+                .select("doc_id", "cluster_id"))
+    q["dedup_corpus_documents"] = _dedup_corpus
 
     # --- text analysis over documents ---
     q["text_stats_documents"] = lambda s, d: text_stats(
@@ -443,7 +459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # unlabeled scale path: random-hyperplane LSH blocking, exact verify.
-    # rows-only: the Gaussian plane matrix has no SQL twin.
     q["embedding_near_dup_lsh"] = lambda s, d: embedding_near_dup_lsh(
         load_table(s, d, "embeddings"), threshold=0.35,
         n_planes=32, bands=8,
@@ -569,6 +584,31 @@ SELECT node AS doc_id, min(comp) AS cluster_id,
 FROM reach GROUP BY node
 """.strip()
 
+    o["minhash_dedup_documents"] = minhash_lsh_pairs_sql(
+        "documents", num_hashes=64, bands=16, shingle_k=5, threshold=0.5)
+    o["simhash_near_dup_documents"] = simhash_near_dup_pairs_sql("documents")
+
+    # Full dedup pipeline: recursive min-label closure over the exact
+    # minhash pair SQL, canonical members only.
+    o["dedup_corpus_documents"] = f"""
+WITH RECURSIVE mp AS (
+{minhash_lsh_pairs_sql("documents", num_hashes=64, bands=16,
+                       shingle_k=5, threshold=0.5)}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mp
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mp
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id
+FROM reach GROUP BY node HAVING min(comp) = node
+""".strip()
+
     o["text_stats_documents"] = text_stats_sql("documents")
 
     o["sample_documents"] = deterministic_sample_sql(
@@ -626,6 +666,9 @@ FROM ranked WHERE rn <= 10
         f"({generate_points_sql(GEN_N, 4, dist='anti_correlated')})",
         ["d0", "d1", "d2", "d3"],
     )
+
+    o["embedding_near_dup_lsh"] = embedding_near_dup_lsh_sql(
+        "embeddings", 64, threshold=0.35, n_planes=32, bands=8)
 
     o["embedding_near_dup"] = """
 WITH d AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings)

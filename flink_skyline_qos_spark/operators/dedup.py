@@ -37,8 +37,20 @@ __all__ = [
 ]
 
 # 31-bit Mersenne prime: with h,a,b < 2³¹, a·h+b < 2⁶³ — no 64-bit overflow
-# inside the JVM expression (xxhash64 output is first reduced with pmod).
+# inside the JVM expression (the base hash is first reduced with pmod).
 _MERSENNE = (1 << 31) - 1
+
+
+def _md5_long(col: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix — engine-portable.
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — the same
+    construction the deterministic generators use
+    (`sources/generators.py`), giving every hash-keyed dedup operator an
+    exact SQL oracle.  15 hex chars = 60 bits keeps the value positive
+    in a signed int64 on both engines.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _scale_out(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
@@ -104,8 +116,11 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 
 def shingle_hashes(shingles: Column) -> Column:
-    """Base hash array: `xxhash64` per shingle reduced into [0, 2³¹-1)."""
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    """Base hash array: md5-derived 60-bit hash per shingle, reduced
+    into [0, 2³¹-1).  md5 (not xxhash64) so the whole MinHash pipeline
+    has an exact DuckDB twin; ~2× slower per shingle than xxhash64 but
+    the signature fold, not the base hash, dominates the stage."""
+    return F.transform(shingles, lambda s: F.pmod(_md5_long(s), F.lit(_MERSENNE)))
 
 
 def minhash_signature(base_hashes: Column, num_hashes: int = 64, *,
@@ -187,8 +202,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
           else word_shingles(F.col(text_col), shingle_k, distinct=False))
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-        .alias("__h"),
+        shingle_hashes(sh).alias("__h"),
     )
     # scale-out AFTER the JVM hashing projection: the shuffle then moves
     # compact hash arrays (not raw text) and parallelizes the signature
@@ -206,9 +220,13 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
             .alias("sig"),
         ).persist()
     sig.count()  # pin the cache before the banded self-join (see ngram)
+    # Band bucket = md5-derived hash of "band:sig[..]:sig[..]" — a pure
+    # equi-join key, md5-keyed (like the base hashes) for the SQL twin.
     band_cols = [
-        F.xxhash64(F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1)
-                               for r in range(rows_per_band)]).alias("bucket")
+        _md5_long(F.concat_ws(":", F.lit(b).cast("string"),
+                              *[F.element_at("sig", b * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)])).alias("bucket")
         for b in range(bands)
     ]
     banded = sig.select(
@@ -351,6 +369,115 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def minhash_lsh_pairs_sql(table_sql: str, *, id_col: str = "doc_id",
+                          text_col: str = "text", num_hashes: int = 64,
+                          bands: int = 16, shingle_k: int = 5,
+                          shingle_unit: str = "char", seed: int = 42,
+                          max_bucket: int = 1000,
+                          threshold: float | None = None) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` — exact value parity.
+
+    Possible because every hash in the pipeline is md5-derived
+    (:func:`_md5_long`) and the permutation arithmetic is integer-exact
+    on both engines (a·h+b < 2⁶² in signed int64).  The permutation
+    coefficients are embedded as array literals from the same seeded
+    RandomState the Spark side uses.
+    """
+    if shingle_unit != "char":  # pragma: no cover - only char is registered
+        raise NotImplementedError("SQL twin implemented for char shingles")
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    params = _hash_params(num_hashes, seed)
+    a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
+    band_concat = " || ':' || ".join(
+        ["b::VARCHAR"] + [f"sig[{rpb} * b + {r + 1}]::VARCHAR"
+                          for r in range(rpb)])
+    est = (f"(list_sum(list_transform(range({num_hashes}), "
+           f"j -> CASE WHEN sig_a[j + 1] = sig_b[j + 1] THEN 1 ELSE 0 END))"
+           f" / {float(num_hashes)!r})")
+    where = f"WHERE {est} >= {threshold!r}" if threshold is not None else ""
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id,
+         unnest(list_transform(
+           range(1, greatest(length({text_col}) - {shingle_k - 1}, 1) + 1),
+           i -> substr({text_col}, i, {shingle_k}))) AS s
+  FROM {table_sql}
+),
+base AS (
+  SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE} AS h
+  FROM sh
+),
+perm AS (
+  SELECT id, j,
+         min(({a_lit}[j + 1] * h + {b_lit}[j + 1]) % {_MERSENNE}) AS m
+  FROM base, range({num_hashes}) t(j)
+  GROUP BY id, j
+),
+sig AS (SELECT id, list(m ORDER BY j) AS sig FROM perm GROUP BY id),
+banded AS (
+  SELECT id, sig, b,
+         ('0x' || substr(md5({band_concat}), 1, 15))::BIGINT AS bucket
+  FROM sig, range({bands}) t(b)
+),
+ok AS (
+  SELECT b, bucket FROM banded GROUP BY b, bucket
+  HAVING count(*) <= {max_bucket}
+),
+okb AS (SELECT banded.* FROM banded JOIN ok USING (b, bucket)),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sig AS sig_a, y.sig AS sig_b
+  FROM okb x JOIN okb y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT id_a, id_b, {est} AS est_jaccard
+FROM cand
+{where}
+""".strip()
+
+
+def simhash_near_dup_pairs_sql(table_sql: str, *, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_near_dup_pairs` (60-bit md5 tokens)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(string_split_regex(trim({text_col}), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM {table_sql}
+),
+th AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bits AS (
+  SELECT id, j,
+         CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM th, range(60) t(j)
+  GROUP BY id, j
+),
+sims AS (
+  SELECT id, sum(bit * (1::BIGINT << j))::BIGINT AS sh FROM bits GROUP BY id
+),
+allsim AS (
+  SELECT d.{id_col} AS id, coalesce(s.sh, 0) AS sh
+  FROM {table_sql} d LEFT JOIN sims s ON s.id = d.{id_col}
+),
+quarters AS (
+  SELECT id, sh, qq, (sh >> (16 * qq)) & 65535 AS key
+  FROM allsim, range(4) t(qq)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS h_a, b.sh AS h_b
+  FROM quarters a JOIN quarters b
+    ON a.qq = b.qq AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+""".strip()
+
+
 def _simhash_fold(num_bits: int = 64):
     """pandas-UDF kernel: fold per-token 64-bit hashes into a SimHash."""
 
@@ -374,18 +501,22 @@ def _simhash_fold(num_bits: int = 64):
 
 def simhash(df: DataFrame, *, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over whitespace tokens.
+    """(id, simhash long): 60-bit SimHash over whitespace tokens.
 
-    Token hashing stays JVM-side (`xxhash64` per token); only the 64-way
-    bit-majority fold runs in NumPy over Arrow batches.
+    Token hashing stays JVM-side (md5-derived 60-bit hash per token, so
+    the whole operator has an exact DuckDB twin); only the bit-majority
+    fold runs in NumPy over Arrow batches.  60 bits (not 64) because the
+    portable base hash is an md5 hex prefix that must stay positive in a
+    signed int64 on both engines; the hamming semantics are unchanged.
     """
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("token_hashes"),
+        F.transform(toks, lambda t: _md5_long(t)).alias("token_hashes"),
     )
-    return hashed.mapInPandas(_simhash_fold(), schema="id long, simhash long")
+    return hashed.mapInPandas(_simhash_fold(num_bits=60),
+                              schema="id long, simhash long")
 
 
 def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",

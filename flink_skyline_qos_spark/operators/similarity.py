@@ -30,6 +30,8 @@ __all__ = [
     "cosine_similarity",
     "cosine_topk",
     "cosine_topk_ivf",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_sql",
     "embedding_near_dup_pairs",
 ]
 
@@ -280,6 +282,70 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     return cand.select(
         "id_a", "id_b", cosine_similarity(va, vb).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_near_dup_lsh_sql(table_sql: str, dim: int,
+                               threshold: float = 0.9, *,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_planes: int = 32, bands: int = 8,
+                               seed: int = 42,
+                               max_bucket: int = 2000) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_lsh`.
+
+    The Gaussian plane matrix is regenerated from the same seeded
+    RandomState and embedded as DOUBLE[] literals; sign bits, band
+    packing, the bucket-size cap, and the exact cosine verify are
+    reproduced relationally.  Sign parity between numpy's pairwise-
+    summed GEMM and DuckDB's sequential dot product would only diverge
+    for a projection within ~1 ulp of zero — vanishing for real
+    embeddings (same class of fp risk the exact-cosine oracles accept).
+    """
+    assert n_planes % bands == 0
+    rpb = n_planes // bands
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(planes[i, j])) for i in range(dim)))
+        for j in range(n_planes)
+    )
+    cos = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(b.v, b.v)))")
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id, cast({vec_col} AS DOUBLE[]) AS v FROM {table_sql}
+),
+planes(j, p) AS (
+  VALUES
+    {rows}
+),
+bits AS (
+  SELECT e.id, p.j,
+         CASE WHEN list_dot_product(e.v, p.p) >= 0
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM e, planes p
+),
+buckets AS (
+  SELECT id, j // {rpb} AS band,
+         sum(bit * (1::BIGINT << (j % {rpb})))::BIGINT AS bucket
+  FROM bits GROUP BY id, j // {rpb}
+),
+ok AS (
+  SELECT band, bucket FROM buckets GROUP BY band, bucket
+  HAVING count(*) <= {max_bucket}
+),
+okb AS (SELECT buckets.* FROM buckets JOIN ok USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM okb x JOIN okb y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS cos_sim
+FROM cand c
+JOIN e a ON a.id = c.id_a
+JOIN e b ON b.id = c.id_b
+WHERE {cos} >= {threshold!r}
+""".strip()
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
