@@ -121,6 +121,7 @@ class SkylinePipeline:
         self.meta_dir = os.path.join(work_dir, "state", "meta")
         self.results_dir = os.path.join(work_dir, "results", "points")
         self.metrics_dir = os.path.join(work_dir, "results", "metrics")
+        self.batches_processed = 0
         os.makedirs(self.meta_dir, exist_ok=True)
 
     # -- state I/O ---------------------------------------------------------
@@ -223,6 +224,7 @@ class SkylinePipeline:
                              local_cpu_ns=int(local_cpu_acc.value))
         finally:
             batch.unpersist()
+            self.batches_processed += 1
 
     def _answer(self, batch_id: int, released: list[tuple[str, int]],
                 meta: dict, *, ingest_ms: int = 0,
@@ -314,6 +316,37 @@ class SkylinePipeline:
             .start()
         )
         q.awaitTermination()
+
+    def run_stream(self, tagged: DataFrame, *, timeout_s: float = 30.0,
+                   min_batches: int = 2,
+                   processing_interval: str = "1 second") -> int:
+        """Run the pipeline off ANY tagged ``(value, kind)`` stream — the
+        production driver shape: an unbounded source (rate, socket, or
+        :func:`sources.kafka_stream`) with a processing-time trigger.
+
+        Stops once ``min_batches`` micro-batches have been processed (or
+        at ``timeout_s``, whichever first) and waits for the in-flight
+        batch to finish; state/results are whatever the completed epochs
+        committed — the same any-time-stop contract a Kafka deployment
+        has.  Returns the number of batches processed.
+        """
+        start = self.batches_processed
+        q = (
+            tagged.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation",
+                    os.path.join(self.work_dir, "checkpoint"))
+            .trigger(processingTime=processing_interval)
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_s
+            while (time.time() < deadline
+                   and self.batches_processed - start < min_batches):
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return self.batches_processed - start
 
     def results(self) -> DataFrame:
         return self.spark.read.option("recursiveFileLookup", "true") \

@@ -23,6 +23,8 @@ __all__ = [
     "kafka_sink",
     "file_stream",
     "rate_stream",
+    "rate_tuple_dims",
+    "rate_tuples_stream",
 ]
 
 #: the reference raises the producer's max request to 10 MB for large
@@ -102,4 +104,44 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 10_000) -> DataFrame
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rows_per_second))
         .load()
+    )
+
+
+def rate_tuple_dims(dims: int, domain_max: float = 10000.0) -> list:
+    """Deterministic dim columns derived from ``id`` — md5-seeded like the
+    hash generators, so a batch `spark.range` over the same ids
+    reproduces a rate stream's tuples exactly (test oracle)."""
+    from ..sources.generators import _u01
+
+    return [
+        F.floor(_u01(f"rate{i}") * domain_max).cast("double").alias(f"d{i}")
+        for i in range(dims)
+    ]
+
+
+def rate_tuples_stream(spark: SparkSession, dims: int, *,
+                       rows_per_second: int = 1000,
+                       trigger_every: int = 500,
+                       domain_max: float = 10000.0) -> DataFrame:
+    """Tagged ``(value, kind)`` pipeline input synthesized from the rate
+    source — a genuinely UNBOUNDED, non-file execution path for the
+    S1/S2 contract (the Kafka twin minus the broker).
+
+    Every ``trigger_every``-th row becomes a K=0 trigger
+    (``"q<id>,0"`` — immediate release, FlinkSkyline.java:334); the rest
+    serialize as CSV service tuples whose dims are a pure md5 function
+    of the row id (:func:`rate_tuple_dims`), so the exact ingested
+    prefix can be regenerated in batch and verified.
+    """
+    base = rate_stream(spark, rows_per_second).select(
+        F.col("value").alias("id"))
+    dim_cols = rate_tuple_dims(dims, domain_max)
+    data_val = F.concat_ws(
+        ",", F.col("id").cast("string"),
+        *[c.cast("string") for c in dim_cols])
+    trig_val = F.concat(F.lit("q"), F.col("id").cast("string"), F.lit(",0"))
+    is_trig = (F.col("id") % trigger_every) == (trigger_every - 1)
+    return base.select(
+        F.when(is_trig, trig_val).otherwise(data_val).alias("value"),
+        F.when(is_trig, F.lit(1)).otherwise(F.lit(0)).alias("kind"),
     )
