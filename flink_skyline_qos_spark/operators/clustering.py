@@ -78,7 +78,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", *, nodes: DataFrame | None = None,
                          node_col: str | None = None,
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(node, component) for every node, component = min node id reachable.
 
     ``nodes`` (single-column unless ``node_col`` names one) adds
@@ -92,15 +93,32 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     instead of wrapping.  A checksum collision between different edge
     sets is ~2⁻⁶⁴ per round — the same class of risk the md5/xxhash
     dedup operators already accept.  Each round's frame is
-    localCheckpointed to truncate lineage (iterative plans otherwise
-    grow exponentially); the previous round's blocks are unpersisted
-    once the new round is materialized so executor storage stays O(|E|)
+    checkpointed to truncate lineage (iterative plans otherwise grow
+    exponentially); the previous round's blocks are unpersisted once
+    the new round is materialized so executor storage stays O(|E|)
     rather than O(rounds · |E|).
+
+    By default the checkpoint is ``localCheckpoint`` — fast, but
+    non-replicated: after lineage truncation, losing one executor fails
+    the job.  Fine on local mode and for restartable batch jobs; for
+    long fault-tolerant runs at the 100 TB scale pass
+    ``checkpoint_dir`` (a reliable store, e.g. HDFS/S3) to use
+    replicated ``checkpoint()`` instead.
     """
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = ckpt(_canon(edges, src, dst))
     prev = None
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = ckpt(_small_star(_large_star(e)))
         e.unpersist()
         e = nxt
         chk = e.agg(

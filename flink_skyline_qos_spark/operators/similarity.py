@@ -130,10 +130,15 @@ def _nearest_cells_expr(vec_col: str, centroids: np.ndarray,
             F.lit(0.0), lambda acc, v: acc + v,
         )
         dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+    # distance ties break on cell id EXPLICITLY (not via sort stability)
+    # — guaranteed parity with the pandas path's lexsort.
     ordered = F.array_sort(
         F.array(*dists),
         lambda a, b: F.when(a["d"] < b["d"], -1)
-                      .when(a["d"] > b["d"], 1).otherwise(0),
+                      .when(a["d"] > b["d"], 1)
+                      .when(a["cell"] < b["cell"], -1)
+                      .when(a["cell"] > b["cell"], 1)
+                      .otherwise(0),
     )
     return F.transform(F.slice(ordered, 1, n), lambda s: s["cell"])
 

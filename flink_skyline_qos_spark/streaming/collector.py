@@ -18,10 +18,12 @@ column order (``metrics_collector.py:60-72``).  That is deliberately a
 driver append, not a distributed write: metric records are
 one-per-query (O(queries), never O(data)), and the reference's
 idempotent-file semantics — headers only when creating, append+flush
-otherwise — require a single writer.  A sidecar progress file makes
-foreachBatch retries idempotent: a replayed micro-batch is skipped
-instead of re-appended (the reference, being at-least-once Kafka, can
-duplicate on replay; we do one better without changing the schema).
+otherwise — require a single writer.  A sidecar progress file (keyed to
+the run's checkpoint location) makes CLEAN foreachBatch retries
+idempotent: a replayed micro-batch is skipped instead of re-appended.
+On a crash between the CSV append and the sidecar write the batch is
+re-appended — at-least-once, the same floor as the reference's Kafka
+consumer (see :class:`_CsvAppender`).
 """
 
 from __future__ import annotations
@@ -109,18 +111,44 @@ def _canonical_row(d: dict) -> list:
 
 class _CsvAppender:
     """Headers-once append-mode CSV with per-batch flush and a sidecar
-    progress file for exactly-once-per-micro-batch appends."""
+    progress file keyed to the run's checkpoint location.
 
-    def __init__(self, path: str, order_by: Sequence[str]):
+    Delivery semantics: duplicate-free for CLEAN foreachBatch retries
+    (the sidecar skips a replayed batch id), **at-least-once on crash**
+    — the CSV append and the sidecar write are two files and cannot be
+    atomic, so a crash between them re-appends that one batch on
+    replay.  The reference collector (at-least-once Kafka,
+    metrics_collector.py:85) has the same floor.
+
+    The sidecar records the checkpoint location (``run_id``): when a
+    caller reuses a CSV path with a FRESH checkpoint (batch ids restart
+    at 0), progress resets instead of silently dropping every new batch
+    against the stale high-water mark.
+    """
+
+    def __init__(self, path: str, order_by: Sequence[str],
+                 run_id: str = ""):
         self.path = path
         self.progress = path + ".progress"
         self.order_by = list(order_by)
+        self.run_id = run_id
 
     def _done_through(self) -> int:
-        if os.path.isfile(self.progress):
-            with open(self.progress) as fh:
-                return int(fh.read().strip() or -1)
-        return -1
+        if not os.path.isfile(self.progress):
+            return -1
+        with open(self.progress) as fh:
+            raw = fh.read().strip()
+        try:
+            state = json.loads(raw)
+        except json.JSONDecodeError:
+            state = None
+        if not isinstance(state, dict):
+            # pre-run_id sidecar (bare int): honor it only for same-path
+            # continuations; a new checkpoint should reset anyway.
+            state = {"run": "", "batch_id": int(raw or -1)}
+        if state.get("run", "") != self.run_id:
+            return -1  # different run / fresh checkpoint — start over
+        return int(state.get("batch_id", -1))
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id <= self._done_through():
@@ -137,7 +165,7 @@ class _CsvAppender:
             fh.flush()
         tmp = self.progress + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
+            json.dump({"run": self.run_id, "batch_id": batch_id}, fh)
         os.replace(tmp, self.progress)
 
 
@@ -152,7 +180,8 @@ def collect_stream(records: DataFrame, csv_path: str, *,
     ``for message in consumer`` loop (metrics_collector.py:85).
     """
     writer = (
-        records.writeStream.foreachBatch(_CsvAppender(csv_path, order_by))
+        records.writeStream
+        .foreachBatch(_CsvAppender(csv_path, order_by, run_id=checkpoint))
         .option("checkpointLocation", checkpoint)
     )
     if available_now:
@@ -188,14 +217,24 @@ def collect_pipeline_metrics(spark: SparkSession, metrics_dir: str,
     table joined per emission, never a full-history scan).
     """
     if schema is None:
-        schema = spark.read.option("recursiveFileLookup", "true") \
-            .parquet(metrics_dir).schema
+        try:
+            schema = spark.read.option("recursiveFileLookup", "true") \
+                .parquet(metrics_dir).schema
+        except Exception:
+            # Collector-first startup (the reference's normal order,
+            # metrics_collector.py:44-49): the pipeline has not committed
+            # its first metrics batch yet — fall back to the engine's
+            # known metrics shape instead of failing.
+            from .engine import PIPELINE_METRICS_DDL
+
+            schema = PIPELINE_METRICS_DDL
     src = spark.readStream.schema(schema) \
         .option("pathGlobFilter", "*.parquet") \
         .parquet(os.path.join(metrics_dir, "batch_*"))
 
     if results_dir and point_cols:
-        appender = _CsvAppender(csv_path, ("batch_id", "query_id"))
+        appender = _CsvAppender(csv_path, ("batch_id", "query_id"),
+                                run_id=checkpoint)
 
         def with_points(batch: DataFrame, batch_id: int) -> None:
             pts = _points_json_col(results_dir, spark, point_cols)

@@ -52,9 +52,18 @@ from ..operators.skyline import (
 )
 from .wire import parse_service_tuples, parse_triggers
 
-__all__ = ["SkylinePipeline", "read_state_skyline"]
+__all__ = ["SkylinePipeline", "read_state_skyline", "PIPELINE_METRICS_DDL"]
 
 _KEEP_EPOCHS = 2  # current + previous, for retry/debug
+
+#: Schema of the per-batch metrics rows `_answer` writes — also the
+#: collector's fallback when it starts before the first batch commits.
+PIPELINE_METRICS_DDL = (
+    "query_id string, record_count long, skyline_size long,"
+    " optimality double, batch_id long, ingest_ms long,"
+    " global_ms long, total_ms long, latency_ms long,"
+    " local_cpu_ms long, global_cpu_ms long"
+)
 
 
 def _batch_subdir(batch_id: int) -> str:
@@ -280,10 +289,7 @@ class SkylinePipeline:
                 for qid, _k in released
             ]
             self.spark.createDataFrame(
-                rows, "query_id string, record_count long, skyline_size long,"
-                      " optimality double, batch_id long, ingest_ms long,"
-                      " global_ms long, total_ms long, latency_ms long,"
-                      " local_cpu_ms long, global_cpu_ms long",
+                rows, PIPELINE_METRICS_DDL,
             ).write.mode("overwrite").parquet(
                 os.path.join(self.metrics_dir, _batch_subdir(batch_id)))
         finally:

@@ -93,3 +93,13 @@ def test_dedup_clusters_canonical_flag(spark):
     # keep-canonical = dedup'd corpus: one doc per cluster
     kept = [d for d, (c, k) in got.items() if k]
     assert sorted(kept) == [0, 1, 3, 5]
+
+
+def test_reliable_checkpoint_variant(spark, tmp_path):
+    """checkpoint_dir opts into replicated checkpoint(); same answer."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {(r["node"], r["component"])
+           for r in connected_components(
+               edges, checkpoint_dir=str(tmp_path / "ck")).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

@@ -144,3 +144,23 @@ def test_perf_series_transform(tmp_path):
     assert np.allclose(s["records_m"], [1.0, 2.0])
     assert np.allclose(s["total_s"], [2.0, 4.0])
     assert np.allclose(s["ingest_s"], [0.5, 1.0])
+
+
+def test_csv_appender_sidecar_resets_on_new_run(tmp_path):
+    """A stale sidecar from a DIFFERENT run (fresh checkpoint, batch ids
+    restarting at 0) must not suppress the new run's batches."""
+    from flink_skyline_qos_spark.streaming.collector import _CsvAppender
+
+    csv_path = str(tmp_path / "m.csv")
+    old = _CsvAppender(csv_path, ("query_id",), run_id="ckpt-run-1")
+    # simulate run 1 having committed through batch 7
+    with open(old.progress, "w") as fh:
+        fh.write('{"run": "ckpt-run-1", "batch_id": 7}')
+    assert old._done_through() == 7
+    new = _CsvAppender(csv_path, ("query_id",), run_id="ckpt-run-2")
+    assert new._done_through() == -1  # fresh run: nothing done yet
+    # legacy bare-int sidecar (pre-run_id format) also resets for a
+    # run-id'd appender
+    with open(old.progress, "w") as fh:
+        fh.write("4")
+    assert new._done_through() == -1
