@@ -71,6 +71,7 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
 )
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
+    cosine_topk_gemm,
     cosine_topk_ivf,
     embedding_near_dup_lsh,
     embedding_near_dup_lsh_sql,
@@ -428,6 +429,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("cos_sim", 6).alias("cos_sim"), "rank")
     q["ann_topk_embeddings"] = _ann
 
+    # Same top-k, GEMM physics (partial top-k per Arrow batch — the
+    # 100 TB path); oracled against the same SQL as the declarative form.
+    def _ann_gemm(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = cosine_topk_gemm(emb, qs, k=10)
+        return out.select("query_id", "vec_id",
+                          F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    q["ann_topk_gemm_embeddings"] = _ann_gemm
+
     def _ann_ivf(s: SparkSession, d: str) -> DataFrame:
         emb = load_table(s, d, "embeddings")
         qs = emb.filter(F.col("vec_id") < 5).select(
@@ -637,6 +650,7 @@ SELECT query_id, vec_id, round(sim, 6) AS cos_sim, cast(rn AS int) AS rank
 FROM ranked WHERE rn <= 10
 """.strip()
     o["ann_topk_embeddings"] = _ann_oracle
+    o["ann_topk_gemm_embeddings"] = _ann_oracle
     o["ann_topk_ivf_embeddings"] = _ann_oracle
 
     o["streaming_pipeline_skyline"] = skyline_not_exists_sql(

@@ -152,27 +152,51 @@ def minhash_signature(base_hashes: Column, num_hashes: int = 64, *,
 def _minhash_fold_np(num_hashes: int, seed: int):
     """mapInPandas kernel: (id, base-hash array) → (id, signature array).
 
-    All permutations evaluated as one (num_hashes × n) NumPy broadcast
-    per row — same arithmetic as :func:`minhash_signature`'s JVM fold
-    ((a·h + b) mod p, elementwise min), ~20× faster: the JVM expression
-    allocates a 64-long array per shingle, this allocates two matrices
-    per row.  Signatures are bit-identical between the two paths.
+    Fully vectorized ACROSS rows: the batch's shingle-hash arrays are
+    concatenated into one flat vector, all permutations evaluated as a
+    single (num_hashes × total_shingles) broadcast, and the per-row
+    minima taken with one segmented ``np.minimum.reduceat`` — no
+    per-row Python loop (the loop form measured ~10× slower at ~300
+    shingles/doc: per-row array conversion + kernel dispatch dominate).
+    Same arithmetic as :func:`minhash_signature`'s JVM fold
+    ((a·h + b) mod p, elementwise min); signatures are bit-identical
+    between the two paths.  Rows are sub-chunked so the permutation
+    matrix stays bounded (~128 MB) regardless of Arrow batch size.
     """
     params = _hash_params(num_hashes, seed)
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    max_flat = max(2**24 // num_hashes, 1024)  # shingles per sub-chunk
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for hashes in pdf["__h"]:
-                if hashes is None or len(hashes) == 0:
-                    sigs.append([_MERSENNE] * num_hashes)
-                    continue
-                h = np.asarray(hashes, dtype=np.int64)[None, :]
-                # h < p < 2³¹ and a < p ⇒ a·h < 2⁶² — no int64 overflow
-                sigs.append(((a * h + b) % _MERSENNE).min(axis=1).tolist())
-            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+            if pdf.empty:
+                continue
+            arrs = [np.asarray(h, dtype=np.int64)
+                    if h is not None else np.empty(0, np.int64)
+                    for h in pdf["__h"]]
+            lens = np.array([len(x) for x in arrs], dtype=np.int64)
+            sigs = np.full((len(arrs), num_hashes), _MERSENNE,
+                           dtype=np.int64)
+            lo = 0
+            while lo < len(arrs):
+                hi = lo
+                tot = 0
+                while hi < len(arrs) and (tot == 0 or
+                                          tot + lens[hi] <= max_flat):
+                    tot += lens[hi]
+                    hi += 1
+                nz = np.flatnonzero(lens[lo:hi]) + lo
+                if nz.size:
+                    flat = np.concatenate([arrs[i] for i in nz])
+                    # h < p < 2³¹ and a < p ⇒ a·h < 2⁶² — no overflow
+                    ph = (a * flat[None, :] + b) % _MERSENNE
+                    starts = np.zeros(nz.size, dtype=np.int64)
+                    starts[1:] = np.cumsum(lens[nz])[:-1]
+                    sigs[nz] = np.minimum.reduceat(ph, starts, axis=1).T
+                lo = hi
+            yield pd.DataFrame({"id": pdf["id"],
+                                "sig": [s.tolist() for s in sigs]})
 
     return fn
 

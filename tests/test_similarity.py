@@ -155,3 +155,24 @@ def test_near_dup_lsh_unblocked(vecs):
     assert (0, 999) in found
     for r in pairs:
         assert r.cos_sim >= 0.999
+
+
+def test_cosine_topk_gemm_matches_declarative(vecs):
+    """The GEMM scale path returns the same (query, neighbor, rank) set
+    as the declarative higher-order-function form, with cos_sim equal
+    to 6 dp (fp summation order differs)."""
+    from flink_skyline_qos_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_gemm,
+    )
+
+    df, _ = vecs
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ref = {(r["query_id"], r["vec_id"], r["rank"]): r["cos_sim"]
+           for r in cosine_topk(df, qs, k=5).collect()}
+    got = {(r["query_id"], r["vec_id"], r["rank"]): r["cos_sim"]
+           for r in cosine_topk_gemm(df, qs, k=5).collect()}
+    assert got.keys() == ref.keys()
+    for key, sim in got.items():
+        assert abs(sim - ref[key]) < 1e-6
