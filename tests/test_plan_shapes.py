@@ -1,0 +1,123 @@
+"""Physical-plan shape guards — the 100 TB claims, test-enforced.
+
+Each operator's ARCHITECTURE.md scale claim has a matching structural
+assertion on the formatted plan: shuffle (Exchange) counts, absence of
+Python eval nodes on all-JVM paths, and scan-side column pruning.
+These fail when a refactor silently adds a shuffle or drops work into
+row-at-a-time Python — the regressions that stay invisible at test SF
+and dominate at cluster scale.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Python-side eval operators (any flavor); row-at-a-time BatchEvalPython
+# must never appear anywhere.
+_PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted mode prints each node in the tree AND a detail section;
+    # count detail headers so each Exchange counts once.
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_text_stats_all_jvm(spark):
+    """Text analysis is pure Column exprs — zero Python eval nodes."""
+    from flink_skyline_qos_spark.functions.text import text_stats
+
+    plan = _plan(text_stats(load_table(spark, SF_DIR, "documents")))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_deterministic_sample_zero_shuffle_and_pruned_scan(spark):
+    """Sampling is a scan-side filter: no Exchange; only the key + data
+    columns are read."""
+    from flink_skyline_qos_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = _plan(deterministic_sample(docs, 0.1, ["doc_id"]))
+    assert "Exchange" not in plan, plan
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_skyline_single_survivor_exchange(spark):
+    """The scale-path skyline: narrow local prune, survivors cross ONE
+    tiny exchange to the merge task."""
+    from flink_skyline_qos_spark.operators.skyline import skyline
+
+    li = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_extendedprice", "l_discount")
+    plan = _plan(skyline(li, ["l_extendedprice", "l_discount"]))
+    assert _n_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_grouped_skyline_2d_window_plan_all_jvm(spark):
+    """2-D grouped skyline's window strategy stays whole-stage JVM."""
+    from flink_skyline_qos_spark.operators.skyline import grouped_skyline
+
+    ev = load_table(spark, SF_DIR, "events") \
+        .select("event_type", "value", "user_id") \
+        .withColumn("v2", F.col("value") * 2)
+    plan = _plan(grouped_skyline(ev, ["value", "v2"], "event_type",
+                                 strategy="window"))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+    # the strategy's shape: distinct-d0 collapse (aggregate) feeding one
+    # Window, joined back broadcast — all JVM operators
+    assert re.search(r"^\(\d+\) Window", plan, re.M), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cosine_topk_gemm_one_exchange(spark):
+    """GEMM top-k: corpus scanned once (no shuffle), partial top-k rows
+    cross ONE exchange into the final per-query rank."""
+    from flink_skyline_qos_spark.operators.similarity import (
+        cosine_topk_gemm,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(cosine_topk_gemm(emb, qs, k=5))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_exact_dedup_single_aggregate_shuffle(spark):
+    """Exact dedup = partial agg, one hash exchange, final agg."""
+    from flink_skyline_qos_spark.operators.dedup import exact_dedup
+
+    plan = _plan(exact_dedup(load_table(spark, SF_DIR, "documents")))
+    assert _n_exchanges(plan) == 1, plan
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_lineitem_scan_prunes_columns(spark):
+    """A 2-column projection reaches the parquet scan as a 2-column
+    ReadSchema — the scan never reads the full 16-column row."""
+    li = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_extendedprice", "l_discount")
+    plan = _plan(li.filter(F.col("l_discount") > 0.01))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "l_extendedprice" in read[0] and "l_discount" in read[0]
+    assert "l_comment" not in read[0], read[0]
+    assert "PushedFilters: [" in plan and "IsNotNull(l_discount)" in plan, plan
