@@ -33,6 +33,8 @@ from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
     skyline_broadcast_verify,
 )
 from flink_skyline_qos_spark.functions.text import (  # noqa: E402
+    repetition_stats,
+    repetition_stats_sql,
     text_stats,
     text_stats_sql,
 )
@@ -306,6 +308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text analysis over documents ---
     q["text_stats_documents"] = lambda s, d: text_stats(
+        load_table(s, d, "documents")
+    )
+    # Gopher-rule repetition signals (dup-line frac, top-2-gram frac)
+    q["repetition_stats_documents"] = lambda s, d: repetition_stats(
         load_table(s, d, "documents")
     )
 
@@ -623,6 +629,7 @@ FROM reach GROUP BY node HAVING min(comp) = node
 """.strip()
 
     o["text_stats_documents"] = text_stats_sql("documents")
+    o["repetition_stats_documents"] = repetition_stats_sql("documents")
 
     o["sample_documents"] = deterministic_sample_sql(
         "documents", 0.1, ["doc_id"])

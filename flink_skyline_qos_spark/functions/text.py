@@ -24,6 +24,8 @@ __all__ = [
     "doc_fingerprint",
     "rolling_fingerprint",
     "text_stats",
+    "repetition_stats",
+    "repetition_stats_sql",
     "STOPWORDS",
 ]
 
@@ -237,3 +239,74 @@ def text_stats_sql(table: str, text_col: str = "text") -> str:
         f"{rolling_fingerprint_sql(c)} AS rolling_fp "
         f"FROM {table}"
     )
+
+
+def repetition_stats(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", ngram: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    ``(id, dup_line_frac, top_ngram_frac)``.
+
+    * ``dup_line_frac`` — fraction of the document's lines that are
+      duplicates of an earlier line (1 − distinct/total).
+    * ``top_ngram_frac`` — occurrences of the most frequent word
+      `ngram`-gram over total n-gram occurrences.  Documents with fewer
+      than `ngram` tokens contribute one truncated gram (frac 1.0).
+
+    Relational shape: explode → two hash aggregates keyed on (id, gram)
+    then (id) — map-side combined, no UDF, no per-doc quadratic
+    expression; at 100 TB both shuffles carry (id, gram-count) rows,
+    never raw text.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+    )
+    lines = F.split(t, "\n")
+    per_doc = df.select(
+        F.col(id_col),
+        (F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines))
+        .alias("dup_line_frac"),
+        grams.alias("__g"),
+    )
+    counts = per_doc.select(id_col, F.explode("__g").alias("g")) \
+        .groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    top = counts.groupBy(id_col).agg(
+        (F.max("c") * F.lit(1.0) / F.sum("c")).alias("top_ngram_frac"))
+    return per_doc.select(id_col, "dup_line_frac").join(top, id_col)
+
+
+def repetition_stats_sql(table: str, *, id_col: str = "doc_id",
+                         text_col: str = "text", ngram: int = 2) -> str:
+    """DuckDB twin of :func:`repetition_stats` (exact value parity:
+    integer-count divisions are correctly-rounded doubles on both
+    engines)."""
+    c = text_col
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         string_split_regex(trim({c}), '\\s+') AS w,
+         string_split({c}, chr(10)) AS lines
+  FROM {table}
+),
+grams AS (
+  SELECT id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - {ngram - 1}, 1)),
+           i -> array_to_string(w[i:i+{ngram - 1}], ' '))) AS g
+  FROM base
+),
+counts AS (SELECT id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT id, max(c) * 1.0 / sum(c) AS top_ngram_frac FROM counts GROUP BY 1
+),
+dl AS (
+  SELECT id,
+         1.0 - len(list_distinct(lines)) / len(lines) AS dup_line_frac
+  FROM base
+)
+SELECT dl.id AS {id_col}, dl.dup_line_frac, top.top_ngram_frac
+FROM dl JOIN top USING (id)
+""".strip()
