@@ -275,26 +275,33 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
 
 
 def skyline_auto(df: DataFrame, cols: Sequence[str], *,
-                 broadcast_threshold: int = 100_000) -> DataFrame:
+                 broadcast_threshold: int = 100_000,
+                 scatter_threshold: int = 2_000_000) -> DataFrame:
     """Adaptive skyline: measure the local-pruned survivor count, then
     pick the physical strategy it calls for.
 
     Small survivor sets (the common 2-D/3-D case) finish with the tiny
-    single-task merge; huge ones (high-dim anti-correlated) switch to
-    the all-cores broadcast verification.  The decision costs one
-    count over the already-persisted pruned frame — the same
-    measure-then-replan move AQE makes at shuffle boundaries, applied
-    to the one operator Catalyst cannot see into.
+    single-task merge; huge ones (high-dim anti-correlated) take one
+    shuffled re-prune (cross-partition dominated candidates die, and
+    verify cost falls with |C|²) and then the same hybrid verify as
+    :func:`skyline_broadcast_verify` — driver-broadcast of dim values
+    up to `scatter_threshold` survivors, the driver-free scatter
+    exchange beyond.  Each decision costs one count over an
+    already-persisted frame (which also pins the cache both verify
+    sides read) — the same measure-then-replan move AQE makes at
+    shuffle boundaries, applied to the one operator Catalyst cannot
+    see into.
     """
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
     n = pruned.count()
     if n > broadcast_threshold:
-        # Huge-survivor regime: one shuffled re-prune first (cross-partition
-        # dominated candidates die, and verify cost falls with |C|²), then
-        # the driver-free scatter verify.
         par = df.sparkSession.sparkContext.defaultParallelism
         re_pruned = (pruned.repartition(par)
-                     .mapInPandas(_prune_batches(cols), schema=df.schema))
+                     .mapInPandas(_prune_batches(cols), schema=df.schema)
+                     .persist())
+        m = re_pruned.count()
+        if m <= scatter_threshold:
+            return _verify_against_broadcast(re_pruned, cols)
         return _verify_scatter(re_pruned, cols)
     return (
         pruned.repartition(1)

@@ -77,6 +77,10 @@ def test_skyline_broadcast_verify(lineitem, oracle_2d, sf_dir):
     oracle3 = as_sorted(duck_skyline(sf_dir, "lineitem", DIMS3))
     got3 = skyline_broadcast_verify(lineitem, DIMS3)
     assert spark_rows(got3, all_cols(lineitem)) == oracle3
+    # scatter_threshold=0 forces the driver-free scatter-replicate
+    # verify (otherwise only reached above 2M survivors) — same answer
+    got_s = skyline_broadcast_verify(lineitem, DIMS2, scatter_threshold=0)
+    assert spark_rows(got_s, all_cols(lineitem)) == oracle_2d
 
 
 def test_grouped_skyline(events, sf_dir):
@@ -187,3 +191,7 @@ def test_skyline_auto_both_branches(lineitem, oracle_2d):
     # threshold 0 → broadcast-verify branch, same answer
     got_b = skyline_auto(lineitem, DIMS2, broadcast_threshold=0)
     assert spark_rows(got_b, all_cols(lineitem)) == oracle_2d
+    # both thresholds 0 → re-prune + scatter verify, same answer
+    got_s = skyline_auto(lineitem, DIMS2, broadcast_threshold=0,
+                         scatter_threshold=0)
+    assert spark_rows(got_s, all_cols(lineitem)) == oracle_2d
