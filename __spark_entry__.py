@@ -70,6 +70,8 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
     deterministic_sample_sql,
     hash_split,
     hash_split_sql,
+    stratified_sample,
+    stratified_sample_sql,
 )
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
@@ -322,6 +324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_documents"] = lambda s, d: hash_split(
         load_table(s, d, "documents").select("doc_id"),
         {"train": 0.9, "val": 0.05, "test": 0.05}, ["doc_id"])
+    # training-mix rebalance: downsample en, keep zh, drop unlisted
+    q["stratified_sample_documents"] = lambda s, d: stratified_sample(
+        load_table(s, d, "documents").select("doc_id", "lang"),
+        {"en": 0.1, "zh": 1.0, "de": 0.5}, "lang", ["doc_id"])
 
     # --- streaming pipeline (ST1-ST7): foreachBatch ingest, record-ID
     # barrier, incremental local-skyline state, trigger-released answer.
@@ -636,6 +642,9 @@ FROM reach GROUP BY node HAVING min(comp) = node
     o["split_documents"] = hash_split_sql(
         "(SELECT doc_id FROM documents)",
         {"train": 0.9, "val": 0.05, "test": 0.05}, ["doc_id"])
+    o["stratified_sample_documents"] = stratified_sample_sql(
+        "(SELECT doc_id, lang FROM documents)",
+        {"en": 0.1, "zh": 1.0, "de": 0.5}, "lang", ["doc_id"])
 
     _ann_oracle = """
 WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -32,8 +32,11 @@ HEADLINE = [
     "prefix_query_skyline_events",
     "minhash_dedup_documents",
     "ngram_jaccard_documents",
+    "dedup_corpus_documents",
     "text_stats_documents",
+    "repetition_stats_documents",
     "ann_topk_embeddings",
+    "ann_topk_gemm_embeddings",
     "skyline_metrics_mr_dim",
 ]
 

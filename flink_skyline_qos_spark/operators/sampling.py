@@ -29,6 +29,8 @@ __all__ = [
     "deterministic_sample_sql",
     "hash_split",
     "hash_split_sql",
+    "stratified_sample",
+    "stratified_sample_sql",
 ]
 
 _BUCKETS = 1 << 32
@@ -99,3 +101,45 @@ def hash_split_sql(table_sql: str, weights: Mapping[str, float],
     whens = " ".join(f"WHEN {b} < {hi} THEN '{name}'"
                      for name, hi in _thresholds(weights))
     return f"SELECT *, CASE {whens} END AS {split_col} FROM {table_sql}"
+
+
+def stratified_sample(df: DataFrame, rates: Mapping[str, float],
+                      stratum_col: str, key_cols: Sequence[str], *,
+                      default_rate: float = 0.0,
+                      seed: int = 42) -> DataFrame:
+    """Per-stratum content-stable sampling — the training-mix
+    rebalancing op (e.g. downsample 'en' to 10 %, keep all 'zh').
+
+    ``rates`` maps stratum values (of ``stratum_col``) to keep
+    fractions; strata not listed keep ``default_rate``.  The keep
+    decision is the same md5 bucket as :func:`deterministic_sample`,
+    so a row's fate is stable across reruns/engines AND across rate
+    changes for *other* strata (each row compares its own bucket to
+    its own stratum's threshold — re-mixing one language never
+    reshuffles another's sample).  Zero shuffle: one scan-side filter.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    thr = F.lit(int(default_rate * _BUCKETS))
+    for name, r in rates.items():
+        thr = F.when(F.col(stratum_col) == name,
+                     F.lit(int(r * _BUCKETS))).otherwise(thr)
+    return df.filter(hash_bucket(key_cols, seed) < thr)
+
+
+def stratified_sample_sql(table_sql: str, rates: Mapping[str, float],
+                          stratum_col: str, key_cols: Sequence[str], *,
+                          default_rate: float = 0.0,
+                          seed: int = 42) -> str:
+    """DuckDB twin of :func:`stratified_sample` (bit-identical rows)."""
+    b = _bucket_sql(key_cols, seed)
+    # Spark builds when/otherwise INSIDE-OUT (later rates wrap earlier
+    # ones), but stratum values are distinct so order cannot matter.
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{name}' THEN {int(r * _BUCKETS)}"
+        for name, r in rates.items())
+    thr = f"CASE {whens} ELSE {int(default_rate * _BUCKETS)} END"
+    return f"SELECT * FROM {table_sql} WHERE {b} < {thr}"

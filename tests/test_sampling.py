@@ -66,3 +66,22 @@ def test_duckdb_parity(docs, sf_dir):
                        {"train": 0.9, "val": 0.05, "test": 0.05},
                        ["doc_id"])).fetchall())
     assert spark_split == duck_split
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    from flink_skyline_qos_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["en", "zh", "de", "fr"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, {"en": 0.2, "zh": 1.0}, "lang", ["doc_id"])
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert by.get("zh") == 1000              # rate 1.0 keeps everything
+    assert 120 <= by.get("en", 0) <= 280     # ~200 expected
+    assert "de" not in by and "fr" not in by  # default_rate 0 drops
+    # content-stable: changing ANOTHER stratum's rate never reshuffles
+    # this stratum's sample
+    en1 = {r["doc_id"] for r in out.filter("lang = 'en'").collect()}
+    out2 = stratified_sample(df, {"en": 0.2, "zh": 0.5}, "lang", ["doc_id"])
+    en2 = {r["doc_id"] for r in out2.filter("lang = 'en'").collect()}
+    assert en1 == en2
