@@ -22,3 +22,44 @@ def test_repetition_stats_crafted(spark):
     assert out[2][0] == pytest.approx(1 - 2 / 3)
     assert out[3] == (0.0, 1.0)
     assert out[4] == (0.0, pytest.approx(1 / 3))
+
+
+def _py_repetition(text, ngram=2):
+    """Pure-Python model of repetition_stats for property testing."""
+    lines = text.split("\n")
+    dup_line_frac = 1.0 - len(set(lines)) / len(lines)
+    toks = [t for t in __import__("re").split(r"\s+", text.strip())]
+    # Spark split keeps [''] for empty/blank text
+    if toks == []:
+        toks = [""]
+    n = len(toks)
+    grams = [" ".join(toks[i:i + ngram]) for i in range(max(n - ngram, 0) + 1)]
+    from collections import Counter
+
+    c = Counter(grams)
+    return dup_line_frac, max(c.values()) / len(grams)
+
+
+def test_repetition_stats_property(spark):
+    """Spark output equals the pure-Python model over generated docs
+    (word repeats, newlines, blanks, unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["a", "bb", "ccc", "τok", "x1"])
+    line = st.lists(words, min_size=1, max_size=6).map(" ".join)
+    doc = st.lists(line, min_size=1, max_size=5).map("\n".join)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        got = {r["doc_id"]: (r["dup_line_frac"], r["top_ngram_frac"])
+               for r in repetition_stats(df).collect()}
+        for i, t in enumerate(texts):
+            exp = _py_repetition(t)
+            assert got[i][0] == pytest.approx(exp[0]), (t, got[i], exp)
+            assert got[i][1] == pytest.approx(exp[1]), (t, got[i], exp)
+
+    run()
