@@ -195,3 +195,26 @@ def test_skyline_auto_both_branches(lineitem, oracle_2d):
     got_s = skyline_auto(lineitem, DIMS2, broadcast_threshold=0,
                          scatter_threshold=0)
     assert spark_rows(got_s, all_cols(lineitem)) == oracle_2d
+
+
+def test_verify_paths_agree_on_4d_anticorr(spark):
+    """Broadcast and scatter verifies return identical skylines on a
+    nontrivial 4-D anti-correlated set (hash generator: deterministic,
+    partition-layout independent)."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_points_hash,
+    )
+
+    pts = generate_points_hash(spark, 20_000, 4, dist="anti_correlated")
+    cols = ["d0", "d1", "d2", "d3"]
+    nb = {tuple(r) for r in
+          skyline_broadcast_verify(pts, cols,
+                                   pre_merge_partitions=8).collect()}
+    ns = {tuple(r) for r in
+          skyline_broadcast_verify(pts, cols, pre_merge_partitions=8,
+                                   scatter_threshold=0).collect()}
+    assert nb == ns
+    assert len(nb) > 1000  # anti-correlated 4-D: large skyline expected
