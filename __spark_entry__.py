@@ -33,6 +33,8 @@ from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
     skyline_broadcast_verify,
 )
 from flink_skyline_qos_spark.functions.text import (  # noqa: E402
+    redact_text,
+    redact_text_sql,
     repetition_stats,
     repetition_stats_sql,
     text_stats,
@@ -314,6 +316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # Gopher-rule repetition signals (dup-line frac, top-2-gram frac)
     q["repetition_stats_documents"] = lambda s, d: repetition_stats(
+        load_table(s, d, "documents")
+    )
+    # PII/URL redaction pass (emails/URLs/long digit runs masked)
+    q["redact_documents"] = lambda s, d: redact_text(
         load_table(s, d, "documents")
     )
 
@@ -636,6 +642,7 @@ FROM reach GROUP BY node HAVING min(comp) = node
 
     o["text_stats_documents"] = text_stats_sql("documents")
     o["repetition_stats_documents"] = repetition_stats_sql("documents")
+    o["redact_documents"] = redact_text_sql("documents")
 
     o["sample_documents"] = deterministic_sample_sql(
         "documents", 0.1, ["doc_id"])

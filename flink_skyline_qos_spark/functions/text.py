@@ -26,6 +26,8 @@ __all__ = [
     "text_stats",
     "repetition_stats",
     "repetition_stats_sql",
+    "redact_text",
+    "redact_text_sql",
     "STOPWORDS",
 ]
 
@@ -309,4 +311,55 @@ dl AS (
 )
 SELECT dl.id AS {id_col}, dl.dup_line_frac, top.top_ngram_frac
 FROM dl JOIN top USING (id)
+""".strip()
+
+
+# Redaction patterns restricted to constructs with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): char classes, +/{m,}, alternation.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_LONG_DIGITS_RE = r"[0-9]{9,}"  # SSN/phone/card-shaped digit runs
+
+
+def redact_text(df: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """PII/URL scrubbing — the standard pre-training redaction pass.
+
+    Returns (id, redacted text, per-category match counts).  Emails →
+    ``<EMAIL>``, URLs → ``<URL>``, ≥9-digit runs → ``<NUM>`` (applied in
+    that order, so URL query digits are already collapsed into
+    ``<URL>``).  Pure `regexp_replace`/`regexp_count` Column exprs —
+    whole-stage codegen, no UDF, no shuffle; patterns kept to the
+    Java-regex ∩ RE2 common subset so the DuckDB twin is exact.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, _URL_RE, "<URL>")
+    red = F.regexp_replace(red, _LONG_DIGITS_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(t, F.lit(_LONG_DIGITS_RE)).cast("long")
+        .alias("n_long_digit_runs"),
+    )
+
+
+def redact_text_sql(table: str, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of :func:`redact_text`."""
+    c = text_col
+    return f"""
+SELECT {id_col},
+       regexp_replace(regexp_replace(regexp_replace({c},
+         '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_URL_RE}', '<URL>', 'g'),
+         '{_LONG_DIGITS_RE}', '<NUM>', 'g') AS redacted,
+       cast(len(regexp_extract_all({c}, '{_EMAIL_RE}')) as bigint)
+         AS n_emails,
+       cast(len(regexp_extract_all({c}, '{_URL_RE}')) as bigint) AS n_urls,
+       cast(len(regexp_extract_all({c}, '{_LONG_DIGITS_RE}')) as bigint)
+         AS n_long_digit_runs
+FROM {table}
 """.strip()

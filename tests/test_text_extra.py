@@ -63,3 +63,27 @@ def test_repetition_stats_property(spark):
             assert got[i][1] == pytest.approx(exp[1]), (t, got[i], exp)
 
     run()
+
+
+def test_redact_text_crafted(spark):
+    from flink_skyline_qos_spark.functions.text import redact_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "see https://a.example.com/p?q=123456789123 and http://b.io"),
+            (3, "card 4111111111111111 pin 1234"),
+            (4, "clean text, nothing to hide"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_text(docs).collect()}
+    assert out[1]["redacted"] == "mail me at <EMAIL> today"
+    assert out[1]["n_emails"] == 1
+    # URL swallows its digit query; the bare domain is a second URL
+    assert out[2]["redacted"] == "see <URL> and <URL>"
+    assert out[2]["n_urls"] == 2 and out[2]["n_long_digit_runs"] == 1
+    assert out[3]["redacted"] == "card <NUM> pin 1234"
+    assert out[3]["n_long_digit_runs"] == 1
+    assert out[4]["redacted"] == "clean text, nothing to hide"
+    assert out[4]["n_emails"] == out[4]["n_urls"] == 0
