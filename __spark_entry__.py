@@ -33,6 +33,9 @@ from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
     skyline_broadcast_verify,
 )
 from flink_skyline_qos_spark.functions.text import (  # noqa: E402
+    quality_score,
+    quality_score_sql,
+    redact_expr_sql,
     redact_text,
     redact_text_sql,
     repetition_stats,
@@ -322,6 +325,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["redact_documents"] = lambda s, d: redact_text(
         load_table(s, d, "documents")
     )
+
+    # --- the capstone: the COMPLETE LLM data-prep pipeline as one
+    # query — quality gate → MinHash near-dup dedup (canonical only) →
+    # PII redaction → deterministic split — every stage composed from
+    # the registered operators, oracled end-to-end.
+    def _llm_corpus(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        qual = docs.filter(quality_score(F.col("text")) >= 0.5)
+        pairs = minhash_lsh_pairs(qual, num_hashes=64, bands=16,
+                                  shingle_k=5, threshold=0.5)
+        labeled = dedup_clusters(qual, pairs)
+        canon = qual.join(
+            labeled.filter(F.col("is_canonical")).select("doc_id"),
+            "doc_id")
+        red = redact_text(canon).select("doc_id", "redacted")
+        out = red.join(canon.select("doc_id", "lang"), "doc_id")
+        return hash_split(out.select("doc_id", "lang", "redacted"),
+                          {"train": 0.9, "val": 0.05, "test": 0.05},
+                          ["doc_id"])
+    q["llm_corpus_documents"] = _llm_corpus
 
     # --- deterministic sampling / splitting (content-stable md5
     # buckets; reproducible across engines/reruns/repartitioning) ---
@@ -643,6 +666,38 @@ FROM reach GROUP BY node HAVING min(comp) = node
     o["text_stats_documents"] = text_stats_sql("documents")
     o["repetition_stats_documents"] = repetition_stats_sql("documents")
     o["redact_documents"] = redact_text_sql("documents")
+
+    # Capstone pipeline oracle: every stage's SQL builder composed into
+    # one WITH-RECURSIVE chain (quality gate → minhash pairs → min-label
+    # closure → canonical join → redaction → hash split).
+    o["llm_corpus_documents"] = f"""
+WITH RECURSIVE qual AS (
+  SELECT * FROM documents WHERE {quality_score_sql('text')} >= 0.5
+),
+mp AS (
+{minhash_lsh_pairs_sql("qual", num_hashes=64, bands=16,
+                       shingle_k=5, threshold=0.5)}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mp
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mp
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM qual
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+canon AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING min(comp) = node
+),
+red AS (
+  SELECT q2.doc_id, q2.lang, {redact_expr_sql('q2.text')} AS redacted
+  FROM qual q2 JOIN canon USING (doc_id)
+)
+{hash_split_sql("red", {"train": 0.9, "val": 0.05, "test": 0.05},
+                ["doc_id"])}
+""".strip()
 
     o["sample_documents"] = deterministic_sample_sql(
         "documents", 0.1, ["doc_id"])

@@ -28,6 +28,7 @@ __all__ = [
     "repetition_stats_sql",
     "redact_text",
     "redact_text_sql",
+    "redact_expr_sql",
     "STOPWORDS",
 ]
 
@@ -344,6 +345,14 @@ def redact_text(df: DataFrame, *, id_col: str = "doc_id",
         F.regexp_count(t, F.lit(_LONG_DIGITS_RE)).cast("long")
         .alias("n_long_digit_runs"),
     )
+
+
+def redact_expr_sql(col: str) -> str:
+    """Just the redaction expression (for composing into pipelines)."""
+    return (f"regexp_replace(regexp_replace(regexp_replace({col}, "
+            f"'{_EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{_URL_RE}', '<URL>', 'g'), "
+            f"'{_LONG_DIGITS_RE}', '<NUM>', 'g')")
 
 
 def redact_text_sql(table: str, *, id_col: str = "doc_id",
