@@ -244,6 +244,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_skyline_events"] = _windowed
 
+    # --- session-window skyline: per-user Pareto set within activity
+    # sessions (gap > 30 min starts a new session).  Sessionization is
+    # the classic gaps-and-islands window plan — lag + running sum, all
+    # JVM — composed with the 2-D all-JVM grouped-skyline strategy, so
+    # the whole query stays in whole-stage codegen.
+    def _session(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        ev = load_table(s, d, "events").select(
+            "event_id", "user_id", "event_type", "value",
+            F.unix_millis(F.col("ts").cast("timestamp")).cast("double")
+            .alias("unix_ms"))
+        w = Window.partitionBy("user_id").orderBy("unix_ms", "event_id")
+        new_sess = F.when(
+            (F.col("unix_ms") - F.lag("unix_ms").over(w))
+            > 30 * 60 * 1000, 1).otherwise(0)
+        ev = ev.withColumn("__sess", F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        return grouped_skyline(ev, ["value", "unix_ms"],
+                               by=["user_id", "__sess"])
+    q["session_skyline_events"] = _session
+
     # sliding windows (1 h window, 30 min slide → every event in exactly
     # two windows).  2-D ⇒ the all-JVM window plan (skew-immune: each
     # group is collapsed to its distinct-d0 rows before the sorted
@@ -572,6 +594,20 @@ def oracle_sql() -> dict[str, str]:
         "cast(epoch(time_bucket(INTERVAL '1 hour', ts)) as bigint) "
         "AS win_start FROM events)",
         ["value", "unix_ms"], select="t.*", partition_by=["win_start"],
+    )
+
+    o["session_skyline_events"] = skyline_not_exists_sql(
+        "(WITH e AS (SELECT event_id, user_id, event_type, value, "
+        "cast(epoch_ms(ts) as double) AS unix_ms FROM events), "
+        "s AS (SELECT *, CASE WHEN unix_ms - lag(unix_ms) OVER "
+        "(PARTITION BY user_id ORDER BY unix_ms, event_id) > 1800000.0 "
+        "THEN 1 ELSE 0 END AS new_sess FROM e) "
+        "SELECT event_id, user_id, event_type, value, unix_ms, "
+        "cast(sum(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY unix_ms, event_id ROWS UNBOUNDED PRECEDING) as bigint) "
+        "AS __sess FROM s)",
+        ["value", "unix_ms"], select="t.*",
+        partition_by=["user_id", "__sess"],
     )
 
     o["sliding_skyline_events"] = skyline_not_exists_sql(
