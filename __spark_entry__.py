@@ -266,6 +266,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                by=["user_id", "__sess"])
     q["session_skyline_events"] = _session
 
+    # --- data profiling: per-type distribution summary (count/min/max/
+    # mean/p50/p95) — the pipeline-health check run before any training
+    # job; one map-side-combined aggregate, percentile exact (matches
+    # DuckDB quantile_cont bit-for-bit at 6 dp, verified).
+    q["profile_events"] = lambda s, d: (
+        load_table(s, d, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("value"), 6).alias("min_v"),
+             F.round(F.max("value"), 6).alias("max_v"),
+             F.round(F.avg("value"), 6).alias("mean_v"),
+             F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
+    )
+
     # sliding windows (1 h window, 30 min slide → every event in exactly
     # two windows).  2-D ⇒ the all-JVM window plan (skew-immune: each
     # group is collapsed to its distinct-d0 rows before the sorted
@@ -595,6 +610,15 @@ def oracle_sql() -> dict[str, str]:
         "AS win_start FROM events)",
         ["value", "unix_ms"], select="t.*", partition_by=["win_start"],
     )
+
+    o["profile_events"] = """
+SELECT event_type, count(*) AS n,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS mean_v,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+""".strip()
 
     o["session_skyline_events"] = skyline_not_exists_sql(
         "(WITH e AS (SELECT event_id, user_id, event_type, value, "
