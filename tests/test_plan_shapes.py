@@ -121,3 +121,16 @@ def test_lineitem_scan_prunes_columns(spark):
     assert "l_extendedprice" in read[0] and "l_discount" in read[0]
     assert "l_comment" not in read[0], read[0]
     assert "PushedFilters: [" in plan and "IsNotNull(l_discount)" in plan, plan
+
+
+def test_profile_events_single_aggregate_exchange(spark):
+    """Distribution profiling = partial agg, one hash exchange, final
+    agg — percentile included in the map-side combine."""
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    plan = _plan(
+        ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"))
+    )
+    assert _n_exchanges(plan) == 1, plan
+    assert not any(n in plan for n in _PYTHON_NODES), plan
