@@ -129,7 +129,16 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
             for j in range(len(ids_q)):
                 s = sims[:, j]
                 if len(s) > kk:
+                    # argpartition alone breaks similarity ties arbitrarily
+                    # — with >kk rows tied at the kk-th similarity (exact
+                    # duplicate embeddings) it can drop the smallest-id
+                    # tied neighbor the final (−sim, id) rank would keep.
+                    # Select under the full order: partition for speed,
+                    # then lexsort only the rows at-or-above the kk-th
+                    # similarity (ties included) and cut to kk.
                     part = np.argpartition(-s, kk - 1)[:kk]
+                    tied = np.flatnonzero(s >= s[part].min())
+                    part = tied[np.lexsort((ids[tied], -s[tied]))[:kk]]
                 else:
                     part = np.arange(len(s))
                 out_q.append(np.full(len(part), ids_q[j]))

@@ -176,3 +176,31 @@ def test_cosine_topk_gemm_matches_declarative(vecs):
     assert got.keys() == ref.keys()
     for key, sim in got.items():
         assert abs(sim - ref[key]) < 1e-6
+
+
+def test_cosine_topk_gemm_ties_exact(spark):
+    """>k corpus rows tied at the k-th similarity (exact-duplicate
+    embeddings — the near-dup corpus case): the per-batch selection must
+    keep the smallest-id tied neighbors, matching the (−sim, id) order
+    of the final rank and the declarative form (ADVICE r3, medium)."""
+    from flink_skyline_qos_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_gemm,
+    )
+
+    rs = np.random.RandomState(3)
+    base = rs.randn(16).astype(np.float32)
+    rows = [(i, base.tolist()) for i in range(50)]  # 50 exact duplicates
+    rows += [(50 + i, rs.randn(16).astype(np.float32).tolist())
+             for i in range(250)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(8)
+    qs = spark.createDataFrame(
+        [(0, base.tolist())], "query_id long, embedding array<float>")
+    ref = [(r["vec_id"], r["rank"])
+           for r in cosine_topk(df, qs, k=5).collect()]
+    got = [(r["vec_id"], r["rank"])
+           for r in cosine_topk_gemm(df, qs, k=5).collect()]
+    assert sorted(got) == sorted(ref)
+    # all five tied at cos=1 → ids 0..4 win under the id tie-break
+    assert sorted(v for v, _ in got) == [0, 1, 2, 3, 4]
