@@ -218,3 +218,34 @@ def test_verify_paths_agree_on_4d_anticorr(spark):
                                    scatter_threshold=0).collect()}
     assert nb == ns
     assert len(nb) > 1000  # anti-correlated 4-D: large skyline expected
+
+
+def test_scatter_verify_above_threshold_1m_4d(spark):
+    """VERDICT r3 #1: execute the scatter-verify path ABOVE its
+    threshold at the designated scale — 1M 4-D anti-correlated with
+    scatter_threshold=100k routes its ~222k survivors through the
+    driver-free scatter exchange (r2's scatter defect shipped precisely
+    because this regime had only ever run below threshold).  Parity
+    against the broadcast form on the identical input."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+    from flink_skyline_qos_spark.sources.generators import generate_points
+
+    par = spark.sparkContext.defaultParallelism
+    pts = generate_points(spark, 1_000_000, 4, dist="anti_correlated",
+                          num_partitions=2 * par).persist()
+    try:
+        cols = ["d0", "d1", "d2", "d3"]
+        scatter = skyline_broadcast_verify(
+            pts, cols, pre_merge_partitions=par,
+            scatter_threshold=100_000)
+        broadcast = skyline_broadcast_verify(
+            pts, cols, pre_merge_partitions=par)
+        ns = scatter.groupBy(*cols).count()
+        nb = broadcast.groupBy(*cols).count()
+        assert {tuple(r) for r in ns.collect()} \
+            == {tuple(r) for r in nb.collect()}
+        assert scatter.count() > 100_000  # genuinely above the threshold
+    finally:
+        pts.unpersist()
