@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import release_on_gc
+
 __all__ = [
     "exact_dedup",
     "char_shingles",
@@ -284,7 +286,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
-    return out
+    return release_on_gc(out, sig)
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -352,6 +354,9 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
                 F.transform("og", lambda x: x["g"]).alias("grams"))
     ).persist()
     doc.count()
+    # doc is materialized and every later stage reads doc (or prefix
+    # derived from it) — the exploded-gram index cache is dead weight.
+    flat.unpersist(False)
     # α−1e-9: τ·n in float can land a hair above the exact product and
     # ceil() one too high → a too-short prefix would MISS pairs.  Erring
     # low only lengthens the prefix (more candidates, still exact).
@@ -380,7 +385,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     doc_b = doc.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"),
                        F.col("grams").alias("grams_b"))
     n_inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    return (
+    return release_on_gc(
         cand.join(doc_a, "id_a").join(doc_b, "id_b")
         .withColumn("n_inter", n_inter)
         .select(
@@ -389,7 +394,8 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
              / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
              ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= tau)
+        .filter(F.col("jaccard") >= tau),
+        doc,
     )
 
 

@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dominance import dominates
+from .caching import release_on_gc
 from .kernels import merge_skylines, skyline_mask
 from .partitioners import partitioner_expr
 
@@ -182,8 +183,13 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     pruned = pruned.persist()
     n = pruned.count()
     if n <= scatter_threshold:
-        return _verify_against_broadcast(pruned, cols)
-    return _verify_scatter(pruned, cols, chunks=verify_chunks)
+        out = _verify_against_broadcast(pruned, cols)
+    else:
+        out = _verify_scatter(pruned, cols, chunks=verify_chunks)
+    # the pin backs the returned lazy frame — released when the caller
+    # drops the result (ADVICE r3: repeated calls otherwise accumulate
+    # cached blocks until memory pressure)
+    return release_on_gc(out, pruned)
 
 
 def _verify_against_broadcast(pruned: DataFrame,
@@ -348,12 +354,18 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
                      .mapInPandas(_prune_batches(cols), schema=df.schema)
                      .persist())
         m = re_pruned.count()
+        # re_pruned is materialized: the first-stage cache is dead weight
+        # from here on (ADVICE r3) — release it eagerly.
+        pruned.unpersist(False)
         if m <= scatter_threshold:
-            return _verify_against_broadcast(re_pruned, cols)
-        return _verify_scatter(re_pruned, cols)
-    return (
+            out = _verify_against_broadcast(re_pruned, cols)
+        else:
+            out = _verify_scatter(re_pruned, cols)
+        return release_on_gc(out, re_pruned)
+    return release_on_gc(
         pruned.repartition(1)
-        .mapInPandas(_prune_batches(cols), schema=df.schema)
+        .mapInPandas(_prune_batches(cols), schema=df.schema),
+        pruned,
     )
 
 

@@ -1,0 +1,103 @@
+"""Operator-internal persists must not outlive the returned frame.
+
+VERDICT r3 #5 / ADVICE r3: operators pin candidate/signature frames
+(`persist()` + eager count) because the consuming action happens outside
+the operator — but CacheManager keys caches by plan, so without an
+explicit release a composed pipeline accumulates pinned blocks.  The
+release is tied to the result frame's lifetime (weakref finalize —
+`operators/caching.py`); these tests assert the pins actually drain
+once the caller drops the result.
+"""
+
+import gc
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _drain(spark, *frames) -> None:
+    for f in frames:
+        del f
+    gc.collect()
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, f"document body {i % 7} with shared text phrase {i % 3}")
+            for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_broadcast_verify_releases_cache(spark):
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_points_hash,
+    )
+
+    pts = generate_points_hash(spark, 5_000, 3, dist="anti_correlated")
+    base = _n_persistent(spark)
+    out = skyline_broadcast_verify(pts, ["d0", "d1", "d2"],
+                                   pre_merge_partitions=4)
+    out.count()
+    assert _n_persistent(spark) > base  # pinned while the result is alive
+    del out
+    gc.collect()
+    assert _n_persistent(spark) == base
+
+
+def test_skyline_auto_releases_caches_both_branches(spark):
+    from flink_skyline_qos_spark.operators.skyline import skyline_auto
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_points_hash,
+    )
+
+    pts = generate_points_hash(spark, 3_000, 3, dist="anti_correlated")
+    base = _n_persistent(spark)
+    # huge-survivor branch (threshold 0): first-stage pin must be released
+    # EAGERLY once the re-prune materializes, the rest on GC
+    out = skyline_auto(pts, ["d0", "d1", "d2"], broadcast_threshold=0)
+    out.count()
+    assert _n_persistent(spark) <= base + 1  # only re_pruned still pinned
+    del out
+    gc.collect()
+    assert _n_persistent(spark) == base
+    # small-survivor branch
+    out = skyline_auto(pts, ["d0", "d1", "d2"],
+                       broadcast_threshold=10_000_000)
+    out.count()
+    del out
+    gc.collect()
+    assert _n_persistent(spark) == base
+
+
+def test_minhash_releases_signature_cache(spark, docs):
+    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
+
+    base = _n_persistent(spark)
+    out = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3,
+                            shingle_unit="char")
+    out.count()
+    del out
+    gc.collect()
+    assert _n_persistent(spark) == base
+
+
+def test_ngram_releases_index_caches(spark, docs):
+    from flink_skyline_qos_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = _n_persistent(spark)
+    out = ngram_jaccard_pairs(docs, k=3, unit="word", threshold=0.5)
+    n = out.count()
+    # the exploded-gram index is released eagerly (doc materialized
+    # inside the operator), so at most the doc-array pin is live here
+    assert _n_persistent(spark) <= base + 1
+    del out
+    gc.collect()
+    assert _n_persistent(spark) == base
+    assert n > 0  # the corpus above genuinely contains near-dups
