@@ -203,6 +203,23 @@ def _minhash_fold_np(num_hashes: int, seed: int):
     return fn
 
 
+def _dropped_bucket_stats(sizes: DataFrame, max_bucket: int) -> DataFrame:
+    """One-row lazy frame quantifying what a bucket-size cap discarded.
+
+    `sizes` is a (..., n) per-bucket count frame.  Returns
+    (dropped_buckets, dropped_rows, dropped_pairs) over the buckets with
+    n > max_bucket — dropped_pairs = Σ n·(n−1)/2 is the number of
+    candidate pairs the cap silently declined to emit (an upper bound on
+    lost recall; cohabitation in another band can still recover a pair).
+    """
+    return sizes.filter(F.col("n") > max_bucket).agg(
+        F.count("*").alias("dropped_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("dropped_rows"),
+        F.coalesce(F.sum(F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)),
+                   F.lit(0)).cast("long").alias("dropped_pairs"),
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
                       bands: int = 16, shingle_k: int = 5,
@@ -218,6 +235,12 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     on boilerplate-heavy corpora).  `impl="numpy"` (default) computes
     signatures in an Arrow-batched kernel; `impl="expr"` keeps the
     all-JVM expression fold (identical signatures, no Python workers).
+
+    The cap is OBSERVABLE (VERDICT r3 #3 — silent truncation reads as
+    full recall on boilerplate-heavy corpora): the returned frame
+    carries a lazy companion ``result.lsh_dropped`` — one row
+    ``(dropped_buckets, dropped_rows, dropped_pairs)`` aggregating the
+    over-cap buckets — that costs nothing unless counted.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -264,6 +287,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
              F.col("bb.bucket").alias("bucket"))
     # cap pathological buckets before the self-join
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    dropped = _dropped_bucket_stats(sizes, max_bucket)
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")),
         ["band", "bucket"],
@@ -286,6 +310,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
+    out.lsh_dropped = dropped
     return release_on_gc(out, sig)
 
 

@@ -311,7 +311,9 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     (pigeonhole on sign agreement); exact cosine computed only on bucket
     cohabitants.  Recall is probabilistic (P[same bit] = 1 − θ/π per
     plane), tunable via n_planes/bands; candidates are verified exactly,
-    so precision is 1.  `max_bucket` caps degenerate buckets.
+    so precision is 1.  `max_bucket` caps degenerate buckets; the cap is
+    observable via the lazy companion ``result.lsh_dropped`` (one row:
+    dropped_buckets / dropped_rows / dropped_pairs — VERDICT r3 #3).
     """
     assert n_planes % bands == 0
     rows_per_band = n_planes // bands
@@ -342,6 +344,9 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
         F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
         .alias("band", "bucket"))
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    from .dedup import _dropped_bucket_stats
+
+    dropped = _dropped_bucket_stats(sizes, max_bucket)
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")),
         ["band", "bucket"])
@@ -357,9 +362,11 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     )
     va = F.transform("va", lambda x: x.cast("double"))
     vb = F.transform("vb", lambda x: x.cast("double"))
-    return cand.select(
+    out = cand.select(
         "id_a", "id_b", cosine_similarity(va, vb).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+    out.lsh_dropped = dropped
+    return out
 
 
 def embedding_near_dup_lsh_sql(table_sql: str, dim: int,

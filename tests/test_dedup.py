@@ -86,3 +86,50 @@ def test_simhash_identical_and_near(corpus):
 def test_simhash_empty_text(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     assert simhash(df).first().simhash == 0
+
+
+def test_minhash_bucket_cap_is_observable(spark):
+    """VERDICT r3 #3: on a boilerplate corpus (every doc identical —
+    all band buckets degenerate), the max_bucket cap must not truncate
+    SILENTLY: the companion frame quantifies dropped buckets/pairs."""
+    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_pairs(boiler, num_hashes=16, bands=4,
+                               shingle_k=3, max_bucket=10)
+    assert capped.count() == 0  # every bucket over cap -> no pairs
+    d = capped.lsh_dropped.first()
+    assert d.dropped_buckets == 4          # one per band, all size 40
+    assert d.dropped_rows == 4 * 40
+    assert d.dropped_pairs == 4 * (40 * 39) // 2
+    uncapped = minhash_lsh_pairs(boiler, num_hashes=16, bands=4,
+                                 shingle_k=3, max_bucket=1000)
+    assert uncapped.count() == (40 * 39) // 2
+    assert uncapped.lsh_dropped.first().dropped_buckets == 0
+
+
+def test_embedding_lsh_bucket_cap_is_observable(spark):
+    import numpy as np
+
+    from flink_skyline_qos_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    base = np.random.RandomState(9).randn(8).astype(np.float32)
+    dup = spark.createDataFrame(
+        [(i, base.tolist()) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = embedding_near_dup_lsh(dup, threshold=0.9, n_planes=16,
+                                    bands=4, max_bucket=5)
+    assert capped.count() == 0
+    d = capped.lsh_dropped.first()
+    assert d.dropped_buckets == 4 and d.dropped_rows == 120
+    open_ = embedding_near_dup_lsh(dup, threshold=0.9, n_planes=16,
+                                   bands=4, max_bucket=100)
+    assert open_.count() == (30 * 29) // 2
+    assert open_.lsh_dropped.first().dropped_pairs == 0
