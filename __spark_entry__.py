@@ -323,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), num_hashes=64, bands=16,
         shingle_k=5, threshold=0.5,
     )
+    q["minhash_word_dedup_documents"] = lambda s, d: minhash_lsh_pairs(
+        load_table(s, d, "documents"), num_hashes=64, bands=16,
+        shingle_k=3, shingle_unit="word", threshold=0.5,
+    )
     q["simhash_near_dup_documents"] = lambda s, d: simhash_near_dup_pairs(
         load_table(s, d, "documents"), max_hamming=3,
     )
@@ -700,6 +704,9 @@ FROM reach GROUP BY node
 
     o["minhash_dedup_documents"] = minhash_lsh_pairs_sql(
         "documents", num_hashes=64, bands=16, shingle_k=5, threshold=0.5)
+    o["minhash_word_dedup_documents"] = minhash_lsh_pairs_sql(
+        "documents", num_hashes=64, bands=16, shingle_k=3,
+        shingle_unit="word", threshold=0.5)
     o["simhash_near_dup_documents"] = simhash_near_dup_pairs_sql("documents")
 
     # Full dedup pipeline: recursive min-label closure over the exact

@@ -436,10 +436,11 @@ def minhash_lsh_pairs_sql(table_sql: str, *, id_col: str = "doc_id",
     (:func:`_md5_long`) and the permutation arithmetic is integer-exact
     on both engines (a·h+b < 2⁶² in signed int64).  The permutation
     coefficients are embedded as array literals from the same seeded
-    RandomState the Spark side uses.
+    RandomState the Spark side uses.  `shingle_unit="word"` mirrors
+    :func:`word_shingles` (whitespace split of the trimmed text, k-token
+    windows joined with a single space, short texts collapsing to one
+    shingle) via `string_split_regex` + `list_slice`.
     """
-    if shingle_unit != "char":  # pragma: no cover - only char is registered
-        raise NotImplementedError("SQL twin implemented for char shingles")
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
     params = _hash_params(num_hashes, seed)
@@ -452,13 +453,28 @@ def minhash_lsh_pairs_sql(table_sql: str, *, id_col: str = "doc_id",
            f"j -> CASE WHEN sig_a[j + 1] = sig_b[j + 1] THEN 1 ELSE 0 END))"
            f" / {float(num_hashes)!r})")
     where = f"WHERE {est} >= {threshold!r}" if threshold is not None else ""
-    return f"""
-WITH sh AS (
+    if shingle_unit == "char":
+        sh_cte = f"""
   SELECT {id_col} AS id,
          unnest(list_transform(
            range(1, greatest(length({text_col}) - {shingle_k - 1}, 1) + 1),
            i -> substr({text_col}, i, {shingle_k}))) AS s
-  FROM {table_sql}
+  FROM {table_sql}"""
+    else:
+        # word_shingles twin: i ∈ [0, max(n−k, 0)], shingle = tokens
+        # [i+1 .. i+k] joined by one space (list_slice clamps at the end
+        # exactly like Spark's slice); scalar list range, not the table
+        # function (which can't take lateral column args)
+        sh_cte = f"""
+  SELECT id, unnest(list_transform(
+           range(0, greatest(len(toks) - {shingle_k}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + {shingle_k}), ' ')
+         )) AS s
+  FROM (SELECT {id_col} AS id,
+               string_split_regex(trim({text_col}), '\\s+') AS toks
+        FROM {table_sql}) t"""
+    return f"""
+WITH sh AS ({sh_cte}
 ),
 base AS (
   SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE} AS h
