@@ -103,14 +103,40 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     the job.  Fine on local mode and for restartable batch jobs; for
     long fault-tolerant runs at the 100 TB scale pass
     ``checkpoint_dir`` (a reliable store, e.g. HDFS/S3) to use
-    replicated ``checkpoint()`` instead.
+    replicated ``checkpoint()`` instead.  Reliable-checkpoint FILES are
+    also bounded to O(|E|) (ADVICE r3): rounds alternate between two
+    subdirectories of ``checkpoint_dir`` and each round deletes the
+    other subdirectory once its own data is materialized; the final
+    round's files are removed when the returned frame is dropped.
+    NOTE: ``checkpoint_dir`` mutates the SparkContext-GLOBAL checkpoint
+    directory (``sc.setCheckpointDir``) — concurrent jobs relying on a
+    different checkpoint dir on the same context would race it.
     """
     sc = edges.sparkSession.sparkContext
+    cleanup_dirs: list[str] = []
     if checkpoint_dir is not None:
-        sc.setCheckpointDir(checkpoint_dir)
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+
+        def _rm(d: str) -> None:
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            try:
+                p.getFileSystem(hconf).delete(p, True)
+            except Exception:
+                pass
+
+        subdirs = [f"{checkpoint_dir.rstrip('/')}/cc-{i}" for i in (0, 1)]
+        rnd = 0
 
         def ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            nonlocal rnd
+            sc.setCheckpointDir(subdirs[rnd % 2])
+            out = df.checkpoint(eager=True)  # materialized HERE, so the
+            _rm(subdirs[(rnd + 1) % 2])      # other subdir is now dead
+            cleanup_dirs.clear()
+            cleanup_dirs.append(subdirs[rnd % 2])
+            rnd += 1
+            return out
     else:
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
@@ -144,11 +170,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         nc = node_col or nodes.columns[0]
         members = members.union(
             nodes.select(F.col(nc).alias("node"))).distinct()
-    return (
+    out = (
         members.join(lab, "node", "left")
         .select("node",
                 F.coalesce("component", "node").alias("component"))
     )
+    if cleanup_dirs:
+        import weakref
+
+        weakref.finalize(
+            out, lambda dirs=tuple(cleanup_dirs), rm=_rm: [rm(d)
+                                                           for d in dirs])
+    return out
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, *,

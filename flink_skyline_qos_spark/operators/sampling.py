@@ -36,6 +36,13 @@ __all__ = [
 _BUCKETS = 1 << 32
 
 
+def _q(s: str) -> str:
+    """SQL string-literal escape: double embedded single quotes (a
+    stratum/split name like pt-BR'x would otherwise break or inject
+    into the oracle SQL, while the Spark side handles any value)."""
+    return str(s).replace("'", "''")
+
+
 def hash_bucket(key_cols: Sequence[str], seed: int = 42) -> Column:
     """Uniform bucket in [0, 2³²) from md5 of (seed, *key columns)."""
     parts = [F.lit(str(seed))] + [F.col(c).cast("string") for c in key_cols]
@@ -98,8 +105,9 @@ def hash_split_sql(table_sql: str, weights: Mapping[str, float],
                    split_col: str = "split") -> str:
     """DuckDB twin of :func:`hash_split`."""
     b = _bucket_sql(key_cols, seed)
-    whens = " ".join(f"WHEN {b} < {hi} THEN '{name}'"
-                     for name, hi in _thresholds(weights))
+    whens = " ".join(
+        f"WHEN {b} < {hi} THEN '{_q(name)}'"
+        for name, hi in _thresholds(weights))
     return f"SELECT *, CASE {whens} END AS {split_col} FROM {table_sql}"
 
 
@@ -139,7 +147,7 @@ def stratified_sample_sql(table_sql: str, rates: Mapping[str, float],
     # Spark builds when/otherwise INSIDE-OUT (later rates wrap earlier
     # ones), but stratum values are distinct so order cannot matter.
     whens = " ".join(
-        f"WHEN {stratum_col} = '{name}' THEN {int(r * _BUCKETS)}"
+        f"WHEN {stratum_col} = '{_q(name)}' THEN {int(r * _BUCKETS)}"
         for name, r in rates.items())
     thr = f"CASE {whens} ELSE {int(default_rate * _BUCKETS)} END"
     return f"SELECT * FROM {table_sql} WHERE {b} < {thr}"

@@ -231,9 +231,11 @@ class SkylinePipeline:
                 self._answer(batch_id, released, meta,
                              ingest_ms=ingest_ms, t_batch0=t_batch0,
                              local_cpu_ns=int(local_cpu_acc.value))
+            # only after the epoch committed (state + answers written):
+            # an aborted batch must not count as processed (ADVICE r3)
+            self.batches_processed += 1
         finally:
             batch.unpersist()
-            self.batches_processed += 1
 
     def _answer(self, batch_id: int, released: list[tuple[str, int]],
                 meta: dict, *, ingest_ms: int = 0,
@@ -331,10 +333,13 @@ class SkylinePipeline:
         :func:`sources.kafka_stream`) with a processing-time trigger.
 
         Stops once ``min_batches`` micro-batches have been processed (or
-        at ``timeout_s``, whichever first) and waits for the in-flight
-        batch to finish; state/results are whatever the completed epochs
-        committed — the same any-time-stop contract a Kafka deployment
-        has.  Returns the number of batches processed.
+        at ``timeout_s``, whichever first).  ``StreamingQuery.stop()``
+        INTERRUPTS any in-flight micro-batch rather than draining it —
+        that is safe here because each epoch commits atomically
+        (``_save`` overwrites in place, retries are idempotent), so
+        state/results are exactly what the completed epochs committed —
+        the same any-time-stop contract a Kafka deployment has.  Returns
+        the number of batches that committed during this run.
         """
         start = self.batches_processed
         q = (

@@ -96,10 +96,23 @@ def test_dedup_clusters_canonical_flag(spark):
 
 
 def test_reliable_checkpoint_variant(spark, tmp_path):
-    """checkpoint_dir opts into replicated checkpoint(); same answer."""
+    """checkpoint_dir opts into replicated checkpoint(); same answer.
+
+    ADVICE r3: checkpoint FILES must stay O(|E|), not O(rounds·|E|) —
+    rounds alternate two subdirs, deleting the stale one, and the last
+    round's files vanish when the result frame is dropped."""
+    import gc
+
+    ck = tmp_path / "ck"
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
-    got = {(r["node"], r["component"])
-           for r in connected_components(
-               edges, checkpoint_dir=str(tmp_path / "ck")).collect()}
+    out = connected_components(edges, checkpoint_dir=str(ck))
+    got = {(r["node"], r["component"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # while the result is alive: only the LAST round's subdir has data
+    live = [d for d in ck.iterdir() if any(d.rglob("rdd-*"))]
+    assert len(live) <= 1
+    del out
+    gc.collect()
+    remaining = list(ck.rglob("rdd-*"))
+    assert remaining == []
