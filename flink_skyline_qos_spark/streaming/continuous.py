@@ -29,12 +29,13 @@ from pyspark.sql import functions as F
 import numpy as np
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
-                               StructField, StructType)
+                               StructField, StructType, TimestampType)
 
 from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
-__all__ = ["continuous_local_skylines", "start_continuous_global"]
+__all__ = ["continuous_local_skylines", "start_continuous_global",
+           "streaming_windowed_skyline"]
 
 
 def _schemas(dims: int) -> tuple[StructType, StructType]:
@@ -112,6 +113,111 @@ def continuous_local_skylines(stream: DataFrame, dims: int, *,
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_windowed_skyline(stream: DataFrame, dims: int, *,
+                               window_duration: str = "10 seconds",
+                               watermark_delay: str = "5 seconds",
+                               ts_col: str = "ts") -> DataFrame:
+    """Event-time tumbling-window skyline over an UNBOUNDED stream —
+    "the skyline of each window", finalized by watermark (SURVEY §7.7 /
+    VERDICT r3 #7: the streaming twin of the batch
+    ``windowed_skyline_events`` query).
+
+    `stream` carries ``id, {ts_col} timestamp, d0..d{dims-1}``.  The
+    plan is the idiomatic Structured-Streaming shape for a custom
+    windowed aggregate with late data:
+
+    * ``withWatermark(ts_col, watermark_delay)`` bounds lateness — rows
+      later than the watermark are dropped upstream by Spark;
+    * state is keyed on ``F.window(ts_col, window_duration)``, each key
+      holding its window's RUNNING skyline (same incremental merge as
+      :func:`continuous_local_skylines` — merging per batch keeps state
+      at skyline size, not window size);
+    * an event-time timeout at window-end fires once the watermark
+      passes the window, emitting the window's FINAL skyline exactly
+      once (append semantics) and dropping the state.
+
+    Output: (win_start, win_end, id, d0..) — the finished windows only.
+    Every emitted window's answer equals the batch skyline of exactly
+    the window's rows (watermark correctness: a window only closes once
+    no admissible row can still arrive).
+    """
+    cols = [f"d{i}" for i in range(dims)]
+    out_schema = StructType(
+        [StructField("win_start", TimestampType()),
+         StructField("win_end", TimestampType()),
+         StructField("id", LongType())]
+        + [StructField(c, DoubleType()) for c in cols])
+    state_schema = StructType([
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(ArrayType(DoubleType()))),
+    ])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        win = key[0]  # window struct: a dict under Arrow, a Row otherwise
+        start, end = (win["start"], win["end"]) if isinstance(win, dict) \
+            else (win[0], win[1])
+        if state.hasTimedOut:
+            ids, vals = state.get  # type: ignore[misc]
+            state.remove()
+            vals = np.asarray([list(v) for v in vals], dtype=float) \
+                .reshape(len(ids), dims)
+            out = pd.DataFrame({"win_start": start, "win_end": end,
+                                "id": np.asarray(ids, dtype=np.int64)})
+            for i, c in enumerate(cols):
+                out[c] = vals[:, i]
+            yield out
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            ids, vals = state.get  # type: ignore[misc]
+            prev_ids = np.asarray(ids, dtype=np.int64)
+            prev_vals = np.asarray([list(v) for v in vals], dtype=float) \
+                .reshape(len(ids), dims)
+        else:
+            prev_ids = np.empty(0, dtype=np.int64)
+            prev_vals = np.empty((0, dims), dtype=float)
+        new_vals = batch[cols].to_numpy(float)
+        cand_mask = skyline_mask(new_vals)
+        cand_ids = batch["id"].to_numpy(np.int64)[cand_mask]
+        cand_vals = new_vals[cand_mask]
+        if len(prev_ids) == 0:
+            sky_ids, sky_vals = cand_ids, cand_vals
+        else:
+            old_keep, new_keep = merge_skylines(prev_vals, cand_vals)
+            sky_ids = np.concatenate([prev_ids[old_keep],
+                                      cand_ids[new_keep]])
+            sky_vals = np.concatenate([prev_vals[old_keep],
+                                       cand_vals[new_keep]])
+        state.update((sky_ids.tolist(), sky_vals.tolist()))
+        # fire once the watermark passes window end (any batch reaching
+        # this state has end > watermark, so the timestamp is valid)
+        end_ms = int(end.timestamp() * 1000)
+        state.setTimeoutTimestamp(max(end_ms,
+                                      state.getCurrentWatermarkMs() + 1))
+        # no emission until the timeout finalizes the window (fn is a
+        # generator by virtue of the timed-out branch's yield)
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        # applyInPandasWithState resolves grouping keys by NAME — a raw
+        # window() expression doesn't resolve; materialize it first.
+        # The window struct inherits the event-time marker, and the
+        # stateful operator allows only ONE event-time column, so the
+        # raw ts is dropped once the window is derived.
+        .withColumn("__win", F.window(ts_col, window_duration))
+        .drop(ts_col)
+        .groupBy("__win")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -514,3 +514,59 @@ def test_rate_stream_pipeline_restart_resumes(spark, tmp_path):
                     skyline(replay, ["d0", "d1"]).collect())
     assert got == expect
     assert meta2["record_count"] == replay.count()
+
+
+def test_streaming_windowed_skyline_matches_batch(spark):
+    """VERDICT r3 #7: event-time tumbling-window skyline EXECUTED over
+    an unbounded rate source with a watermark; every window the
+    watermark closed must equal the batch skyline of exactly that
+    window's rows (ids are contiguous per window, dims deterministic
+    from id, so the batch twin is exactly reconstructible)."""
+    import time as _t
+
+    from flink_skyline_qos_spark.operators.skyline import skyline
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_windowed_skyline,
+    )
+    from flink_skyline_qos_spark.streaming.sources import rate_tuple_dims
+
+    BASE = 1_600_000_000
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500).load()
+        .select(F.col("value").alias("id"))
+        .select("id",
+                F.timestamp_seconds(F.lit(BASE) + F.col("id")).alias("ts"),
+                *rate_tuple_dims(2, 10000.0))
+    )
+    out = streaming_windowed_skyline(src, 2, window_duration="10 seconds",
+                                     watermark_delay="5 seconds")
+    q = (out.writeStream.format("memory").queryName("win_sky")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            n = spark.sql(
+                "SELECT count(DISTINCT win_start) AS c FROM win_sky"
+            ).first()["c"]
+            if n >= 2:
+                break
+            _t.sleep(0.5)
+        else:
+            raise AssertionError("no windows closed before timeout")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql("SELECT * FROM win_sky").collect()
+    by_win: dict = {}
+    for r in rows:
+        by_win.setdefault(int(r["win_start"].timestamp()), []).append(r)
+    assert len(by_win) >= 2
+    for ws in sorted(by_win)[:5]:
+        lo, hi = ws - BASE, ws + 10 - BASE
+        batch = spark.range(max(lo, 0), hi).select(
+            "id", *rate_tuple_dims(2, 10000.0))
+        expect = {(r["id"], r["d0"], r["d1"])
+                  for r in skyline(batch, ["d0", "d1"]).collect()}
+        got = {(r["id"], r["d0"], r["d1"]) for r in by_win[ws]}
+        assert got == expect, f"window {ws}"
