@@ -59,9 +59,15 @@ def main() -> None:
         for pdf in batches:
             yield pdf
 
+    # The warmup IS the cold-start cost — record it so the warm-pool
+    # bench discipline keeps the cold number honest (VERDICT r3 #9).
+    t_cold = time.perf_counter()
     spark.range(0, 64 * cpus, 1, 2 * cpus).selectExpr("id", "rand() x") \
         .mapInPandas(_ident, schema="id long, x double").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    cold_start = round(time.perf_counter() - t_cold, 3)
+    print(f"# cold_start (JVM + Arrow worker-pool spin-up): {cold_start}s",
+          file=sys.stderr)
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
@@ -92,19 +98,28 @@ def main() -> None:
         skyline_broadcast_verify,
     )
 
-    for dims, name, run in (
-        (2, "anticorr_1m_2d",
+    # 10M rows (VERDICT r3 #4): the BASELINE.md scale envelope ("linear
+    # to 10M, < 400 s") re-measured every round, not just in prose.
+    for dims, n_rows, name, run in (
+        (2, 1_000_000, "anticorr_1m_2d",
          lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
                                      num_partitions=2 * cpus,
                                      domain_max=10000.0)),
-        (3, "anticorr_1m_3d",
+        (3, 1_000_000, "anticorr_1m_3d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"],
                                             pre_merge_partitions=cpus)),
-        (4, "anticorr_1m_4d",
+        (4, 1_000_000, "anticorr_1m_4d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
                                             pre_merge_partitions=cpus)),
+        (2, 10_000_000, "anticorr_10m_2d",
+         lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
+                                     num_partitions=2 * cpus,
+                                     domain_max=10000.0)),
+        (3, 10_000_000, "anticorr_10m_3d",
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"],
+                                            pre_merge_partitions=cpus)),
     ):
-        base = generate_points(spark, 1_000_000, dims,
+        base = generate_points(spark, n_rows, dims,
                                dist="anti_correlated",
                                num_partitions=2 * cpus)
         # best of two, like the headline queries: single runs on this host
@@ -130,6 +145,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_start_sec": cold_start,
         "sf": sf,
     }))
 

@@ -128,11 +128,20 @@ def _dominated_sorted_T(aT: np.ndarray, a_sums: np.ndarray,
                 L &= S
                 if amb.any():
                     cols = np.flatnonzero(amb.any(axis=0))
-                    bsub = bc[:, cols]
-                    lt = ac[0][:, None] < bsub[0][None, :]
-                    for k in range(1, d):
-                        lt |= ac[k][:, None] < bsub[k][None, :]
-                    L[:, cols] |= amb[:, cols] & lt
+                    if 2 * cols.size >= bc.shape[1]:
+                        # duplicate-heavy float data: most columns are
+                        # ambiguous — full matrices beat fancy-index
+                        # copies of nearly the whole block
+                        lt = ac[0][:, None] < bc[0][None, :]
+                        for k in range(1, d):
+                            lt |= ac[k][:, None] < bc[k][None, :]
+                        L |= amb & lt
+                    else:
+                        bsub = bc[:, cols]
+                        lt = ac[0][:, None] < bsub[0][None, :]
+                        for k in range(1, d):
+                            lt |= ac[k][:, None] < bsub[k][None, :]
+                        L[:, cols] |= amb[:, cols] & lt
             dom |= L.any(axis=0)
             if dom.all():
                 break
