@@ -134,3 +134,71 @@ def test_profile_events_single_aggregate_exchange(spark):
     )
     assert _n_exchanges(plan) == 1, plan
     assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_scatter_verify_exchange_not_coalesced(spark):
+    """The scatter verify's group exchange must keep its k partitions:
+    AQE would coalesce it by its few-MB shuffle size and serialize the
+    compute-bound kernels into one task (r4: 99 s vs 3 s).  A
+    user-specified repartition pins it — assert the plan carries the
+    REPARTITION_BY_NUM shuffle origin on the __ck hash exchange, and
+    that the groupBy inserts no second exchange above it."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        _prune_batches,
+        _verify_scatter,
+    )
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_points_hash,
+    )
+
+    pts = generate_points_hash(spark, 2_000, 3, dist="anti_correlated")
+    cols = ["d0", "d1", "d2"]
+    pruned = pts.mapInPandas(_prune_batches(cols),
+                             schema=pts.schema).persist()
+    try:
+        pruned.count()
+        plan = _plan(_verify_scatter(pruned, cols, chunks=8))
+        m = re.findall(r"hashpartitioning\(__ck\S*, 8\), REPARTITION_BY_NUM",
+                       plan)
+        assert m, plan
+        # exactly one exchange between the union and the stateless group
+        # kernel: the pinned repartition satisfies the clustering
+        assert plan.count("hashpartitioning(__ck") == 1, plan
+    finally:
+        pruned.unpersist()
+
+
+def test_topk_dominating_broadcasts_reduced_candidates(spark):
+    """Safe-by-default top-k dominating: the count join must stream the
+    full input against BROADCAST candidates (BroadcastNestedLoopJoin,
+    BuildRight), never plan an unbroadcast n x n theta join."""
+    from flink_skyline_qos_spark.operators.variants import top_k_dominating
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_points_hash,
+    )
+
+    pts = generate_points_hash(spark, 3_000, 3, dist="uniform")
+    out = top_k_dominating(pts, ["d0", "d1", "d2"], k=5, id_cols=["id"])
+    plan = _plan(out)
+    assert re.search(r"BroadcastNestedLoopJoin Inner BuildRight", plan), plan
+
+
+def test_streaming_windowed_skyline_single_state_operator(spark):
+    """The event-time windowed skyline plans ONE stateful python group
+    operator fed by a single hash exchange on the window key, with the
+    watermark node present (bounded lateness)."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_windowed_skyline,
+    )
+
+    src = (spark.readStream.format("rate").option("rowsPerSecond", 10)
+           .load()
+           .select(F.col("value").alias("id"),
+                   F.col("timestamp").alias("ts"),
+                   (F.col("value") % 100).cast("double").alias("d0"),
+                   (F.col("value") % 7).cast("double").alias("d1")))
+    out = streaming_windowed_skyline(src, 2)
+    plan = _plan(out)
+    assert "EventTimeWatermark" in plan, plan
+    assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandasWithState",
+                          plan, re.M)) == 1, plan
