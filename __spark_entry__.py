@@ -42,6 +42,8 @@ from flink_skyline_qos_spark.functions.text import (  # noqa: E402
     repetition_stats_sql,
     text_stats,
     text_stats_sql,
+    vocab,
+    vocab_sql,
 )
 from flink_skyline_qos_spark.functions.multimodal import (  # noqa: E402
     decode_media,
@@ -361,6 +363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gopher-rule repetition signals (dup-line frac, top-2-gram frac)
     q["repetition_stats_documents"] = lambda s, d: repetition_stats(
         load_table(s, d, "documents")
+    )
+    # corpus vocabulary: top-V tokens with term/doc frequencies (the
+    # tokenizer/vocab-building pass; canonical two-exchange word count)
+    q["vocab_documents"] = lambda s, d: vocab(
+        load_table(s, d, "documents"), top_v=200, min_count=2
     )
     # PII/URL redaction pass (emails/URLs/long digit runs masked)
     q["redact_documents"] = lambda s, d: redact_text(
@@ -732,6 +739,7 @@ FROM reach GROUP BY node HAVING min(comp) = node
 
     o["text_stats_documents"] = text_stats_sql("documents")
     o["repetition_stats_documents"] = repetition_stats_sql("documents")
+    o["vocab_documents"] = vocab_sql("documents", top_v=200, min_count=2)
     o["redact_documents"] = redact_text_sql("documents")
 
     # Capstone pipeline oracle: every stage's SQL builder composed into

@@ -12,9 +12,12 @@ from operator import add
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "token_count",
+    "vocab",
+    "vocab_sql",
     "bpe_token_count",
     "char_count",
     "punct_ratio",
@@ -371,4 +374,60 @@ SELECT {id_col},
        cast(len(regexp_extract_all({c}, '{_LONG_DIGITS_RE}')) as bigint)
          AS n_long_digit_runs
 FROM {table}
+""".strip()
+
+
+def vocab(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+          top_v: int = 1000, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: the top-V whitespace tokens with term and
+    document frequencies — the tokenizer/vocab-building pass of a
+    training-data pipeline.
+
+    Returns (token, term_freq, doc_freq, rank), rank 1..V ordered by
+    (term_freq DESC, token ASC) — a total order, so top-V is
+    deterministic.  Physical shape is the canonical scalable word
+    count: explode → per-(token, doc) partial counts (map-side
+    combined) → per-token aggregate — two hash exchanges, all JVM; the
+    global top-V rank runs over the (≤ distinct-token) aggregate, never
+    the corpus.  At 100 TB nothing here touches the driver until the
+    V-row result.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                  .alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_doc = toks.groupBy("token", "__id").agg(
+        F.count(F.lit(1)).alias("n"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("n").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    ).filter(F.col("term_freq") >= min_count)
+    w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_v))
+
+
+def vocab_sql(table: str, *, text_col: str = "text", id_col: str = "doc_id",
+              top_v: int = 1000, min_count: int = 1) -> str:
+    """DuckDB twin of :func:`vocab` (bit-identical tokens and counts)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(string_split_regex(trim({text_col}), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM {table}
+),
+agg AS (
+  SELECT token, count(*)::BIGINT AS term_freq,
+         count(DISTINCT id)::BIGINT AS doc_freq
+  FROM toks GROUP BY token
+  HAVING count(*) >= {min_count}
+)
+SELECT token, term_freq, doc_freq,
+       row_number() OVER (ORDER BY term_freq DESC, token ASC) AS rank
+FROM agg
+QUALIFY rank <= {top_v}
+ORDER BY rank
 """.strip()

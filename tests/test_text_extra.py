@@ -87,3 +87,40 @@ def test_redact_text_crafted(spark):
     assert out[3]["n_long_digit_runs"] == 1
     assert out[4]["redacted"] == "clean text, nothing to hide"
     assert out[4]["n_emails"] == out[4]["n_urls"] == 0
+
+
+def test_vocab_counts_and_rank_order(spark):
+    from flink_skyline_qos_spark.functions.text import vocab
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a  b\tb"), (3, ""), (4, "c")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: (r["term_freq"], r["doc_freq"], r["rank"])
+           for r in vocab(df, top_v=10).collect()}
+    # a: tf 3 (docs 1,2), b: tf 3 (docs 1,2), c: tf 2 (docs 1,4)
+    assert got["a"] == (3, 2, 1)   # tie with b -> token order breaks it
+    assert got["b"] == (3, 2, 2)
+    assert got["c"] == (2, 2, 3)
+    assert len(got) == 3           # empty text contributes nothing
+    top1 = vocab(df, top_v=1).collect()
+    assert [(r["token"], r["rank"]) for r in top1] == [("a", 1)]
+
+
+def test_vocab_plan_two_exchanges_all_jvm(spark):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from flink_skyline_qos_spark.functions.text import vocab
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        vocab(df, top_v=5).explain("formatted")
+    plan = buf.getvalue()
+    # explode -> (token, doc) agg -> token agg: two hash exchanges plus
+    # the single-partition window for the global top-V rank
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 3, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
