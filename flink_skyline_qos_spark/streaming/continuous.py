@@ -35,7 +35,26 @@ from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
 __all__ = ["continuous_local_skylines", "start_continuous_global",
-           "streaming_windowed_skyline"]
+           "streaming_exact_dedup", "streaming_windowed_skyline"]
+
+
+def streaming_exact_dedup(stream: DataFrame, keys: Sequence[str], *,
+                          ts_col: str = "ts",
+                          watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the ingest-time twin
+    of :func:`operators.dedup.exact_dedup` for a continuously-arriving
+    corpus (e.g. dedup on content fingerprint while loading).
+
+    ``dropDuplicatesWithinWatermark``: Spark keeps one state row per
+    key and expires it once the watermark passes the key's event time
+    plus the delay, so state is O(keys-per-horizon), not O(stream).
+    The tradeoff is explicit: a key recurring later than
+    `watermark_delay` after its first appearance counts as new.  First
+    occurrence wins (the batch operator keeps min-id; at ingest there
+    is no global order to prefer — arrival order IS the policy).
+    """
+    return (stream.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(list(keys)))
 
 
 def _schemas(dims: int) -> tuple[StructType, StructType]:

@@ -570,3 +570,40 @@ def test_streaming_windowed_skyline_matches_batch(spark):
                   for r in skyline(batch, ["d0", "d1"]).collect()}
         got = {(r["id"], r["d0"], r["d1"]) for r in by_win[ws]}
         assert got == expect, f"window {ws}"
+
+
+def test_streaming_exact_dedup_bounded_state(spark):
+    """Ingest-time dedup EXECUTED from the unbounded rate source: keys
+    recur every 40 rows, the watermark horizon covers the whole run, so
+    each key must be emitted exactly once."""
+    import time as _t
+
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_exact_dedup,
+    )
+
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 200).load()
+           .select(F.col("timestamp").alias("ts"),
+                   (F.col("value") % 40).alias("key"),
+                   F.col("value").alias("id")))
+    out = streaming_exact_dedup(src, ["key"], watermark_delay="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            n = spark.sql(
+                "SELECT count(DISTINCT key) AS c FROM dedup_sink"
+            ).first()["c"]
+            if n >= 40:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql("SELECT key, count(*) AS n FROM dedup_sink "
+                     "GROUP BY key").collect()
+    assert len(rows) == 40
+    assert all(r["n"] == 1 for r in rows)  # no key emitted twice
