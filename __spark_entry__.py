@@ -45,6 +45,14 @@ from flink_skyline_qos_spark.functions.text import (  # noqa: E402
     vocab,
     vocab_sql,
 )
+from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
+    chunk_documents,
+    chunk_documents_sql,
+    contamination_check,
+    contamination_check_sql,
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
+)
 from flink_skyline_qos_spark.functions.multimodal import (  # noqa: E402
     decode_media,
     decode_media_sql,
@@ -69,6 +77,8 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     grid_prefilter_sql,
     k_dominant_skyline,
     k_dominant_skyline_sql,
+    k_skyband,
+    k_skyband_sql,
     top_k_dominating,
     top_k_dominating_sql,
 )
@@ -228,6 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["k_dominant_skyline_part"] = lambda s, d: k_dominant_skyline(
         load_table(s, d, "part").select(*PART_COLS),
         ["p_size", "p_retailprice", "p_partkey"], k=2)
+    # k-skyband: points with < k dominators, exact counts attached
+    q["k_skyband_part"] = lambda s, d: k_skyband(
+        load_table(s, d, "part").select(*PART_COLS),
+        ["p_retailprice", "p_size"], k=3)
 
     # --- grouped skyline (keyed-state analogue) ---
     q["grouped_skyline_events"] = lambda s, d: grouped_skyline(
@@ -373,6 +387,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["redact_documents"] = lambda s, d: redact_text(
         load_table(s, d, "documents")
     )
+    # fixed-context-window packing: overlapping token windows per doc
+    q["chunk_documents"] = lambda s, d: chunk_documents(
+        load_table(s, d, "documents"), size=32, stride=24)
+    # eval-set decontamination: distinct-3-gram collision fraction vs a
+    # held-out benchmark subset (doc_id % 10 == 7 models the eval suite)
+    q["contamination_documents"] = lambda s, d: contamination_check(
+        load_table(s, d, "documents"),
+        load_table(s, d, "documents").filter((F.col("doc_id") % 10) == 7),
+        n=3)
+    # per-doc top-5 TF-IDF terms (log-free RSJ idf: engine-exact doubles)
+    q["tfidf_documents"] = lambda s, d: tfidf_top_terms(
+        load_table(s, d, "documents"), k=5, min_df=2)
 
     # --- the capstone: the COMPLETE LLM data-prep pipeline as one
     # query — quality gate → MinHash near-dup dedup (canonical only) →
@@ -608,6 +634,9 @@ def oracle_sql() -> dict[str, str]:
     o["k_dominant_skyline_part"] = k_dominant_skyline_sql(
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_size", "p_retailprice", "p_partkey"], k=2)
+    o["k_skyband_part"] = k_skyband_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_retailprice", "p_size"], k=3)
 
     o["grouped_skyline_events"] = skyline_not_exists_sql(
         _EV_SQL, ["value", "unix_ms"], select="t.*",
@@ -741,6 +770,13 @@ FROM reach GROUP BY node HAVING min(comp) = node
     o["repetition_stats_documents"] = repetition_stats_sql("documents")
     o["vocab_documents"] = vocab_sql("documents", top_v=200, min_count=2)
     o["redact_documents"] = redact_text_sql("documents")
+    o["chunk_documents"] = chunk_documents_sql(
+        "documents", size=32, stride=24)
+    o["contamination_documents"] = contamination_check_sql(
+        "SELECT * FROM documents",
+        "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
+    o["tfidf_documents"] = tfidf_top_terms_sql(
+        "documents", k=5, min_df=2)
 
     # Capstone pipeline oracle: every stage's SQL builder composed into
     # one WITH-RECURSIVE chain (quality gate → minhash pairs → min-label

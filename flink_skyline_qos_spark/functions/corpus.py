@@ -1,0 +1,297 @@
+"""Corpus-level training-data operators: chunking, benchmark
+contamination, TF-IDF term ranking.
+
+The chunking/decontamination/term-weighting passes every large-scale
+LLM data pipeline runs after cleaning and dedup (the reference engine
+stops at QoS skylines — these extend the same documents table the dedup
+suite covers).  All pure Column expressions (JVM whole-stage codegen,
+no UDF) with exact DuckDB twins; tokenization is the whitespace
+convention shared with :mod:`.text` (``vocab`` / ``repetition_stats``).
+
+Scale shapes (100 TB):
+
+* ``chunk_documents`` — narrow explode; output rows ≈ tokens/stride per
+  doc, no shuffle at all.  The chunk boundary expression never
+  materializes per-token rows — one ``sequence``/``slice`` pass per doc.
+* ``contamination_check`` — distinct doc-grams (map-side combined) hash
+  against the DISTINCT benchmark-gram set; the benchmark side is small
+  by contract (eval suites, not corpora) and is broadcast, so the
+  corpus never shuffles.
+* ``tfidf_top_terms`` — two hash aggregates (the vocab shape) + one
+  broadcast of the V-row document-frequency table back onto per-doc
+  term counts; the per-doc top-k window partitions by doc_id, so the
+  rank shuffle carries (doc, token, counts) rows, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "chunk_documents",
+    "chunk_documents_sql",
+    "contamination_check",
+    "contamination_check_sql",
+    "tfidf_top_terms",
+    "tfidf_top_terms_sql",
+]
+
+
+def _clean_tokens(text):
+    # vocab()'s convention: whitespace split, empty tokens dropped —
+    # blank/whitespace-only text yields an empty array.
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+
+
+_CLEAN_TOKENS_SQL = ("list_filter(string_split_regex(trim({c}), '\\s+'), "
+                     "x -> x <> '')")
+
+
+def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 64,
+                    stride: int = 48, min_tokens: int = 1) -> DataFrame:
+    """Split each document into token windows of `size`, every `stride`
+    tokens (stride < size ⇒ overlapping windows) — the
+    fixed-context-window packing pass of a pre-training pipeline.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens): chunk_idx counts
+    windows from 0; the last window may be short (≥ `min_tokens` or it
+    is dropped, so empty documents emit nothing).
+
+    Window starts are 0, stride, 2·stride, … ≤ n_tokens − 1; both the
+    start sequence and the token slice are single Column expressions,
+    so the plan is one narrow projection + explode — zero shuffle, and
+    output size is rows × (n_tokens/stride), never a per-token blowup.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    toks = _clean_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, size))
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "__c"),
+    )
+    return (
+        exploded.select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+            F.size("__c").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+
+
+def chunk_documents_sql(table: str, *, id_col: str = "doc_id",
+                        text_col: str = "text", size: int = 64,
+                        stride: int = 48, min_tokens: int = 1) -> str:
+    """DuckDB twin of :func:`chunk_documents` (bit-identical windows).
+
+    DuckDB list slices are 1-based inclusive and clamp, matching
+    Spark's ``slice(toks, s+1, size)``; ``generate_series`` includes
+    its stop like ``F.sequence``.
+    """
+    w = _CLEAN_TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {w} AS w FROM {table}
+),
+starts AS (
+  SELECT id, w,
+         unnest(generate_series(0, greatest(len(w) - 1, 0), {stride}))
+           AS start
+  FROM base
+)
+SELECT id AS {id_col},
+       (start // {stride})::BIGINT AS chunk_idx,
+       array_to_string(w[start + 1 : start + {size}], ' ') AS chunk_text,
+       len(w[start + 1 : start + {size}])::BIGINT AS n_tokens
+FROM starts
+WHERE len(w[start + 1 : start + {size}]) >= {min_tokens}
+""".strip()
+
+
+def _grams(text, n: int):
+    """Word n-grams, repetition_stats()'s convention: docs with fewer
+    than n tokens contribute one truncated gram."""
+    toks = _clean_tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def _grams_sql(col: str, n: int) -> str:
+    w = _CLEAN_TOKENS_SQL.format(c=col)
+    return (f"list_transform(generate_series(1, "
+            f"greatest(len({w}) - {n - 1}, 1)), "
+            f"i -> array_to_string(({w})[i : i + {n - 1}], ' '))")
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the
+    fraction of its DISTINCT word `n`-grams that appear anywhere in the
+    benchmark set — the standard eval-decontamination signal (n-gram
+    collision against held-out test sets).
+
+    Returns (id, n_grams, n_hits, contaminated_frac), one row per
+    corpus doc (docs whose text produces no grams emit n_grams = 0,
+    frac 0.0).
+
+    The benchmark side is collapsed to its distinct gram set and
+    broadcast (eval suites are small by contract); the corpus side
+    aggregates map-side, so nothing heavier than (doc, gram) rows ever
+    shuffles.  For a benchmark too large to broadcast, drop the hint
+    and let AQE pick a shuffle hash join — the shape is otherwise
+    unchanged.
+    """
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_grams(F.col(text_col), n)))
+        .alias("g"),
+    ).filter(F.col("g") != "")
+    bench = (
+        benchmark.select(
+            F.explode(_grams(F.col(text_col), n)).alias("g"))
+        .filter(F.col("g") != "").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+                .otherwise(F.col("n_hits") / F.col("n_grams")), 6)
+            .alias("contaminated_frac"),
+        )
+    )
+
+
+def contamination_check_sql(corpus_sql: str, benchmark_sql: str, *,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3) -> str:
+    """DuckDB twin of :func:`contamination_check`."""
+    return f"""
+WITH doc_grams AS (
+  SELECT id, g FROM (
+    SELECT {id_col} AS id,
+           unnest(list_distinct({_grams_sql(text_col, n)})) AS g
+    FROM ({corpus_sql})
+  ) WHERE g <> ''
+),
+bench AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest({_grams_sql(text_col, n)}) AS g FROM ({benchmark_sql})
+  ) WHERE g <> ''
+),
+hits AS (
+  SELECT d.id, count(*) AS n_grams,
+         sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS n_hits
+  FROM doc_grams d LEFT JOIN bench b USING (g)
+  GROUP BY d.id
+)
+SELECT c.{id_col},
+       coalesce(h.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(CASE WHEN coalesce(h.n_grams, 0) = 0 THEN 0.0
+                  ELSE h.n_hits * 1.0 / h.n_grams END, 6)
+         AS contaminated_frac
+FROM ({corpus_sql}) c LEFT JOIN hits h ON h.id = c.{id_col}
+""".strip()
+
+
+def tfidf_top_terms(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    min_df: int = 1) -> DataFrame:
+    """Per-document top-`k` terms by TF-IDF.
+
+    Returns (id, token, tf, df, tfidf, rank), rank 1..k under
+    (tfidf DESC, token ASC) — a total order, so top-k is deterministic.
+
+    The idf is the log-free Robertson–Spärck-Jones rarity weight
+    ``(N − df + 0.5) / (df + 0.5)`` (the BM25 idf numerator): one IEEE
+    division and one multiply, so Spark and the DuckDB oracle produce
+    the bit-identical double — a ``log`` would tie correctness to libm
+    rounding, which neither engine pins.  Monotone decreasing in df,
+    like every idf.
+
+    Physical shape: explode → per-(doc, token) counts (map-side
+    combined) → per-token doc frequencies over that aggregate (never
+    re-reading text) → broadcast the V-row df table + the 1-row corpus
+    count back onto the per-doc counts → per-doc top-k window.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_clean_tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = toks.groupBy("__id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        per_doc.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("__id").alias(id_col), "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * ((F.col("__n") - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5)), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def tfidf_top_terms_sql(table: str, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        min_df: int = 1) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` (bit-identical doubles:
+    the score is one division + one multiply in the same operation
+    order)."""
+    w = _CLEAN_TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({w}) AS token FROM {table}
+),
+per_doc AS (
+  SELECT id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, count(*)::BIGINT AS df FROM per_doc GROUP BY 1
+  HAVING count(*) >= {min_df}
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM {table})
+SELECT id AS {id_col}, token, tf, df,
+       round(tf * ((n_docs - df + 0.5) / (df + 0.5)), 6) AS tfidf,
+       row_number() OVER (
+         PARTITION BY id
+         ORDER BY round(tf * ((n_docs - df + 0.5) / (df + 0.5)), 6) DESC,
+                  token ASC
+       )::INTEGER AS rank
+FROM per_doc JOIN dfreq USING (token), n
+QUALIFY rank <= {k}
+""".strip()

@@ -14,6 +14,12 @@
   largest number of others.  The "ranked" answer the reference's skyline
   deliberately avoids; a natural companion query.
 
+* :func:`k_skyband` — the k-skyband (Papadias et al., TODS 2005):
+  every point dominated by FEWER than k others (k = 1 is the ordinary
+  skyline).  The candidate superset the top-k dominating answer always
+  lives in; exposed first-class because "best-k tolerance" queries are
+  the natural QoS relaxation of the reference's strict skyline.
+
 * :func:`k_dominant_skyline` — k-dominant skyline (Chan et al., SIGMOD
   2006): relax dominance to "≤ in at least k dimensions, < in at least
   one of those".  Shrinks the exploding high-dimensional skyline (the
@@ -38,6 +44,8 @@ from ..functions.dominance import dominance_sql
 __all__ = [
     "grid_prefilter",
     "grid_prefilter_sql",
+    "k_skyband",
+    "k_skyband_sql",
     "top_k_dominating",
     "top_k_dominating_sql",
     "k_dominant_skyline",
@@ -229,6 +237,66 @@ def top_k_dominating_sql(table: str, cols: Sequence[str], k: int = 10, *,
         f"SELECT t.*, (SELECT count(*) FROM {table} u WHERE {pred}) "
         f"AS dominated_count FROM {table} t "
         f"ORDER BY {order} LIMIT {k}"
+    )
+
+
+def k_skyband(df: DataFrame, cols: Sequence[str], k: int = 2, *,
+              prefilter_sample: int | None = 1024) -> DataFrame:
+    """Points with fewer than `k` dominators, with their exact
+    dominator count: (input columns…, dominator_count).
+
+    k = 1 degenerates to the skyline; larger k is the "best k choices
+    even if one is taken" QoS relaxation.  Requires rows to be unique
+    (include a key column), as for :func:`top_k_dominating`.
+
+    Scale shape: the same sound sampled reduction as top-k dominating
+    (:func:`_skyband_prefilter` — a row with ≥ k dominators in ANY
+    sample is outside the k-skyband), then ONE exact pass: the full
+    input streams against the broadcast candidate set counting
+    dominators per candidate, so the theta join is n × |skyband′|, not
+    n², and the corpus is never shuffled on a data-dependent key.
+    """
+    from ..functions.dominance import dominates
+
+    work, n_cand = df, None
+    if prefilter_sample:
+        work, n_cand = _skyband_prefilter(df, cols, k, prefilter_sample)
+    t, u = work.alias("t"), df.alias("u")
+    cond = dominates([F.col(f"u.{c}") for c in cols],
+                     [F.col(f"t.{c}") for c in cols])
+    bt = F.broadcast(t) if (n_cand or 0) <= 500_000 else t
+    matched = (
+        u.join(bt, cond, "inner")
+        .groupBy(*[F.col(f"t.{c}").alias(c) for c in df.columns])
+        .agg(F.count(F.lit(1)).alias("dominator_count"))
+    )
+    eq = reduce(and_, [
+        F.col(f"w.{c}").eqNullSafe(F.col(f"m.{c}")) for c in df.columns
+    ])
+    out = (
+        work.alias("w")
+        .join(F.broadcast(matched.alias("m")), eq, "left")
+        .select(*[F.col(f"w.{c}").alias(c) for c in df.columns],
+                F.coalesce(F.col("m.dominator_count"), F.lit(0))
+                .cast("long").alias("dominator_count"))
+        .filter(F.col("dominator_count") < k)
+    )
+    pins = getattr(work, "_skyband_pins", None)
+    if pins:
+        from .caching import release_on_gc
+
+        out = release_on_gc(out, *pins)
+    return out
+
+
+def k_skyband_sql(table: str, cols: Sequence[str], k: int = 2) -> str:
+    """DuckDB twin of :func:`k_skyband` (correlated dominator count)."""
+    pred = dominance_sql(cols, "u", "t")
+    return (
+        f"SELECT * FROM (SELECT t.*, "
+        f"(SELECT count(*) FROM {table} u WHERE {pred})::BIGINT "
+        f"AS dominator_count FROM {table} t) "
+        f"WHERE dominator_count < {k}"
     )
 
 

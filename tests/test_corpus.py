@@ -1,0 +1,235 @@
+"""Corpus-operator tests: chunking, contamination, TF-IDF, k-skyband."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.functions.corpus import (
+    chunk_documents,
+    chunk_documents_sql,
+    contamination_check,
+    contamination_check_sql,
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
+)
+from flink_skyline_qos_spark.operators.variants import (
+    k_skyband,
+    k_skyband_sql,
+)
+
+
+# ---------- chunking ----------
+
+def test_chunk_crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x"),               # single token
+            (3, "   "),             # blank: no chunks
+            (4, ""),                # empty: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=3, stride=2)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+            for r in out.collect()}
+    # doc 1: starts 0,2,4,6 -> abc cde efg g
+    assert rows[(1, 0)] == ("a b c", 3)
+    assert rows[(1, 1)] == ("c d e", 3)
+    assert rows[(1, 2)] == ("e f g", 3)
+    assert rows[(1, 3)] == ("g", 1)
+    assert rows[(2, 0)] == ("x", 1)
+    assert {d for d, _ in rows} == {1, 2}
+
+
+def test_chunk_partition_when_stride_eq_size(spark, documents):
+    """stride == size ⇒ chunks partition the token sequence exactly."""
+    chunks = chunk_documents(documents, size=16, stride=16)
+    recon = (
+        chunks.groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(
+            F.collect_list(F.struct("chunk_idx", "chunk_text"))
+        ).getField("chunk_text")).alias("recon"),
+            F.sum("n_tokens").alias("total"))
+    )
+    orig = documents.select(
+        "doc_id",
+        F.concat_ws(" ", F.filter(
+            F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        ).alias("orig"),
+        F.size(F.filter(
+            F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    joined = orig.join(recon, "doc_id", "left")
+    bad = joined.filter(
+        (F.col("recon") != F.col("orig")) | (F.col("total") != F.col("n")))
+    assert bad.count() == 0
+    assert joined.filter(F.col("recon").isNull()).count() == 0
+
+
+def test_chunk_duckdb_parity(documents, sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(documents, size=10, stride=7).collect())
+    dk = sorted(map(tuple, con.sql(
+        chunk_documents_sql("documents", size=10, stride=7)).fetchall()))
+    assert sp == dk
+
+
+def test_chunk_rejects_bad_params(spark, documents):
+    with pytest.raises(ValueError):
+        chunk_documents(documents, size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(documents, stride=0)
+
+
+# ---------- contamination ----------
+
+def test_contamination_crafted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),   # grams all in benchmark
+            (2, "pure novel text entirely"), # no overlap
+            (3, "the cat sat somewhere else now"),  # partial
+            (4, ""),                          # no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the cat sat on the mat and more")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           contamination_check(corpus, bench, n=3).collect()}
+    assert out[1].contaminated_frac == 1.0
+    assert out[2].contaminated_frac == 0.0
+    # doc 3 grams: 4 distinct, 1 hit ("the cat sat")
+    assert out[3].n_grams == 4
+    assert out[3].n_hits == 1
+    assert out[3].contaminated_frac == pytest.approx(0.25)
+    assert out[4].n_grams == 0 and out[4].contaminated_frac == 0.0
+    assert set(out) == {1, 2, 3, 4}  # every corpus doc emits one row
+
+
+def test_contamination_duckdb_parity(documents, sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    bench = documents.filter((F.col("doc_id") % 7) == 3)
+    sp = sorted(
+        (r.doc_id, r.n_grams, r.n_hits, r.contaminated_frac)
+        for r in contamination_check(documents, bench, n=2).collect())
+    dk = sorted(map(tuple, con.sql(contamination_check_sql(
+        "SELECT * FROM documents",
+        "SELECT * FROM documents WHERE doc_id % 7 = 3", n=2)).fetchall()))
+    assert sp == dk
+
+
+# ---------- tf-idf ----------
+
+def test_tfidf_crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2, min_df=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rank)
+    # N=3; df: apple 1, banana 2, cherry 2, common 3
+    # weights: df=1 -> 2.5/1.5, df=2 -> 1.5/2.5, df=3 -> 0.5/3.5
+    r1 = by_doc[1]
+    assert r1[0].token == "apple" and r1[0].tf == 2 and r1[0].df == 1
+    assert r1[0].tfidf == pytest.approx(2 * 2.5 / 1.5, abs=1e-6)
+    assert r1[1].token == "banana"
+    r3 = by_doc[3]
+    assert r3[0].token == "cherry" and r3[0].tf == 3
+    # every doc has exactly k=2 rows, ranks 1..2
+    assert all([r.rank for r in rows] == [1, 2] for rows in by_doc.values())
+
+
+def test_tfidf_min_df_filters(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare shared"), (2, "shared")],
+        "doc_id long, text string",
+    )
+    toks = {r.token for r in tfidf_top_terms(docs, k=5, min_df=2).collect()}
+    assert toks == {"shared"}
+
+
+def test_tfidf_duckdb_parity(documents, sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.token, r.tf, r.df, r.tfidf, r.rank)
+        for r in tfidf_top_terms(documents, k=4, min_df=2).collect())
+    dk = sorted(map(tuple, con.sql(
+        tfidf_top_terms_sql("documents", k=4, min_df=2)).fetchall()))
+    assert sp == dk
+
+
+# ---------- k-skyband ----------
+
+def test_k_skyband_crafted(spark):
+    # minimization on (x, y); id for uniqueness
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),   # dominates everything: 0 dominators
+            (2, 1.0, 1.0),   # dominated by 1
+            (3, 2.0, 0.5),   # dominated by 1
+            (4, 2.0, 2.0),   # dominated by 1, 2, 3
+            (5, 3.0, 3.0),   # dominated by 1, 2, 3, 4
+        ],
+        "id long, x double, y double",
+    )
+    out = {r.id: r.dominator_count
+           for r in k_skyband(pts, ["x", "y"], k=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 3}
+    sky = {r.id for r in k_skyband(pts, ["x", "y"], k=1).collect()}
+    assert sky == {1}
+
+
+def test_k_skyband_matches_skyline_at_k1(spark, points_2d):
+    from flink_skyline_qos_spark.operators.skyline import skyline
+
+    band = {r.id for r in k_skyband(points_2d, ["d0", "d1"], k=1).collect()}
+    sky = {r.id for r in skyline(points_2d, ["d0", "d1"]).collect()}
+    assert band == sky
+
+
+def test_k_skyband_prefilter_invariance(spark, sf_dir):
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice")
+    cols = ["p_retailprice", "p_size"]
+    with_pf = sorted(map(tuple, k_skyband(part, cols, k=3).collect()))
+    without = sorted(map(tuple, k_skyband(
+        part, cols, k=3, prefilter_sample=None).collect()))
+    assert with_pf == without
+
+
+def test_k_skyband_duckdb_parity(spark, sf_dir):
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice")
+    sp = sorted(map(tuple, k_skyband(
+        part, ["p_retailprice", "p_size"], k=3).collect()))
+    dk = sorted(map(tuple, con.sql(k_skyband_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_retailprice", "p_size"], k=3)).fetchall()))
+    assert sp == dk
