@@ -50,6 +50,8 @@ from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
     chunk_documents_sql,
     contamination_check,
     contamination_check_sql,
+    pack_sequences,
+    pack_sequences_sql,
     tfidf_top_terms,
     tfidf_top_terms_sql,
 )
@@ -399,6 +401,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-doc top-5 TF-IDF terms (log-free RSJ idf: engine-exact doubles)
     q["tfidf_documents"] = lambda s, d: tfidf_top_terms(
         load_table(s, d, "documents"), k=5, min_df=2)
+    # sequence packing: chunks laid end-to-end into fixed-length
+    # training sequences (two-pass distributed prefix sum — the global
+    # running count without a single-task Window.orderBy)
+    q["pack_sequences_documents"] = lambda s, d: pack_sequences(
+        chunk_documents(load_table(s, d, "documents"),
+                        size=32, stride=32),
+        seq_len=64)
 
     # --- the capstone: the COMPLETE LLM data-prep pipeline as one
     # query — quality gate → MinHash near-dup dedup (canonical only) →
@@ -777,6 +786,8 @@ FROM reach GROUP BY node HAVING min(comp) = node
         "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
     o["tfidf_documents"] = tfidf_top_terms_sql(
         "documents", k=5, min_df=2)
+    o["pack_sequences_documents"] = pack_sequences_sql(
+        chunk_documents_sql("documents", size=32, stride=32), seq_len=64)
 
     # Capstone pipeline oracle: every stage's SQL builder composed into
     # one WITH-RECURSIVE chain (quality gate → minhash pairs → min-label

@@ -34,6 +34,8 @@ __all__ = [
     "chunk_documents_sql",
     "contamination_check",
     "contamination_check_sql",
+    "pack_sequences",
+    "pack_sequences_sql",
     "tfidf_top_terms",
     "tfidf_top_terms_sql",
 ]
@@ -112,6 +114,94 @@ SELECT id AS {id_col},
        len(w[start + 1 : start + {size}])::BIGINT AS n_tokens
 FROM starts
 WHERE len(w[start + 1 : start + {size}]) >= {min_tokens}
+""".strip()
+
+
+def pack_sequences(chunks: DataFrame, seq_len: int = 2048, *,
+                   order_cols=("doc_id", "chunk_idx"),
+                   count_col: str = "n_tokens",
+                   n_parts: int | None = None) -> DataFrame:
+    """Assign chunks to fixed-length training sequences — the
+    "pack tokens to context length" pass that turns a chunked corpus
+    into model input rows.
+
+    Chunks are laid end-to-end in `order_cols` order; each gets its
+    global ``start_offset`` (tokens before it), the ``seq_id`` of the
+    `seq_len`-token training sequence its first token lands in, and
+    ``seq_offset`` within that sequence.  A chunk may span a sequence
+    boundary (tokens stream across sequences, as in real pipelines);
+    seq_id is where it starts.
+
+    This is a global running sum — the textbook Spark anti-pattern is
+    ``Window.orderBy`` with no partition key (one task does the whole
+    corpus).  Instead, a two-level prefix sum over DETERMINISTIC
+    buckets: the leading order column's [min, max] is cut into
+    `n_parts` fixed-width buckets (a non-decreasing function of the
+    order key, so bucket order IS global order), per-bucket token
+    totals roll up to bucket offsets via a tiny n_parts-row window,
+    and the within-bucket running sum is a window PARTITIONED by
+    bucket — every stage parallel, all JVM.  NOT `repartitionByRange`:
+    its sampled boundaries differ between the jobs of a multi-action
+    plan (the r2 scatter-defect class); fixed-width buckets are pure
+    functions of the data, so every pass agrees by construction.
+    Bucket skew follows id-density skew — raise `n_parts` or pre-
+    densify ids if the leading key is very lumpy.
+    """
+    if n_parts is None:
+        n_parts = chunks.sparkSession.sparkContext.defaultParallelism
+    oc = list(order_cols)
+    lead = oc[0]
+
+    bounds = chunks.agg(
+        F.min(lead).cast("long").alias("__mn"),
+        F.max(lead).cast("long").alias("__mx"))
+    width = F.greatest(
+        F.ceil((F.col("__mx") - F.col("__mn") + 1) / F.lit(n_parts))
+        .cast("long"),
+        F.lit(1))
+    b = (chunks.crossJoin(F.broadcast(bounds))
+         .withColumn("__bkt",
+                     ((F.col(lead).cast("long") - F.col("__mn")) / width)
+                     .cast("long"))
+         .drop("__mn", "__mx"))
+
+    totals = b.groupBy("__bkt").agg(F.sum(count_col).alias("__tot"))
+    w_off = Window.orderBy("__bkt") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"))
+
+    w_in = Window.partitionBy("__bkt").orderBy(*oc) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    start = (F.col("__off")
+             + F.coalesce(F.sum(count_col).over(w_in), F.lit(0)))
+    return (
+        b.join(F.broadcast(offsets), "__bkt")
+        .withColumn("start_offset", start.cast("long"))
+        .withColumn("seq_id",
+                    F.floor(F.col("start_offset") / seq_len).cast("long"))
+        .withColumn("seq_offset",
+                    (F.col("start_offset") % seq_len).cast("long"))
+        .drop("__bkt", "__off")
+    )
+
+
+def pack_sequences_sql(chunks_sql: str, seq_len: int = 2048, *,
+                       order_cols=("doc_id", "chunk_idx"),
+                       count_col: str = "n_tokens") -> str:
+    """DuckDB twin of :func:`pack_sequences` (plain global running sum —
+    the oracle may serialize; the Spark side must not)."""
+    ob = ", ".join(order_cols)
+    return f"""
+SELECT *,
+       (sum({count_col}) OVER (ORDER BY {ob} ROWS UNBOUNDED PRECEDING)
+        - {count_col})::BIGINT AS start_offset,
+       ((sum({count_col}) OVER (ORDER BY {ob} ROWS UNBOUNDED PRECEDING)
+        - {count_col}) // {seq_len})::BIGINT AS seq_id,
+       ((sum({count_col}) OVER (ORDER BY {ob} ROWS UNBOUNDED PRECEDING)
+        - {count_col}) % {seq_len})::BIGINT AS seq_offset
+FROM ({chunks_sql})
 """.strip()
 
 

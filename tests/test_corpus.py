@@ -9,6 +9,8 @@ from flink_skyline_qos_spark.functions.corpus import (
     chunk_documents_sql,
     contamination_check,
     contamination_check_sql,
+    pack_sequences,
+    pack_sequences_sql,
     tfidf_top_terms,
     tfidf_top_terms_sql,
 )
@@ -127,6 +129,72 @@ def test_contamination_duckdb_parity(documents, sf_dir):
         "SELECT * FROM documents",
         "SELECT * FROM documents WHERE doc_id % 7 = 3", n=2)).fetchall()))
     assert sp == dk
+
+
+# ---------- sequence packing ----------
+
+def test_pack_sequences_crafted(spark):
+    chunks = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 10), (2, 0, 7), (3, 0, 20)],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    out = {(r.doc_id, r.chunk_idx): (r.start_offset, r.seq_id, r.seq_offset)
+           for r in pack_sequences(chunks, seq_len=16).collect()}
+    assert out[(1, 0)] == (0, 0, 0)
+    assert out[(1, 1)] == (10, 0, 10)
+    assert out[(2, 0)] == (20, 1, 4)
+    assert out[(3, 0)] == (27, 1, 11)
+
+
+def test_pack_sequences_is_exact_prefix_sum(spark, documents):
+    """start_offset equals the single-task window cumsum, at any
+    parallelism; offsets are contiguous and non-overlapping."""
+    from pyspark.sql.window import Window
+
+    chunks = chunk_documents(documents, size=16, stride=16)
+    for n_parts in (1, 4, 7):
+        got = pack_sequences(chunks, seq_len=64, n_parts=n_parts)
+        w = Window.orderBy("doc_id", "chunk_idx") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ref = chunks.withColumn(
+            "ref_start",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        bad = (
+            got.join(ref, ["doc_id", "chunk_idx"])
+            .filter(F.col("start_offset") != F.col("ref_start"))
+        )
+        assert bad.count() == 0, f"n_parts={n_parts}"
+    assert got.filter(
+        F.col("seq_offset") != F.col("start_offset") % 64).count() == 0
+
+
+def test_pack_sequences_duckdb_parity(documents, sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.start_offset, r.seq_id,
+         r.seq_offset)
+        for r in pack_sequences(
+            chunk_documents(documents, size=16, stride=16),
+            seq_len=48).drop("chunk_text").collect())
+    dk = sorted(
+        (r[0], r[1], r[3], r[4], r[5], r[6])
+        for r in con.sql(pack_sequences_sql(
+            chunk_documents_sql("documents", size=16, stride=16),
+            seq_len=48)).fetchall())
+    assert sp == dk
+
+
+def test_pack_sequences_releases_cache(spark, documents):
+    import gc
+
+    out = pack_sequences(chunk_documents(documents, size=16, stride=16),
+                         seq_len=64)
+    out.count()
+    del out
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
 # ---------- tf-idf ----------
