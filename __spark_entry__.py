@@ -605,6 +605,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), threshold=0.35, block_col="label",
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
+    # --- SemDeDup-style capstone: the full EMBEDDING dedup pipeline as
+    # one query — hyperplane-LSH candidate pairs → exact cosine verify →
+    # connected components → keep-min-id canonical corpus.  Mirrors
+    # dedup_corpus_documents on the vector side; every stage is the
+    # registered scale-safe operator.
+    def _embedding_dedup(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        pairs = embedding_near_dup_lsh(
+            emb, threshold=0.35, n_planes=32, bands=8)
+        labeled = dedup_clusters(
+            emb, pairs.select("id_a", "id_b"), id_col="vec_id")
+        return (labeled.filter(F.col("is_canonical"))
+                .select("vec_id", "cluster_id"))
+    q["embedding_dedup_corpus"] = _embedding_dedup
+
     return q
 
 
@@ -883,6 +898,27 @@ FROM ranked WHERE rn <= 10
 
     o["embedding_near_dup_lsh"] = embedding_near_dup_lsh_sql(
         "embeddings", 64, threshold=0.35, n_planes=32, bands=8)
+
+    # min-label reachability over the exact LSH pair SQL — full value
+    # check of the embedding dedup pipeline (cf. dedup_corpus_documents)
+    o["embedding_dedup_corpus"] = f"""
+WITH RECURSIVE ep AS (
+{embedding_near_dup_lsh_sql("embeddings", 64, threshold=0.35,
+                            n_planes=32, bands=8)}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM ep
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM ep
+),
+reach(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS vec_id, min(comp) AS cluster_id
+FROM reach GROUP BY node HAVING min(comp) = node
+""".strip()
 
     o["embedding_near_dup"] = """
 WITH d AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -204,3 +204,33 @@ def test_cosine_topk_gemm_ties_exact(spark):
     assert sorted(got) == sorted(ref)
     # all five tied at cos=1 → ids 0..4 win under the id tie-break
     assert sorted(v for v, _ in got) == [0, 1, 2, 3, 4]
+
+
+def test_embedding_dedup_corpus_invariants(spark, embeddings):
+    """SemDeDup-style pipeline: LSH pairs -> components -> canonical.
+
+    Every LSH pair must land in one cluster; canonical == min id of its
+    cluster; canonical count + non-canonical count == corpus size.
+    """
+    from flink_skyline_qos_spark.operators.clustering import dedup_clusters
+    from flink_skyline_qos_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = embedding_near_dup_lsh(
+        embeddings, threshold=0.35, n_planes=32, bands=8)
+    labeled = dedup_clusters(
+        embeddings, pairs.select("id_a", "id_b"), id_col="vec_id")
+    lab = {r.vec_id: (r.cluster_id, r.is_canonical)
+           for r in labeled.collect()}
+    n_total = embeddings.count()
+    assert len(lab) == n_total
+    for r in pairs.collect():
+        assert lab[r.id_a][0] == lab[r.id_b][0]
+    by_cluster = {}
+    for vid, (cid, canon) in lab.items():
+        by_cluster.setdefault(cid, []).append((vid, canon))
+    for cid, members in by_cluster.items():
+        assert cid == min(v for v, _ in members)
+        assert [v for v, c in members if c] == [cid]
