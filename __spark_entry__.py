@@ -52,6 +52,8 @@ from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
     contamination_check_sql,
     pack_sequences,
     pack_sequences_sql,
+    remove_boilerplate_lines,
+    remove_boilerplate_lines_sql,
     tfidf_top_terms,
     tfidf_top_terms_sql,
 )
@@ -401,6 +403,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-doc top-5 TF-IDF terms (log-free RSJ idf: engine-exact doubles)
     q["tfidf_documents"] = lambda s, d: tfidf_top_terms(
         load_table(s, d, "documents"), k=5, min_df=2)
+    # corpus-boilerplate removal (C4-style): delete units appearing
+    # verbatim in >= min_docs distinct docs. The synthetic docs are
+    # single-line, so the registered query runs at token granularity
+    # (delimiter=' ', threshold 78% of the corpus so the split is
+    # non-trivial at every SF).
+    def _boilerplate(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        thr = max(int(docs.count() * 0.78), 2)
+        return remove_boilerplate_lines(docs, min_docs=thr, delimiter=" ")
+    q["boilerplate_documents"] = _boilerplate
     # sequence packing: chunks laid end-to-end into fixed-length
     # training sequences (two-pass distributed prefix sum — the global
     # running count without a single-task Window.orderBy)
@@ -801,6 +813,11 @@ FROM reach GROUP BY node HAVING min(comp) = node
         "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
     o["tfidf_documents"] = tfidf_top_terms_sql(
         "documents", k=5, min_df=2)
+    o["boilerplate_documents"] = remove_boilerplate_lines_sql(
+        "documents",
+        min_docs=("greatest(cast(floor(0.78 * "
+                  "(SELECT count(*) FROM documents)) as bigint), 2)"),
+        delimiter=" ")
     o["pack_sequences_documents"] = pack_sequences_sql(
         chunk_documents_sql("documents", size=32, stride=32), seq_len=64)
 

@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_corpus_documents",
     "text_stats_documents",
     "repetition_stats_documents",
+    "tfidf_documents",
+    "pack_sequences_documents",
+    "contamination_documents",
+    "embedding_dedup_corpus",
     "ann_topk_embeddings",
     "ann_topk_gemm_embeddings",
     "skyline_metrics_mr_dim",

@@ -36,6 +36,8 @@ __all__ = [
     "contamination_check_sql",
     "pack_sequences",
     "pack_sequences_sql",
+    "remove_boilerplate_lines",
+    "remove_boilerplate_lines_sql",
     "tfidf_top_terms",
     "tfidf_top_terms_sql",
 ]
@@ -305,6 +307,99 @@ SELECT c.{id_col},
                   ELSE h.n_hits * 1.0 / h.n_grams END, 6)
          AS contaminated_frac
 FROM ({corpus_sql}) c LEFT JOIN hits h ON h.id = c.{id_col}
+""".strip()
+
+
+def remove_boilerplate_lines(df: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text", min_docs: int = 3,
+                             delimiter: str = "\n") -> DataFrame:
+    """Strip corpus-level boilerplate: delete every `delimiter`-bounded
+    unit (lines by default) that appears verbatim in at least
+    `min_docs` DISTINCT documents — the C4-style pass that removes nav
+    bars, cookie banners and license headers shared across a crawl.
+
+    Returns (id, clean_text, n_lines, n_removed); unit order is
+    preserved, documents whose every unit is boilerplate keep an empty
+    ``clean_text``.  `delimiter` is a literal string (escaped before it
+    reaches Spark's regex split); rejoining uses the same literal.
+
+    Scale shape: units explode once, the unit→doc-frequency aggregate
+    is map-side combined on the unit hash, and the boilerplate set
+    (units crossing the threshold — tiny by definition) joins back
+    un-hinted so AQE broadcasts it when small; reassembly is one
+    groupBy(id) with an ordered in-group sort.  Nothing ever carries
+    more than (id, unit) rows.
+    """
+    import re as _re
+
+    t = F.col(text_col)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, _re.escape(delimiter)))
+        .alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("ldf"))
+        .filter(F.col("ldf") >= min_docs)
+        .select("line", F.lit(True).alias("__boiler"))
+    )
+    marked = lines.join(boiler, "line", "left").select(
+        id_col, "pos", "line",
+        F.coalesce("__boiler", F.lit(False)).alias("__boiler"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("pos", "line", "__boiler")))
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(arr, lambda x: ~x["__boiler"]),
+                lambda x: x["line"],
+            ), delimiter,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__boiler").cast("long")).alias("n_removed"),
+    )
+
+
+def remove_boilerplate_lines_sql(table: str, *, id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 min_docs: "int | str" = 3,
+                                 delimiter: str = "\n") -> str:
+    """DuckDB twin of :func:`remove_boilerplate_lines`.
+
+    `min_docs` may be a SQL expression string (e.g. a scalar subquery
+    computing a corpus-relative threshold) — it is interpolated into
+    the HAVING clause verbatim.
+    """
+    if delimiter == "\n":
+        d = "chr(10)"
+    else:
+        d = "'" + delimiter.replace("'", "''") + "'"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, string_split({text_col}, {d}) AS sp
+  FROM {table}
+),
+lines AS (
+  SELECT id, i - 1 AS pos, sp[i] AS line
+  FROM (SELECT id, sp, unnest(generate_series(1, len(sp))) AS i FROM base)
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT id) >= {min_docs}
+),
+marked AS (
+  SELECT l.id, l.pos, l.line, b.line IS NOT NULL AS is_boiler
+  FROM lines l LEFT JOIN boiler b ON b.line = l.line
+)
+SELECT id AS {id_col},
+       coalesce(string_agg(line, {d} ORDER BY pos)
+                FILTER (WHERE NOT is_boiler), '') AS clean_text,
+       count(*)::BIGINT AS n_lines,
+       coalesce(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_removed
+FROM marked GROUP BY id
 """.strip()
 
 

@@ -301,3 +301,66 @@ def test_k_skyband_duckdb_parity(spark, sf_dir):
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_retailprice", "p_size"], k=3)).fetchall()))
     assert sp == dk
+
+
+# ---------- boilerplate removal ----------
+
+def test_boilerplate_lines_crafted(spark):
+    from flink_skyline_qos_spark.functions.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\nfooter"),
+            (2, "cookie banner\nreal content two\nfooter"),
+            (3, "cookie banner\nunique text\nfooter"),
+            (4, "all original here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1].clean_text == "real content one"
+    assert out[1].n_lines == 3 and out[1].n_removed == 2
+    assert out[2].clean_text == "real content two"
+    assert out[3].clean_text == "unique text"
+    assert out[4].clean_text == "all original here"
+    assert out[4].n_removed == 0
+
+
+def test_boilerplate_all_removed_keeps_row(spark):
+    from flink_skyline_qos_spark.functions.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\ny"), (3, "x\ny")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r.clean_text == "" and r.n_removed == 2
+               for r in out.values())
+
+
+def test_boilerplate_duckdb_parity_token_unit(documents, sf_dir):
+    from flink_skyline_qos_spark.functions.corpus import (
+        remove_boilerplate_lines,
+        remove_boilerplate_lines_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    n = documents.count()
+    thr = max(int(n * 0.78), 2)
+    sp = sorted(
+        (r.doc_id, r.clean_text, r.n_lines, r.n_removed)
+        for r in remove_boilerplate_lines(
+            documents, min_docs=thr, delimiter=" ").collect())
+    dk = sorted(map(tuple, con.sql(remove_boilerplate_lines_sql(
+        "documents", min_docs=thr, delimiter=" ")).fetchall()))
+    assert sp == dk
+    assert sum(r[3] for r in sp) > 0  # the threshold actually bites

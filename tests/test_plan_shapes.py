@@ -202,3 +202,55 @@ def test_streaming_windowed_skyline_single_state_operator(spark):
     assert "EventTimeWatermark" in plan, plan
     assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandasWithState",
                           plan, re.M)) == 1, plan
+
+
+def test_chunk_documents_zero_shuffle_all_jvm(spark):
+    """Chunking is one narrow explode: no Exchange, no Python nodes."""
+    from flink_skyline_qos_spark.functions.corpus import chunk_documents
+
+    plan = _plan(chunk_documents(
+        load_table(spark, SF_DIR, "documents"), size=32, stride=24))
+    assert "Exchange" not in plan, plan
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark gram set crosses as a broadcast; only the per-doc
+    aggregates shuffle — the corpus is never hash-partitioned on text."""
+    from flink_skyline_qos_spark.functions.corpus import contamination_check
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(contamination_check(
+        docs, docs.filter((F.col("doc_id") % 10) == 7), n=3))
+    assert "BroadcastExchange" in plan, plan
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_tfidf_topk_pushes_group_limit(spark):
+    """The per-doc rank gets WindowGroupLimit (top-k pushdown): the
+    sort never materializes more than k rows per doc per partition."""
+    from flink_skyline_qos_spark.functions.corpus import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(
+        load_table(spark, SF_DIR, "documents"), k=5, min_df=2))
+    assert "WindowGroupLimit" in plan, plan
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_pack_sequences_no_global_sort_all_jvm(spark):
+    """Sequence packing must never plan a whole-corpus single-task
+    window: every Sort in the plan is within-partition (the global
+    order is recovered from deterministic buckets), and no Python."""
+    from flink_skyline_qos_spark.functions.corpus import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(
+        load_table(spark, SF_DIR, "documents"), size=32, stride=32)
+    plan = _plan(pack_sequences(chunks, seq_len=64, n_parts=8))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+    # rangepartitioning(...) in an Exchange = planning a global sort;
+    # the offsets window runs over the n_parts-row totals only, which
+    # AQE plans as SinglePartition — assert no range exchange at all.
+    assert "rangepartitioning" not in plan.lower(), plan
