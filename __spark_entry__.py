@@ -83,6 +83,8 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     k_dominant_skyline_sql,
     k_skyband,
     k_skyband_sql,
+    skycube,
+    skycube_sql,
     top_k_dominating,
     top_k_dominating_sql,
 )
@@ -246,6 +248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["k_skyband_part"] = lambda s, d: k_skyband(
         load_table(s, d, "part").select(*PART_COLS),
         ["p_retailprice", "p_size"], k=3)
+    # skycube: every subspace skyline of the 3-D lineitem space, one
+    # DAG of independent two-phase skylines (2^3 - 1 cuboids)
+    q["skycube_lineitem"] = lambda s, d: skycube(
+        load_table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", *LI_DIMS3),
+        LI_DIMS3)
 
     # --- grouped skyline (keyed-state analogue) ---
     q["grouped_skyline_events"] = lambda s, d: grouped_skyline(
@@ -673,6 +681,10 @@ def oracle_sql() -> dict[str, str]:
     o["k_skyband_part"] = k_skyband_sql(
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_retailprice", "p_size"], k=3)
+    o["skycube_lineitem"] = skycube_sql(
+        "(SELECT l_orderkey, l_linenumber, "
+        f"{', '.join(LI_DIMS3)} FROM lineitem)",
+        LI_DIMS3)
 
     o["grouped_skyline_events"] = skyline_not_exists_sql(
         _EV_SQL, ["value", "unix_ms"], select="t.*",

@@ -44,6 +44,8 @@ from ..functions.dominance import dominance_sql
 __all__ = [
     "grid_prefilter",
     "grid_prefilter_sql",
+    "skycube",
+    "skycube_sql",
     "k_skyband",
     "k_skyband_sql",
     "top_k_dominating",
@@ -238,6 +240,54 @@ def top_k_dominating_sql(table: str, cols: Sequence[str], k: int = 10, *,
         f"AS dominated_count FROM {table} t "
         f"ORDER BY {order} LIMIT {k}"
     )
+
+
+def _subspaces(cols: Sequence[str]):
+    """All non-empty subsets of `cols`, in mask order (the literature's
+    cuboid enumeration); each as (label, columns)."""
+    out = []
+    for mask in range(1, 1 << len(cols)):
+        sub = [c for i, c in enumerate(cols) if mask & (1 << i)]
+        out.append((",".join(sub), sub))
+    return out
+
+
+def skycube(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The skycube (Pei/Yuan et al., VLDB 2005): the skyline of EVERY
+    non-empty subspace of `cols`, each row tagged with its subspace
+    label — the pre-computed answer set for "skyline on any dimension
+    combination" dashboards.
+
+    2^d − 1 cuboids; meant for the reference's d ≤ 4 regime.  Each
+    cuboid runs the decomposable two-phase skyline operator (narrow
+    local prune → survivor merge), so the cube is one DAG of
+    independent scale-safe skylines over a shared column-pruned scan —
+    ties are kept per-cuboid, and no cuboid's answer is derived from
+    another's (subset-sharing is unsound under ties).
+    """
+    from .skyline import skyline
+
+    parts = []
+    for label, sub in _subspaces(cols):
+        parts.append(
+            skyline(df, sub).withColumn("subspace", F.lit(label)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def skycube_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`skycube` (UNION ALL of per-cuboid
+    NOT-EXISTS skylines)."""
+    from ..functions.dominance import skyline_not_exists_sql
+
+    parts = [
+        f"SELECT *, '{label}' AS subspace FROM "
+        f"({skyline_not_exists_sql(table, sub)})"
+        for label, sub in _subspaces(cols)
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def k_skyband(df: DataFrame, cols: Sequence[str], k: int = 2, *,

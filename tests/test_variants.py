@@ -134,3 +134,52 @@ def test_top_k_dominating_1m_reduced_theta_join(spark):
             (r["dominated_count"] for r in top), reverse=True)
     finally:
         pts.unpersist()
+
+
+def test_skycube_crafted_ties_kept_per_cuboid(spark):
+    """Subset-sharing is unsound under ties — assert each cuboid keeps
+    its own ties independently."""
+    from flink_skyline_qos_spark.operators.variants import skycube
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 0.0, 1.0), (3, 2.0, 0.0)],
+        "id long, x double, y double",
+    )
+    out = {}
+    for r in skycube(pts, ["x", "y"]).collect():
+        out.setdefault(r.subspace, set()).add(r.id)
+    # x alone: ids 1,2 tie at min x; y alone: id 3; full space: 2,3
+    # (1 is dominated by 2 in (x,y) but STILL in the x cuboid)
+    assert out == {"x": {1, 2}, "y": {3}, "x,y": {2, 3}}
+
+
+def test_skycube_full_space_cuboid_equals_skyline(spark, points_2d):
+    from flink_skyline_qos_spark.operators.skyline import skyline
+    from flink_skyline_qos_spark.operators.variants import skycube
+
+    cube = skycube(points_2d, ["d0", "d1"])
+    full = {r.id for r in
+            cube.filter(cube.subspace == "d0,d1").collect()}
+    sky = {r.id for r in skyline(points_2d, ["d0", "d1"]).collect()}
+    assert full == sky
+
+
+def test_skycube_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.variants import (
+        skycube,
+        skycube_sql,
+    )
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice")
+    cols = ["p_size", "p_retailprice"]
+    sp = sorted(map(tuple, skycube(part, cols).collect()))
+    dk = sorted(map(tuple, con.sql(skycube_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        cols)).fetchall()))
+    assert sp == dk
