@@ -449,6 +449,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           ["doc_id"])
     q["llm_corpus_documents"] = _llm_corpus
 
+    # --- capstone v2: the NEXT stage of the same pipeline — after the
+    # quality gate + dedup, decontaminate against the eval subset,
+    # redact, chunk to context windows, and pack into fixed-length
+    # training sequences.  Output is the model-input index (one row per
+    # chunk with its global sequence assignment).
+    def _llm_corpus_v2(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        qual = docs.filter(quality_score(F.col("text")) >= 0.5)
+        pairs = minhash_lsh_pairs(qual, num_hashes=64, bands=16,
+                                  shingle_k=5, threshold=0.5)
+        labeled = dedup_clusters(qual, pairs)
+        canon = qual.join(
+            labeled.filter(F.col("is_canonical")).select("doc_id"),
+            "doc_id")
+        bench = docs.filter((F.col("doc_id") % 10) == 7)
+        contam = contamination_check(canon, bench, n=3)
+        clean = canon.join(
+            contam.filter(F.col("contaminated_frac") < 0.8)
+            .select("doc_id"), "doc_id")
+        red = redact_text(clean).select(
+            "doc_id", F.col("redacted").alias("text"))
+        chunks = chunk_documents(red, size=32, stride=32)
+        return pack_sequences(chunks, seq_len=64).select(
+            "doc_id", "chunk_idx", "chunk_text", "n_tokens",
+            "start_offset", "seq_id", "seq_offset")
+    q["llm_corpus_v2_documents"] = _llm_corpus_v2
+
     # --- deterministic sampling / splitting (content-stable md5
     # buckets; reproducible across engines/reruns/repartitioning) ---
     q["sample_documents"] = lambda s, d: deterministic_sample(
@@ -863,6 +890,45 @@ red AS (
 )
 {hash_split_sql("red", {"train": 0.9, "val": 0.05, "test": 0.05},
                 ["doc_id"])}
+""".strip()
+
+    _contam_clean = contamination_check_sql(
+        "SELECT * FROM kept",
+        "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
+    o["llm_corpus_v2_documents"] = f"""
+WITH RECURSIVE qual AS (
+  SELECT * FROM documents WHERE {quality_score_sql('text')} >= 0.5
+),
+mp AS (
+{minhash_lsh_pairs_sql("qual", num_hashes=64, bands=16,
+                       shingle_k=5, threshold=0.5)}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mp
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM mp
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM qual
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+canon AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING min(comp) = node
+),
+kept AS (
+  SELECT q2.* FROM qual q2 JOIN canon USING (doc_id)
+),
+clean AS (
+  SELECT k.* FROM kept k
+  JOIN ({_contam_clean}) c ON c.doc_id = k.doc_id
+  WHERE c.contaminated_frac < 0.8
+),
+red AS (
+  SELECT doc_id, {redact_expr_sql('text')} AS text FROM clean
+)
+{pack_sequences_sql(chunk_documents_sql("red", size=32, stride=32),
+                    seq_len=64)}
 """.strip()
 
     o["sample_documents"] = deterministic_sample_sql(
