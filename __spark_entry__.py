@@ -81,6 +81,8 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     grid_prefilter_sql,
     k_dominant_skyline,
     k_dominant_skyline_sql,
+    dynamic_skyline,
+    dynamic_skyline_sql,
     k_skyband,
     k_skyband_sql,
     skycube,
@@ -248,6 +250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["k_skyband_part"] = lambda s, d: k_skyband(
         load_table(s, d, "part").select(*PART_COLS),
         ["p_retailprice", "p_size"], k=3)
+    # dynamic skyline: Pareto frontier of |dims - query point| — the
+    # personalized "closest to my QoS target" variant
+    q["dynamic_skyline_part"] = lambda s, d: dynamic_skyline(
+        load_table(s, d, "part").select(*PART_COLS),
+        ["p_size", "p_retailprice"], [25.0, 1200.0])
     # skycube: every subspace skyline of the 3-D lineitem space, one
     # DAG of independent two-phase skylines (2^3 - 1 cuboids)
     q["skycube_lineitem"] = lambda s, d: skycube(
@@ -708,6 +715,9 @@ def oracle_sql() -> dict[str, str]:
     o["k_skyband_part"] = k_skyband_sql(
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_retailprice", "p_size"], k=3)
+    o["dynamic_skyline_part"] = dynamic_skyline_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_size", "p_retailprice"], [25.0, 1200.0])
     o["skycube_lineitem"] = skycube_sql(
         "(SELECT l_orderkey, l_linenumber, "
         f"{', '.join(LI_DIMS3)} FROM lineitem)",

@@ -44,6 +44,8 @@ from ..functions.dominance import dominance_sql
 __all__ = [
     "grid_prefilter",
     "grid_prefilter_sql",
+    "dynamic_skyline",
+    "dynamic_skyline_sql",
     "skycube",
     "skycube_sql",
     "k_skyband",
@@ -240,6 +242,47 @@ def top_k_dominating_sql(table: str, cols: Sequence[str], k: int = 10, *,
         f"AS dominated_count FROM {table} t "
         f"ORDER BY {order} LIMIT {k}"
     )
+
+
+def dynamic_skyline(df: DataFrame, cols: Sequence[str],
+                    query_point: Sequence[float]) -> DataFrame:
+    """Dynamic skyline w.r.t. a query point (Papadias et al., TODS
+    2005): the skyline under the transformed dimensions
+    ``|p_i − q_i|`` — "closest to my QoS target in every dimension",
+    the personalized variant of the reference's absolute-minimization
+    skyline.
+
+    The transform is a narrow Column projection; the skyline runs the
+    ordinary decomposable operator on the derived dims, so the scale
+    shape is identical to :func:`~..operators.skyline.skyline`.
+    Output keeps the ORIGINAL columns.
+    """
+    from .skyline import skyline
+
+    if len(query_point) != len(cols):
+        raise ValueError("query_point must match cols")
+    deriv = [f"__dyn_{i}" for i in range(len(cols))]
+    t = df.select(
+        "*", *[
+            F.abs(F.col(c) - F.lit(float(q))).alias(d)
+            for c, d, q in zip(cols, deriv, query_point)
+        ])
+    return skyline(t, deriv).drop(*deriv)
+
+
+def dynamic_skyline_sql(table: str, cols: Sequence[str],
+                        query_point: Sequence[float],
+                        select: str | None = None) -> str:
+    """DuckDB twin of :func:`dynamic_skyline`."""
+    from ..functions.dominance import skyline_not_exists_sql
+
+    deriv = [f"__dyn_{i}" for i in range(len(cols))]
+    inner = ", ".join(
+        f"abs({c} - {float(q)!r}) AS {d}"
+        for c, d, q in zip(cols, deriv, query_point))
+    keep = select or "t.* EXCLUDE (" + ", ".join(deriv) + ")"
+    return skyline_not_exists_sql(
+        f"(SELECT *, {inner} FROM {table})", deriv, select=keep)
 
 
 def _subspaces(cols: Sequence[str]):

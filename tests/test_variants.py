@@ -183,3 +183,35 @@ def test_skycube_duckdb_parity(spark, sf_dir):
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         cols)).fetchall()))
     assert sp == dk
+
+
+def test_dynamic_skyline_crafted(spark):
+    """Dynamic dominance is w.r.t. |p - q|: a point ON the query point
+    dominates everything else strictly farther in every dim."""
+    from flink_skyline_qos_spark.operators.variants import dynamic_skyline
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 12.0, 12.0), (3, 8.0, 12.0),
+         (4, 30.0, 30.0)],
+        "id long, x double, y double",
+    )
+    got = {r.id for r in
+           dynamic_skyline(pts, ["x", "y"], [10.0, 10.0]).collect()}
+    # |p1-q| = (0,0) dominates (2,2), (2,2), (20,20) -> only p1 survives
+    assert got == {1}
+    # move the target: p2 is exactly on it now
+    got = {r.id for r in
+           dynamic_skyline(pts, ["x", "y"], [12.0, 12.0]).collect()}
+    assert got == {2}
+
+
+def test_dynamic_skyline_zero_point_is_plain_skyline(spark, points_2d):
+    """q = origin over non-negative dims reduces to the ordinary
+    skyline."""
+    from flink_skyline_qos_spark.operators.skyline import skyline
+    from flink_skyline_qos_spark.operators.variants import dynamic_skyline
+
+    dyn = {r.id for r in
+           dynamic_skyline(points_2d, ["d0", "d1"], [0.0, 0.0]).collect()}
+    sky = {r.id for r in skyline(points_2d, ["d0", "d1"]).collect()}
+    assert dyn == sky
