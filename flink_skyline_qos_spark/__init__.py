@@ -28,9 +28,19 @@ from .operators.skyline import (
     skyline_two_phase,
 )
 from .operators.variants import (
+    dynamic_skyline,
     grid_prefilter,
     k_dominant_skyline,
+    k_skyband,
+    skycube,
     top_k_dominating,
+)
+from .functions.corpus import (
+    chunk_documents,
+    contamination_check,
+    pack_sequences,
+    remove_boilerplate_lines,
+    tfidf_top_terms,
 )
 from .session import get_spark
 
@@ -41,5 +51,8 @@ __all__ = [
     "skyline", "skyline_two_phase", "skyline_anti_join",
     "skyline_broadcast_verify", "grouped_skyline",
     "grid_prefilter", "k_dominant_skyline", "top_k_dominating",
+    "k_skyband", "skycube", "dynamic_skyline",
+    "chunk_documents", "pack_sequences", "contamination_check",
+    "tfidf_top_terms", "remove_boilerplate_lines",
     "get_spark",
 ]

@@ -35,7 +35,8 @@ from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
 __all__ = ["continuous_local_skylines", "start_continuous_global",
-           "streaming_exact_dedup", "streaming_windowed_skyline"]
+           "streaming_exact_dedup", "streaming_sliding_skyline",
+           "streaming_windowed_skyline"]
 
 
 def streaming_exact_dedup(stream: DataFrame, keys: Sequence[str], *,
@@ -175,6 +176,31 @@ def streaming_windowed_skyline(stream: DataFrame, dims: int, *,
         StructField("vals", ArrayType(ArrayType(DoubleType()))),
     ])
 
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        # applyInPandasWithState resolves grouping keys by NAME — a raw
+        # window() expression doesn't resolve; materialize it first.
+        # The window struct inherits the event-time marker, and the
+        # stateful operator allows only ONE event-time column, so the
+        # raw ts is dropped once the window is derived.
+        .withColumn("__win", F.window(ts_col, window_duration))
+        .drop(ts_col)
+        .groupBy("__win")
+        .applyInPandasWithState(
+            _window_final_fn(dims, cols),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _window_final_fn(dims: int, cols: Sequence[str]):
+    """State fn shared by the tumbling and sliding window skylines:
+    per-window running skyline (state at skyline size), final answer
+    emitted exactly once when the event-time timeout fires."""
+
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         win = key[0]  # window struct: a dict under Arrow, a Row otherwise
@@ -221,18 +247,66 @@ def streaming_windowed_skyline(stream: DataFrame, dims: int, *,
         # no emission until the timeout finalizes the window (fn is a
         # generator by virtue of the timed-out branch's yield)
 
+    return fn
+
+
+_UNIT_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000}
+
+
+def _dur_ms(spec: str) -> int:
+    n, unit = spec.strip().split()
+    return int(n) * _UNIT_MS[unit.rstrip("s")]
+
+
+def streaming_sliding_skyline(stream: DataFrame, dims: int, *,
+                              window_duration: str = "10 seconds",
+                              slide_duration: str = "5 seconds",
+                              watermark_delay: str = "5 seconds",
+                              ts_col: str = "ts") -> DataFrame:
+    """Event-time SLIDING-window skyline over an unbounded stream — the
+    streaming twin of the batch ``sliding_skyline_events`` query
+    (overlapping windows every `slide_duration`, each `window_duration`
+    long), finalized by watermark exactly like
+    :func:`streaming_windowed_skyline`.
+
+    Structured Streaming only expands ``F.window(..., slide)`` into
+    multiple rows inside a built-in aggregation, not for an arbitrary
+    stateful operator — so the expansion is explicit: each row derives
+    its ⌈D/S⌉ member windows as plain structs and explodes.  The manual
+    struct carries NO event-time marker, so the raw `ts` column stays
+    on the stream as the (single) watermark column; state is keyed on
+    the window struct and each key's final skyline is emitted once when
+    the watermark passes its end.
+    """
+    cols = [f"d{i}" for i in range(dims)]
+    out_schema = StructType(
+        [StructField("win_start", TimestampType()),
+         StructField("win_end", TimestampType()),
+         StructField("id", LongType())]
+        + [StructField(c, DoubleType()) for c in cols])
+    state_schema = StructType([
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(ArrayType(DoubleType()))),
+    ])
+    d_ms, s_ms = _dur_ms(window_duration), _dur_ms(slide_duration)
+    n_wins = -(-d_ms // s_ms)
+    ep = (F.col(ts_col).cast("double") * 1000).cast("long")
+    s0 = (F.floor(ep / s_ms).cast("long") * s_ms)
+    wins = F.array(*[
+        F.struct(
+            F.timestamp_millis(s0 - j * s_ms).alias("start"),
+            F.timestamp_millis(s0 - j * s_ms + d_ms).alias("end"))
+        for j in range(n_wins)])
+    member = F.filter(
+        wins, lambda w: (w["start"] <= F.col(ts_col))
+        & (w["end"] > F.col(ts_col)))
     return (
         stream.withWatermark(ts_col, watermark_delay)
-        # applyInPandasWithState resolves grouping keys by NAME — a raw
-        # window() expression doesn't resolve; materialize it first.
-        # The window struct inherits the event-time marker, and the
-        # stateful operator allows only ONE event-time column, so the
-        # raw ts is dropped once the window is derived.
-        .withColumn("__win", F.window(ts_col, window_duration))
-        .drop(ts_col)
+        .withColumn("__win", F.explode(member))
         .groupBy("__win")
         .applyInPandasWithState(
-            fn,
+            _window_final_fn(dims, cols),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",

@@ -607,3 +607,61 @@ def test_streaming_exact_dedup_bounded_state(spark):
                      "GROUP BY key").collect()
     assert len(rows) == 40
     assert all(r["n"] == 1 for r in rows)  # no key emitted twice
+
+
+def test_streaming_sliding_skyline_matches_batch(spark):
+    """Sliding-window skyline EXECUTED over the unbounded rate source:
+    overlapping 10 s windows every 5 s; every window the watermark
+    closed must equal the batch skyline of exactly that window's rows."""
+    import time as _t
+
+    from flink_skyline_qos_spark.operators.skyline import skyline
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_sliding_skyline,
+    )
+    from flink_skyline_qos_spark.streaming.sources import rate_tuple_dims
+
+    BASE = 1_600_000_000
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500).load()
+        .select(F.col("value").alias("id"))
+        .select("id",
+                F.timestamp_seconds(F.lit(BASE) + F.col("id")).alias("ts"),
+                *rate_tuple_dims(2, 10000.0))
+    )
+    out = streaming_sliding_skyline(
+        src, 2, window_duration="10 seconds", slide_duration="5 seconds",
+        watermark_delay="5 seconds")
+    q = (out.writeStream.format("memory").queryName("slide_sky")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            n = spark.sql(
+                "SELECT count(DISTINCT win_start) AS c FROM slide_sky"
+            ).first()["c"]
+            if n >= 3:
+                break
+            _t.sleep(0.5)
+        else:
+            raise AssertionError("no windows closed before timeout")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql("SELECT * FROM slide_sky").collect()
+    by_win: dict = {}
+    for r in rows:
+        by_win.setdefault(int(r["win_start"].timestamp()), []).append(r)
+    assert len(by_win) >= 3
+    # window starts arrive every 5 s (overlap proves the slide expansion)
+    starts = sorted(by_win)
+    assert any(b - a == 5 for a, b in zip(starts, starts[1:]))
+    for ws in starts[:6]:
+        lo, hi = ws - BASE, ws + 10 - BASE
+        batch = spark.range(max(lo, 0), hi).select(
+            "id", *rate_tuple_dims(2, 10000.0))
+        expect = {(r["id"], r["d0"], r["d1"])
+                  for r in skyline(batch, ["d0", "d1"]).collect()}
+        got = {(r["id"], r["d0"], r["d1"]) for r in by_win[ws]}
+        assert got == expect, f"window {ws}"
