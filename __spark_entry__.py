@@ -42,6 +42,8 @@ from flink_skyline_qos_spark.functions.text import (  # noqa: E402
     repetition_stats_sql,
     text_stats,
     text_stats_sql,
+    token_count,
+    token_count_sql,
     vocab,
     vocab_sql,
 )
@@ -405,6 +407,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PII/URL redaction pass (emails/URLs/long digit runs masked)
     q["redact_documents"] = lambda s, d: redact_text(
         load_table(s, d, "documents")
+    )
+    # corpus profiling: per-(lang, source) token/char distribution —
+    # the data-mix report a training run starts from (exact percentile
+    # parity with quantile_cont, as for profile_events)
+    q["corpus_profile_documents"] = lambda s, d: (
+        load_table(s, d, "documents")
+        .select("lang", "source",
+                token_count(F.col("text")).alias("nt"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("nt"), 6).alias("mean_tokens"),
+             F.round(F.expr("percentile(nt, 0.5)"), 6).alias("p50_tokens"),
+             F.round(F.expr("percentile(nt, 0.95)"), 6).alias("p95_tokens"),
+             F.round(F.avg("n_chars"), 6).alias("mean_chars"))
     )
     # fixed-context-window packing: overlapping token windows per doc
     q["chunk_documents"] = lambda s, d: chunk_documents(
@@ -862,6 +878,18 @@ FROM reach GROUP BY node HAVING min(comp) = node
         "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
     o["tfidf_documents"] = tfidf_top_terms_sql(
         "documents", k=5, min_df=2)
+    o["corpus_profile_documents"] = f"""
+WITH t AS (
+  SELECT lang, source, {token_count_sql('text')} AS nt, n_chars
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(nt), 6) AS mean_tokens,
+       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(nt, 0.95), 6) AS p95_tokens,
+       round(avg(n_chars), 6) AS mean_chars
+FROM t GROUP BY lang, source
+""".strip()
     o["boilerplate_documents"] = remove_boilerplate_lines_sql(
         "documents",
         min_docs=("greatest(cast(floor(0.78 * "

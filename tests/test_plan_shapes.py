@@ -254,3 +254,26 @@ def test_pack_sequences_no_global_sort_all_jvm(spark):
     # the offsets window runs over the n_parts-row totals only, which
     # AQE plans as SinglePartition — assert no range exchange at all.
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_skycube_one_exchange_per_cuboid(spark):
+    """Every cuboid is an independent two-phase skyline: exactly 2^d−1
+    survivor exchanges, never a data-sized shuffle."""
+    from flink_skyline_qos_spark.operators.variants import skycube
+
+    li = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_extendedprice", "l_discount")
+    plan = _plan(skycube(li, ["l_extendedprice", "l_discount"]))
+    assert _n_exchanges(plan) == 3, plan
+
+
+def test_dynamic_skyline_single_survivor_exchange(spark):
+    """The query-point transform is a narrow projection: the plan is
+    the core skyline's (one survivor exchange)."""
+    from flink_skyline_qos_spark.operators.variants import dynamic_skyline
+
+    li = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_extendedprice", "l_discount")
+    plan = _plan(dynamic_skyline(
+        li, ["l_extendedprice", "l_discount"], [1000.0, 0.05]))
+    assert _n_exchanges(plan) == 1, plan
