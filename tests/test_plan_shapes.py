@@ -277,3 +277,49 @@ def test_dynamic_skyline_single_survivor_exchange(spark):
     plan = _plan(dynamic_skyline(
         li, ["l_extendedprice", "l_discount"], [1000.0, 0.05]))
     assert _n_exchanges(plan) == 1, plan
+
+
+def test_bucketed_join_has_no_shuffle_or_sort(spark, tmp_path_factory):
+    """Co-located join layout: orders and lineitem bucketed + sorted on
+    the order key join with ZERO Exchange and ZERO Sort — the declared-
+    once layout that turns repeated fact-to-fact joins into scans."""
+    from flink_skyline_qos_spark.sources.tables import (
+        load_table,
+        write_bucketed,
+    )
+
+    write_bucketed(
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice"),
+        "orders_b", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_extendedprice"),
+        "lineitem_b", "l_orderkey", n_buckets=4)
+    try:
+        # exploiting per-bucket sort order at scan time moved behind a
+        # legacy flag in Spark 3.0 (one-file-per-bucket required, which
+        # write_bucketed guarantees)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # force the merge-join path (no broadcast) to prove co-location
+        with_smj = spark.table("lineitem_b").hint("merge").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = _plan(with_smj)
+        assert "Exchange" not in plan, plan
+        assert re.search(r"^\(\d+\) Sort(?!MergeJoin)", plan, re.M) \
+            is None, plan
+        # and it actually answers correctly
+        n = with_smj.count()
+        ref = (
+            load_table(spark, SF_DIR, "lineitem")
+            .join(load_table(spark, SF_DIR, "orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+        ).count()
+        assert n == ref
+    finally:
+        spark.conf.unset(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
