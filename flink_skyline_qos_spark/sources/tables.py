@@ -31,6 +31,32 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def write_jsonl(df: DataFrame, path: str, *,
+                partition_by: "str | None" = None,
+                compression: "str | None" = None) -> None:
+    """Export a corpus frame as JSON Lines — the interchange format
+    training loaders consume.  One JSON object per row, written
+    distributed (each task streams its partition; nothing passes
+    through the driver); `partition_by` lays out `key=value/`
+    subdirectories so downstream readers partition-prune.
+    """
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a :func:`write_jsonl` export; pass `schema` to skip the
+    inference scan (always do at 100 TB)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, *,
                    n_buckets: int = 8, sort: bool = True) -> None:
     """Persist `df` as a bucketed (and bucket-sorted) managed parquet

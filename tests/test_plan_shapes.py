@@ -323,3 +323,38 @@ def test_bucketed_join_has_no_shuffle_or_sort(spark, tmp_path_factory):
             "spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_jsonl_roundtrip_and_partition_pruning(spark, tmp_path):
+    """Corpus export lands as lang=*/ JSONL; reading back with a lang
+    filter prunes partitions AT THE SCAN (PartitionFilters), so a
+    100 TB corpus read touches only the matching directories."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from flink_skyline_qos_spark.sources.tables import (
+        load_table,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "lang", "text")
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs, out, partition_by="lang")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    back = read_jsonl(spark, out, schema=schema)
+    assert back.count() == docs.count()
+    # value fidelity on a sample column
+    a = {(r.doc_id, r.text) for r in docs.collect()}
+    b = {(r.doc_id, r.text) for r in back.collect()}
+    assert a == b
+    filtered = back.filter(F.col("lang") == "en")
+    plan = _plan(filtered)
+    m = re.search(r"PartitionFilters: \[.*lang.*\]", plan)
+    assert m, plan
+    assert filtered.count() == docs.filter(F.col("lang") == "en").count()
