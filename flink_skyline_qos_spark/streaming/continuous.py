@@ -35,8 +35,8 @@ from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
 __all__ = ["continuous_local_skylines", "start_continuous_global",
-           "streaming_exact_dedup", "streaming_sliding_skyline",
-           "streaming_windowed_skyline"]
+           "streaming_exact_dedup", "streaming_session_skyline",
+           "streaming_sliding_skyline", "streaming_windowed_skyline"]
 
 
 def streaming_exact_dedup(stream: DataFrame, keys: Sequence[str], *,
@@ -312,6 +312,62 @@ def streaming_sliding_skyline(stream: DataFrame, dims: int, *,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def streaming_session_skyline(stream: DataFrame, dims: int, *,
+                              gap: str = "30 minutes",
+                              watermark_delay: str = "5 seconds",
+                              ts_col: str = "ts",
+                              key_col: str = "user_id") -> DataFrame:
+    """Per-key SESSION-window skyline over an unbounded stream — the
+    streaming twin of the batch ``session_skyline_events`` query
+    (activity sessions split by inactivity > `gap`), completing the
+    tumbling / sliding / session streaming-window family.
+
+    Built on Spark-NATIVE session windows rather than hand-rolled
+    state: ``groupBy(key, session_window(ts, gap))`` with a
+    ``collect_list`` aggregate gathers each session's rows (state per
+    open session — exactly what any native session aggregation holds;
+    Spark merges sessions that a bridging event joins), the watermark
+    closes sessions in append mode, and the skyline of each CLOSED
+    session is one pure higher-order Column expression
+    (``filter(rows, r → ¬∃q. q dominates r)``) — O(|session|²) per
+    session but sessions are small by definition, and the whole
+    dominance pass stays JVM-side with zero extra shuffle.
+
+    Output: (key, sess_start, sess_end, id, d0..) — closed sessions
+    only, each session's exact Pareto set over the d-columns.
+    """
+    cols = [f"d{i}" for i in range(dims)]
+
+    def _dom(a, b):
+        all_le = a[cols[0]] <= b[cols[0]]
+        any_lt = a[cols[0]] < b[cols[0]]
+        for c in cols[1:]:
+            all_le = all_le & (a[c] <= b[c])
+            any_lt = any_lt | (a[c] < b[c])
+        return all_le & any_lt
+
+    agg = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col, F.session_window(F.col(ts_col), gap))
+        .agg(F.collect_list(F.struct("id", *cols)).alias("__rows"))
+    )
+    surv = F.filter(
+        F.col("__rows"),
+        lambda r: ~F.exists(F.col("__rows"), lambda q: _dom(q, r)),
+    )
+    return (
+        agg.select(
+            key_col,
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            F.explode(surv).alias("__r"),
+        )
+        .select(key_col, "sess_start", "sess_end",
+                F.col("__r.id").alias("id"),
+                *[F.col(f"__r.{c}").alias(c) for c in cols])
     )
 
 

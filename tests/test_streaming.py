@@ -665,3 +665,65 @@ def test_streaming_sliding_skyline_matches_batch(spark):
                   for r in skyline(batch, ["d0", "d1"]).collect()}
         got = {(r["id"], r["d0"], r["d1"]) for r in by_win[ws]}
         assert got == expect, f"window {ws}"
+
+
+def test_streaming_session_skyline_matches_batch(spark):
+    """Session-window skyline EXECUTED over the rate source: ts jumps
+    600 s every 50 ids (gap 120 s), so sessions are deterministic
+    50-id blocks; every closed session must equal the batch skyline of
+    exactly that (user, block)'s rows."""
+    import time as _t
+
+    from flink_skyline_qos_spark.operators.skyline import skyline
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_session_skyline,
+    )
+    from flink_skyline_qos_spark.streaming.sources import rate_tuple_dims
+
+    BASE = 1_600_000_000
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500).load()
+        .select(F.col("value").alias("id"))
+        .select("id", (F.col("id") % 5).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(BASE) + F.col("id")
+                    + (F.col("id") / 50).cast("long") * 600).alias("ts"),
+                *rate_tuple_dims(2, 10000.0))
+    )
+    out = streaming_session_skyline(
+        src, 2, gap="120 seconds", watermark_delay="5 seconds")
+    q = (out.writeStream.format("memory").queryName("sess_sky")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            n = spark.sql(
+                "SELECT count(DISTINCT sess_start) AS c FROM sess_sky"
+            ).first()["c"]
+            if n >= 2:
+                break
+            _t.sleep(0.5)
+        else:
+            raise AssertionError("no sessions closed before timeout")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sess_sky").collect()
+    by_sess: dict = {}
+    for r in rows:
+        by_sess.setdefault((r["user_id"],
+                            int(r["sess_start"].timestamp())), []).append(r)
+    assert len(by_sess) >= 2
+    for (u, ss), got_rows in sorted(by_sess.items())[:10]:
+        # block index from the session's first event time:
+        # ts = BASE + id + (id // 50) * 600 -> invert via the block grid
+        rel = ss - BASE
+        b = round((rel - u) / 650)  # first id in block b for user u >= 50b
+        ids = [v for v in range(50 * b, 50 * (b + 1)) if v % 5 == u]
+        batch = (spark.createDataFrame([(v,) for v in ids], "id long")
+                 .select("id", *rate_tuple_dims(2, 10000.0)))
+        expect = {(r["id"], r["d0"], r["d1"])
+                  for r in skyline(batch, ["d0", "d1"]).collect()}
+        got = {(r["id"], r["d0"], r["d1"]) for r in got_rows}
+        assert got == expect, f"user {u} session {ss} (block {b})"
