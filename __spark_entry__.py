@@ -85,6 +85,10 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     k_dominant_skyline_sql,
     dynamic_skyline,
     dynamic_skyline_sql,
+    epsilon_skyline,
+    epsilon_skyline_sql,
+    thick_skyline,
+    thick_skyline_sql,
     k_skyband,
     k_skyband_sql,
     skycube,
@@ -138,6 +142,7 @@ LI_COLS = [
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
 ]
 NUM_PARTS = 8
+GEN_N = 20_000
 
 # Prefix triggers on events (FIXTURES.md F2): mid-prefix, K=0 immediate,
 # K beyond max(id) (pending-barrier → whole input at end-of-batch).
@@ -257,6 +262,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dynamic_skyline_part"] = lambda s, d: dynamic_skyline(
         load_table(s, d, "part").select(*PART_COLS),
         ["p_size", "p_retailprice"], [25.0, 1200.0])
+    # epsilon-skyline: drop points beaten within tolerance eps — thins
+    # the dense frontier (3156 -> 581 points on this set; mutual
+    # eps-elimination CAN empty a dense frontier, so the registered
+    # query runs on the SF-independent generated set with a calibrated
+    # eps rather than the ~2-point lineitem frontier)
+    q["epsilon_skyline_gen_2d"] = lambda s, d: epsilon_skyline(
+        generate_points_hash(s, GEN_N, 2, dist="anti_correlated"),
+        ["d0", "d1"], eps=[2.0, 2.0])
+    # thick skyline: the dual relaxation — everything within eps of
+    # Pareto-optimal survives (superset of the skyline, never empty)
+    q["thick_skyline_lineitem"] = lambda s, d: thick_skyline(
+        load_table(s, d, "lineitem").select(*LI_DIMS2),
+        LI_DIMS2, eps=[500.0, 0.005])
     # skycube: every subspace skyline of the 3-D lineitem space, one
     # DAG of independent two-phase skylines (2^3 - 1 cuboids)
     q["skycube_lineitem"] = lambda s, d: skycube(
@@ -647,7 +665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_ivf_embeddings"] = _ann_ivf
 
     # --- synthetic generators (S5), deterministic hash-seeded twins ---
-    GEN_N = 20_000
     for dist in ("uniform", "correlated", "anti_correlated"):
         q[f"gen_{dist}_2d"] = (
             lambda s, d, dist=dist: generate_points_hash(
@@ -734,6 +751,12 @@ def oracle_sql() -> dict[str, str]:
     o["dynamic_skyline_part"] = dynamic_skyline_sql(
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_size", "p_retailprice"], [25.0, 1200.0])
+    o["epsilon_skyline_gen_2d"] = epsilon_skyline_sql(
+        f"({generate_points_sql(GEN_N, 2, dist='anti_correlated')})",
+        ["d0", "d1"], eps=[2.0, 2.0])
+    o["thick_skyline_lineitem"] = thick_skyline_sql(
+        f"(SELECT {', '.join(LI_DIMS2)} FROM lineitem)",
+        LI_DIMS2, eps=[500.0, 0.005])
     o["skycube_lineitem"] = skycube_sql(
         "(SELECT l_orderkey, l_linenumber, "
         f"{', '.join(LI_DIMS3)} FROM lineitem)",
@@ -1017,7 +1040,6 @@ FROM ranked WHERE rn <= 10
     o["media_decode_documents"] = decode_media_sql(
         "(SELECT doc_id FROM documents)")
 
-    GEN_N = 20_000
     for dist in ("uniform", "correlated", "anti_correlated"):
         o[f"gen_{dist}_2d"] = generate_points_sql(GEN_N, 2, dist=dist)
     o["gen_anticorr_skyline_2d"] = skyline_not_exists_sql(

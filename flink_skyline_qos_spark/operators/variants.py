@@ -46,6 +46,10 @@ __all__ = [
     "grid_prefilter_sql",
     "dynamic_skyline",
     "dynamic_skyline_sql",
+    "epsilon_skyline",
+    "epsilon_skyline_sql",
+    "thick_skyline",
+    "thick_skyline_sql",
     "skycube",
     "skycube_sql",
     "k_skyband",
@@ -283,6 +287,126 @@ def dynamic_skyline_sql(table: str, cols: Sequence[str],
     keep = select or "t.* EXCLUDE (" + ", ".join(deriv) + ")"
     return skyline_not_exists_sql(
         f"(SELECT *, {inner} FROM {table})", deriv, select=keep)
+
+
+def _eps_vec(eps, cols: Sequence[str]) -> "list[float]":
+    v = ([float(eps)] * len(cols)
+         if isinstance(eps, (int, float)) else [float(e) for e in eps])
+    if len(v) != len(cols) or any(e < 0 for e in v):
+        raise ValueError("eps must be a scalar or per-dim non-negative "
+                         "vector matching cols")
+    return v
+
+
+def epsilon_skyline(df: DataFrame, cols: Sequence[str],
+                    eps) -> DataFrame:
+    """ε-skyline (Koltun & Papadimitriou's ε-dominance, as used for
+    QoS): q ε-dominates p when ``q_i ≤ p_i + ε_i`` in every dimension
+    and ``q_i < p_i + ε_i`` in at least one — points that are beaten
+    "within tolerance ε" are dropped, thinning the dense frontiers the
+    reference's 4-D anti-correlated regime produces (PDF §5.4's
+    optimality collapse).  ε = 0 reduces to the ordinary skyline;
+    `eps` may be a scalar or a per-dimension vector (mixed-scale dims
+    need per-dim tolerances or one dimension's ε swamps another).
+
+    ε-dominance is NOT transitive, so the result is computed like the
+    k-dominant skyline: the ordinary skyline always CONTAINS the
+    ε-skyline (ε-dominance is weaker than dominance ⇒ more points are
+    eliminated), so candidates = skyline(df), then one pass of the
+    FULL input against the broadcast candidates removes ε-dominated
+    survivors — n × |skyline|, never n².
+    """
+    ev = _eps_vec(eps, cols)
+    from .skyline import skyline
+
+    cand = skyline(df, cols)
+    c, u = cand.alias("c"), df.alias("u")
+    all_le = reduce(and_, [
+        F.col(f"u.{x}") <= F.col(f"c.{x}") + e for x, e in zip(cols, ev)])
+    any_lt = reduce(or_, [
+        F.col(f"u.{x}") < F.col(f"c.{x}") + e for x, e in zip(cols, ev)])
+    # "self" is DIM-value identity (a point never eliminates its exact
+    # duplicate) — key columns are deliberately excluded so semantics
+    # don't change when an id rides along
+    not_self = reduce(or_, [
+        F.col(f"u.{x}") != F.col(f"c.{x}") for x in cols])
+    dominated = (
+        u.join(F.broadcast(c), all_le & any_lt & not_self, "inner")
+        .select(*[F.col(f"c.{x}").alias(x) for x in df.columns])
+        .distinct()
+    )
+    eq = reduce(and_, [
+        F.col(f"c.{x}").eqNullSafe(F.col(f"d.{x}")) for x in df.columns
+    ])
+    return (cand.alias("c")
+            .join(dominated.alias("d"), eq, "left_anti"))
+
+
+def epsilon_skyline_sql(table: str, cols: Sequence[str],
+                        eps) -> str:
+    """DuckDB twin of :func:`epsilon_skyline` (same candidates-first
+    reduction)."""
+    from ..functions.dominance import skyline_not_exists_sql
+
+    ev = _eps_vec(eps, cols)
+    all_le = " AND ".join(
+        f"u.{c} <= t.{c} + {e!r}" for c, e in zip(cols, ev))
+    any_lt = " OR ".join(
+        f"u.{c} < t.{c} + {e!r}" for c, e in zip(cols, ev))
+    cand = skyline_not_exists_sql(table, cols)
+    not_self = " OR ".join(f"u.{c} <> t.{c}" for c in cols)
+    return (
+        f"WITH cand AS ({cand}) SELECT t.* FROM cand t WHERE NOT EXISTS ("
+        f"SELECT 1 FROM {table} u WHERE ({all_le}) AND ({any_lt}) "
+        f"AND ({not_self}))"
+    )
+
+
+def thick_skyline(df: DataFrame, cols: Sequence[str],
+                  eps) -> DataFrame:
+    """Thick (ε-approximate) skyline: every point NOT beaten by a clear
+    margin — q margin-dominates p when ``q_i ≤ p_i − ε_i`` in every
+    dimension and strictly in one.  A SUPERSET of the skyline ("all
+    services within ε of Pareto-optimal"), never empty, the dual of
+    :func:`epsilon_skyline`'s thinning.
+
+    Margin-dominance is transitive and any margin-dominator is itself
+    plainly dominated only by other margin-dominators, so p is
+    margin-dominated iff some PLAIN-skyline member margin-dominates
+    it.  Scale shape: broadcast the (small) plain skyline, one
+    anti-join pass over the full input — n × |skyline|, never n², and
+    the corpus is never shuffled.
+    """
+    ev = _eps_vec(eps, cols)
+    from .skyline import skyline
+
+    sky = skyline(df, cols).select(
+        *[F.col(x).alias(f"__s_{x}") for x in cols]).distinct()
+    cond = reduce(and_, [
+        F.col(f"__s_{x}") <= F.col(x) - e for x, e in zip(cols, ev)
+    ]) & reduce(or_, [
+        F.col(f"__s_{x}") < F.col(x) - e for x, e in zip(cols, ev)
+    ])
+    return df.join(F.broadcast(sky), cond, "left_anti")
+
+
+def thick_skyline_sql(table: str, cols: Sequence[str], eps) -> str:
+    """DuckDB twin of :func:`thick_skyline` (same skyline-reduction:
+    a margin-dominated point is margin-dominated by a skyline member,
+    so the NOT EXISTS probes |skyline| rows, not n)."""
+    from ..functions.dominance import skyline_not_exists_sql
+
+    ev = _eps_vec(eps, cols)
+    all_le = " AND ".join(
+        f"u.{c} <= t.{c} - {e!r}" for c, e in zip(cols, ev))
+    any_lt = " OR ".join(
+        f"u.{c} < t.{c} - {e!r}" for c, e in zip(cols, ev))
+    sky = skyline_not_exists_sql(table, cols)
+    return (
+        f"WITH __sky AS ({sky}) "
+        f"SELECT t.* FROM {table} t WHERE NOT EXISTS ("
+        f"SELECT 1 FROM __sky u WHERE ({all_le}) AND ({any_lt}))"
+    )
 
 
 def _subspaces(cols: Sequence[str]):

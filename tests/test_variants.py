@@ -215,3 +215,70 @@ def test_dynamic_skyline_zero_point_is_plain_skyline(spark, points_2d):
            dynamic_skyline(points_2d, ["d0", "d1"], [0.0, 0.0]).collect()}
     sky = {r.id for r in skyline(points_2d, ["d0", "d1"]).collect()}
     assert dyn == sky
+
+
+def test_epsilon_skyline_crafted(spark):
+    from flink_skyline_qos_spark.operators.variants import epsilon_skyline
+
+    pts = spark.createDataFrame(
+        [(0.0, 10.0), (10.0, 0.0), (1.0, 9.5)],
+        "x double, y double",
+    )
+    # plain skyline keeps all three (mutually non-dominated);
+    # eps=2: (0,10) is eps-dominated by (1,9.5) (1<=0+2, 9.5<=10+2,
+    # strict), and (1,9.5) by (0,10) (0<=3, 10<=11.5) -> both die;
+    # (10,0) survives (others have y >= 9.5 > 0+2)
+    got = {(r.x, r.y) for r in
+           epsilon_skyline(pts, ["x", "y"], 2.0).collect()}
+    assert got == {(10.0, 0.0)}
+
+
+def test_epsilon_zero_is_plain_skyline(spark, points_2d):
+    from flink_skyline_qos_spark.operators.skyline import skyline
+    from flink_skyline_qos_spark.operators.variants import epsilon_skyline
+
+    pts = points_2d.select("d0", "d1").distinct()
+    e0 = sorted(map(tuple, epsilon_skyline(pts, ["d0", "d1"], 0.0)
+                    .collect()))
+    sky = sorted(map(tuple, skyline(pts, ["d0", "d1"]).collect()))
+    assert e0 == sky
+
+
+def test_epsilon_skyline_rejects_bad_eps(spark, points_2d):
+    import pytest as _pt
+
+    from flink_skyline_qos_spark.operators.variants import epsilon_skyline
+
+    with _pt.raises(ValueError):
+        epsilon_skyline(points_2d, ["d0", "d1"], -1.0)
+    with _pt.raises(ValueError):
+        epsilon_skyline(points_2d, ["d0", "d1"], [1.0])
+
+
+def test_thick_skyline_superset_and_zero_eps(spark, points_2d):
+    from flink_skyline_qos_spark.operators.skyline import skyline
+    from flink_skyline_qos_spark.operators.variants import thick_skyline
+
+    pts = points_2d
+    sky = {r.id for r in skyline(pts, ["d0", "d1"]).collect()}
+    thick = {r.id for r in
+             thick_skyline(pts, ["d0", "d1"], [50.0, 50.0]).collect()}
+    assert sky <= thick
+    assert len(thick) >= len(sky)
+    zero = {r.id for r in
+            thick_skyline(pts, ["d0", "d1"], 0.0).collect()}
+    assert zero == sky
+
+
+def test_thick_skyline_crafted(spark):
+    from flink_skyline_qos_spark.operators.variants import thick_skyline
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 1.0), (3, 5.0, 5.0)],
+        "id long, x double, y double",
+    )
+    # eps=2: p2 is within margin of p1 (1 > 0+... 0 <= 1-2 is false)
+    # -> survives; p3 is margin-dominated by p1 (0 <= 5-2, strict)
+    got = {r.id for r in
+           thick_skyline(pts, ["x", "y"], 2.0).collect()}
+    assert got == {1, 2}
