@@ -29,10 +29,12 @@ from .operators.skyline import (
 )
 from .operators.variants import (
     dynamic_skyline,
+    epsilon_skyline,
     grid_prefilter,
     k_dominant_skyline,
     k_skyband,
     skycube,
+    thick_skyline,
     top_k_dominating,
 )
 from .functions.corpus import (
@@ -51,7 +53,8 @@ __all__ = [
     "skyline", "skyline_two_phase", "skyline_anti_join",
     "skyline_broadcast_verify", "grouped_skyline",
     "grid_prefilter", "k_dominant_skyline", "top_k_dominating",
-    "k_skyband", "skycube", "dynamic_skyline",
+    "k_skyband", "skycube", "dynamic_skyline", "epsilon_skyline",
+    "thick_skyline",
     "chunk_documents", "pack_sequences", "contamination_check",
     "tfidf_top_terms", "remove_boilerplate_lines",
     "get_spark",

@@ -358,3 +358,17 @@ def test_jsonl_roundtrip_and_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[.*lang.*\]", plan)
     assert m, plan
     assert filtered.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_thick_skyline_anti_joins_broadcast_skyline(spark):
+    """Thick skyline: the margin filter must stream the full input
+    against the BROADCAST plain skyline (LeftAnti BuildRight) — never
+    an unbroadcast n x n pass."""
+    from flink_skyline_qos_spark.operators.variants import thick_skyline
+
+    li = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_extendedprice", "l_discount")
+    plan = _plan(thick_skyline(
+        li, ["l_extendedprice", "l_discount"], [100.0, 0.01]))
+    assert re.search(
+        r"BroadcastNestedLoopJoin LeftAnti BuildRight", plan), plan
