@@ -76,7 +76,14 @@ def skyline_not_exists_sql(table: str, cols: Sequence[str], extra_pred: str = ""
     predicate breaks the transitivity argument above (the pivot prune
     would drop rows whose only dominators are NON-qualifying pivots),
     so the prune is only sound when every dominator qualifies.
+
+    Rows with a NULL in any dominance dimension are excluded up front —
+    the same complete-vectors semantics every Spark strategy applies
+    (`operators.skyline._complete`): three-valued logic would otherwise
+    keep an all-NULL row that the NumPy kernel drops.
     """
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    table = f"(SELECT * FROM {table} WHERE {nn})"
     pred = dominance_sql(cols, "u", "t")
     grp = ""
     if partition_by:

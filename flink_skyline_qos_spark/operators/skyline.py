@@ -117,6 +117,23 @@ def _group_prune(cols: Sequence[str], cpu_acc=None):
     return fn
 
 
+def _complete(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Drop rows with a NULL in any dominance dimension.
+
+    Dominance requires complete vectors: SQL three-valued logic would
+    keep an all-NULL row (every comparison is NULL ⇒ NOT EXISTS true)
+    while the NumPy kernel's NaN ordering silently drops it — the
+    strategies would DISAGREE.  Every skyline entry point therefore
+    filters incomplete rows first (a narrow scan-side predicate), and
+    :func:`~..functions.dominance.skyline_not_exists_sql` applies the
+    same filter, so all strategies and the oracle share one semantics.
+    """
+    from functools import reduce as _red
+    from operator import and_ as _and
+
+    return df.filter(_red(_and, [F.col(c).isNotNull() for c in cols]))
+
+
 def skyline(df: DataFrame, cols: Sequence[str], *,
             merge_partitions: int | None = None) -> DataFrame:
     """Skyline of `df`, minimizing every column in `cols`.
@@ -125,7 +142,9 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
     survivors cross the single tiny exchange.  `merge_partitions` inserts
     one intermediate hash-distributed merge level for huge survivor sets
     (e.g. 4-D anti-correlated) before the final single-task merge.
+    Rows with a NULL dimension are excluded (see :func:`_complete`).
     """
+    df = _complete(df, cols)
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
     if merge_partitions and merge_partitions > 1:
         pruned = (
@@ -172,6 +191,7 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     work falls with |C|² — worth it exactly when local pruning is weak
     (high-dim anti-correlated).
     """
+    df = _complete(df, cols)
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
     if pre_merge_partitions and pre_merge_partitions > 1:
         pruned = pruned.repartition(pre_merge_partitions) \
@@ -346,6 +366,7 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
     shuffle boundaries, applied to the one operator Catalyst cannot
     see into.
     """
+    df = _complete(df, cols)
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
     n = pruned.count()
     if n > broadcast_threshold:
@@ -394,6 +415,7 @@ def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,
         from .variants import grid_prefilter
 
         df = grid_prefilter(df, cols, domain_max)
+    df = _complete(df, cols)
     pid_name = partition_col or "__pid"
     dims = [F.col(c) for c in cols]
     tagged = df.withColumn(
@@ -417,6 +439,7 @@ def skyline_anti_join(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     Matches the DuckDB NOT-EXISTS oracle shape; use for small inputs or
     as a cross-check.
     """
+    df = _complete(df, cols)
     t = df.alias("t")
     u = df.alias("u")
     cond = dominates([F.col(f"u.{c}") for c in cols],
@@ -501,6 +524,7 @@ def grouped_skyline(df: DataFrame, cols: Sequence[str],
       skyline is decomposable under any partitioning (SURVEY §1.4); the
       second shuffle carries only sub-skyline survivors.
     """
+    df = _complete(df, cols)
     by = [by] if isinstance(by, str) else list(by)
     if strategy == "auto":
         strategy = "window" if len(cols) == 2 else "kernel"

@@ -249,3 +249,41 @@ def test_scatter_verify_above_threshold_1m_4d(spark):
         assert scatter.count() > 100_000  # genuinely above the threshold
     finally:
         pts.unpersist()
+
+
+def test_null_dims_one_semantics_across_strategies(spark):
+    """Rows with a NULL dominance dimension are excluded by EVERY
+    strategy and by the SQL twin — without the explicit filter, SQL
+    three-valued logic keeps an all-NULL row the NumPy kernel drops."""
+    import duckdb
+
+    from flink_skyline_qos_spark.functions.dominance import (
+        skyline_not_exists_sql,
+    )
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline,
+        skyline_anti_join,
+        skyline_auto,
+        skyline_broadcast_verify,
+        skyline_two_phase,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, None, 0.5), (3, 2.0, 2.0), (4, None, None)],
+        "id long, x double, y double",
+    )
+    for fn in (
+        lambda: skyline(pts, ["x", "y"]),
+        lambda: skyline_anti_join(pts, ["x", "y"]),
+        lambda: skyline_two_phase(pts, ["x", "y"], domain_max=10.0),
+        lambda: skyline_broadcast_verify(pts, ["x", "y"]),
+        lambda: skyline_auto(pts, ["x", "y"]),
+    ):
+        assert sorted(r.id for r in fn().collect()) == [1]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM (VALUES (1, 1.0, 1.0), "
+            "(2, NULL, 0.5), (3, 2.0, 2.0), (4, NULL, NULL)) v(id, x, y)")
+    got = sorted(r[0] for r in con.sql(
+        f"SELECT id FROM ({skyline_not_exists_sql('t', ['x', 'y'])})"
+    ).fetchall())
+    assert got == [1]
