@@ -77,12 +77,15 @@ def skyline_not_exists_sql(table: str, cols: Sequence[str], extra_pred: str = ""
     would drop rows whose only dominators are NON-qualifying pivots),
     so the prune is only sound when every dominator qualifies.
 
-    Rows with a NULL in any dominance dimension are excluded up front —
-    the same complete-vectors semantics every Spark strategy applies
-    (`operators.skyline._complete`): three-valued logic would otherwise
-    keep an all-NULL row that the NumPy kernel drops.
+    Rows with a NULL or NaN in any dominance dimension are excluded up
+    front — the same complete-vectors semantics every Spark strategy
+    applies (`operators.skyline._complete`): three-valued logic would
+    otherwise keep an all-NULL row that the NumPy kernel drops, and
+    NaN ordering diverges between the engines.
     """
-    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    nn = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan(cast({c} AS DOUBLE))"
+        for c in cols)
     table = f"(SELECT * FROM {table} WHERE {nn})"
     pred = dominance_sql(cols, "u", "t")
     grp = ""

@@ -118,20 +118,26 @@ def _group_prune(cols: Sequence[str], cpu_acc=None):
 
 
 def _complete(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """Drop rows with a NULL in any dominance dimension.
+    """Drop rows with a NULL or NaN in any dominance dimension.
 
-    Dominance requires complete vectors: SQL three-valued logic would
-    keep an all-NULL row (every comparison is NULL ⇒ NOT EXISTS true)
-    while the NumPy kernel's NaN ordering silently drops it — the
-    strategies would DISAGREE.  Every skyline entry point therefore
-    filters incomplete rows first (a narrow scan-side predicate), and
+    Dominance requires complete, comparable vectors — the engines
+    otherwise DISAGREE on incomplete rows: SQL three-valued logic keeps
+    an all-NULL row (every comparison NULL ⇒ NOT EXISTS true) that the
+    NumPy kernel drops, and a NaN row survives the kernel (IEEE
+    comparisons all false ⇒ never dominated) while Spark SQL's
+    NaN-greatest ordering lets real rows dominate it.  Every skyline
+    entry point therefore filters incomplete rows first (a narrow
+    scan-side predicate), and
     :func:`~..functions.dominance.skyline_not_exists_sql` applies the
     same filter, so all strategies and the oracle share one semantics.
     """
     from functools import reduce as _red
     from operator import and_ as _and
 
-    return df.filter(_red(_and, [F.col(c).isNotNull() for c in cols]))
+    return df.filter(_red(_and, [
+        F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        for c in cols
+    ]))
 
 
 def skyline(df: DataFrame, cols: Sequence[str], *,

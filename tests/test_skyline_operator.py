@@ -287,3 +287,35 @@ def test_null_dims_one_semantics_across_strategies(spark):
         f"SELECT id FROM ({skyline_not_exists_sql('t', ['x', 'y'])})"
     ).fetchall())
     assert got == [1]
+
+
+def test_nan_dims_one_semantics_across_strategies(spark):
+    """NaN dims are excluded like NULLs: IEEE comparisons keep a NaN
+    row alive in the kernel while Spark SQL's NaN-greatest ordering
+    dominates it away — complete-vectors semantics unifies both."""
+    import duckdb
+
+    from flink_skyline_qos_spark.functions.dominance import (
+        skyline_not_exists_sql,
+    )
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline,
+        skyline_anti_join,
+    )
+
+    nan = float("nan")
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, nan, 0.5), (3, 0.5, nan), (4, 2.0, 2.0)],
+        "id long, x double, y double",
+    )
+    assert sorted(r.id for r in skyline(pts, ["x", "y"]).collect()) == [1]
+    assert sorted(
+        r.id for r in skyline_anti_join(pts, ["x", "y"]).collect()) == [1]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM (VALUES (1, 1.0, 1.0), "
+            "(2, 'nan'::DOUBLE, 0.5), (3, 0.5, 'nan'::DOUBLE), "
+            "(4, 2.0, 2.0)) v(id, x, y)")
+    got = sorted(r[0] for r in con.sql(
+        f"SELECT id FROM ({skyline_not_exists_sql('t', ['x', 'y'])})"
+    ).fetchall())
+    assert got == [1]
