@@ -107,6 +107,10 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     Ids must be integral (cast to long in the output schema).
     """
     q_pdf = queries.select(query_id_col, vec_col).toPandas()
+    spark = corpus.sparkSession
+    if q_pdf.empty:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int")
     qids = q_pdf[query_id_col].to_numpy(dtype=np.int64)
     qm = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
@@ -317,7 +321,16 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     """
     assert n_planes % bands == 0
     rows_per_band = n_planes // bands
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:  # empty corpus: no pairs, empty drop stats
+        spark = df.sparkSession
+        out = spark.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double")
+        out.lsh_dropped = spark.createDataFrame(
+            [(0, 0, 0)],
+            "dropped_buckets long, dropped_rows long, dropped_pairs long")
+        return out
+    dim = len(first[0])
     planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
     bc = df.sparkSession.sparkContext.broadcast(planes)
 

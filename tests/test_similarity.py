@@ -234,3 +234,27 @@ def test_embedding_dedup_corpus_invariants(spark, embeddings):
     for cid, members in by_cluster.items():
         assert cid == min(v for v, _ in members)
         assert [v for v, c in members if c] == [cid]
+
+
+def test_empty_inputs_do_not_crash(spark):
+    """Empty corpus / empty query set return empty frames with the
+    right schema instead of raising (GEMM axis error, LSH first()[0])."""
+    from pyspark.sql import functions as F
+
+    from flink_skyline_qos_spark.operators.similarity import (
+        cosine_topk_gemm,
+        embedding_near_dup_lsh,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    q1 = one.select(F.col("vec_id").alias("query_id"), "embedding")
+    qe = empty.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert cosine_topk_gemm(empty, q1).count() == 0
+    out = cosine_topk_gemm(one, qe)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+    pairs = embedding_near_dup_lsh(empty)
+    assert pairs.count() == 0
+    assert pairs.lsh_dropped.first()["dropped_pairs"] == 0
