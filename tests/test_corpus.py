@@ -364,3 +364,34 @@ def test_boilerplate_duckdb_parity_token_unit(documents, sf_dir):
         "documents", min_docs=thr, delimiter=" ")).fetchall()))
     assert sp == dk
     assert sum(r[3] for r in sp) > 0  # the threshold actually bites
+
+
+def test_corpus_twins_unicode_parity(spark):
+    """Crafted unicode (CJK, emoji, combining marks, tabs/newlines/
+    NBSP): chunking and tf-idf twins stay bit-identical — both engines
+    must agree on codepoint-level splits and token identity."""
+    import pandas as pd
+
+    docs = [
+        (1, "héllo wörld héllo naïve"),
+        (2, "日本語 テスト 日本語 中文 分词"),
+        (3, "emoji 🚀 test 🚀🚀 done"),
+        (4, "tab\tsep\tand\nnewline mix"),
+        (5, "nbsp joined words nbsp joined"),
+        (6, "é combining é marks"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sp = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(sdf, size=3, stride=2).collect())
+    dk = sorted(map(tuple, con.sql(
+        chunk_documents_sql("documents", size=3, stride=2)).fetchall()))
+    assert sp == dk
+    sp = sorted(
+        (r.doc_id, r.token, r.tf, r.df, r.tfidf, r.rank)
+        for r in tfidf_top_terms(sdf, k=3, min_df=1).collect())
+    dk = sorted(map(tuple, con.sql(
+        tfidf_top_terms_sql("documents", k=3, min_df=1)).fetchall()))
+    assert sp == dk
