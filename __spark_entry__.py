@@ -75,6 +75,12 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     simhash_near_dup_pairs,
     simhash_near_dup_pairs_sql,
 )
+from flink_skyline_qos_spark.operators.joins import (  # noqa: E402
+    as_of_join,
+    as_of_join_sql,
+    range_join,
+    range_join_sql,
+)
 from flink_skyline_qos_spark.operators.partitioners import (  # noqa: E402
     mr_dim_sql,
 )
@@ -320,6 +326,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return grouped_skyline(ev, ["value", "unix_ms"],
                                by=["user_id", "__sess"])
     q["session_skyline_events"] = _session
+
+    # --- temporal joins (enrichment primitives Spark lacks natively):
+    # as-of = union + running-last window, ONE hash exchange per side,
+    # no join node; range = bucket-grid equi join, no nested loop.
+    def _asof(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+        clicks = ev.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts", "value")
+        purch = ev.filter(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts", "value")
+        out = as_of_join(clicks, purch, on="ts", by="user_id",
+                         right_cols=["value", "event_id"],
+                         tiebreak="event_id")
+        # left rows with no admissible right row carry NULL payload;
+        # sentinel-coalesced so the value-hash compare never sorts
+        # mixed NULL/non-NULL tuples
+        return out.select(
+            "event_id", "user_id", "value",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.coalesce(
+                F.unix_millis(F.col("ts_asof").cast("timestamp")),
+                F.lit(-1)).alias("asof_ms"),
+            F.coalesce("value_asof", F.lit(-1.0)).alias("value_asof"),
+            F.coalesce("event_id_asof", F.lit(-1)).alias("event_id_asof"))
+    q["asof_join_events"] = _asof
+
+    def _range_join(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+        iv = s.range(30).select(
+            F.col("id").alias("iv_id"),
+            (F.col("id") * 7.0).alias("lo"),
+            (F.col("id") * 7.0 + 10.0).alias("hi"))
+        return range_join(
+            ev.select("event_id", F.col("value").alias("v")), iv,
+            point_col="v", start_col="lo", end_col="hi",
+            bucket_width=8.0)
+    q["range_join_events"] = _range_join
 
     # --- data profiling: per-type distribution summary (count/min/max/
     # mean/p50/p95) — the pipeline-health check run before any training
@@ -774,6 +817,29 @@ def oracle_sql() -> dict[str, str]:
         "AS win_start FROM events)",
         ["value", "unix_ms"], select="t.*", partition_by=["win_start"],
     )
+
+    _asof_inner = as_of_join_sql(
+        "SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'click'",
+        "SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase'",
+        on="ts", by="user_id",
+        left_cols=["event_id", "user_id", "ts", "value"],
+        right_cols=["value", "event_id"], tiebreak="event_id")
+    o["asof_join_events"] = (
+        "SELECT event_id, user_id, value, "
+        "cast(epoch_ms(ts) as bigint) AS ts_ms, "
+        "coalesce(cast(epoch_ms(ts_asof) as bigint), -1) AS asof_ms, "
+        "coalesce(value_asof, -1.0) AS value_asof, "
+        "coalesce(event_id_asof, -1) AS event_id_asof "
+        f"FROM ({_asof_inner})")
+    o["range_join_events"] = range_join_sql(
+        "SELECT event_id, value AS v FROM events",
+        "SELECT range AS iv_id, range * 7.0 AS lo, "
+        "range * 7.0 + 10.0 AS hi FROM range(30)",
+        point_col="v", start_col="lo", end_col="hi",
+        point_cols=["event_id", "v"],
+        interval_cols=["iv_id", "lo", "hi"])
 
     o["profile_events"] = """
 SELECT event_type, count(*) AS n,

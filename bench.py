@@ -122,6 +122,11 @@ def main() -> None:
         (3, 10_000_000, "anticorr_10m_3d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"],
                                             pre_merge_partitions=cpus)),
+        # 2.22M local survivors > the 2M scatter threshold: the natural
+        # (unforced) scatter-verify regime, re-measured every round
+        (4, 10_000_000, "anticorr_10m_4d",
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
+                                            pre_merge_partitions=cpus)),
     ):
         base = generate_points(spark, n_rows, dims,
                                dist="anti_correlated",
