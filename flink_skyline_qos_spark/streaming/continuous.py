@@ -35,8 +35,40 @@ from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
 __all__ = ["continuous_local_skylines", "start_continuous_global",
-           "streaming_exact_dedup", "streaming_session_skyline",
-           "streaming_sliding_skyline", "streaming_windowed_skyline"]
+           "streaming_exact_dedup", "streaming_interval_join",
+           "streaming_session_skyline", "streaming_sliding_skyline",
+           "streaming_windowed_skyline"]
+
+
+def streaming_interval_join(left: DataFrame, right: DataFrame, *,
+                            key: str, left_ts: str, right_ts: str,
+                            band_seconds: int,
+                            watermark_delay: str = "10 seconds"
+                            ) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same `key` whose timestamp falls in
+    ``[left_ts − band, left_ts]`` — click←impression attribution, the
+    canonical two-stream enrichment.
+
+    Rides Spark's NATIVE stream-stream join; the operator's whole job
+    is stating the state-expiry contract correctly: BOTH sides carry a
+    watermark and the join condition bounds `right_ts` relative to
+    `left_ts` on both ends, which is exactly what lets Spark drop
+    buffered rows once the watermark passes the band (unbounded state
+    otherwise).  Append-mode output; matched pairs emit once both
+    sides' watermarks clear them.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+           - F.expr(f"INTERVAL {band_seconds} SECONDS"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return (
+        l.withWatermark(left_ts, watermark_delay)
+        .join(r.withWatermark(right_ts, watermark_delay), cond, "inner")
+    )
 
 
 def streaming_exact_dedup(stream: DataFrame, keys: Sequence[str], *,

