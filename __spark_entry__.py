@@ -30,6 +30,7 @@ from flink_skyline_qos_spark import (  # noqa: E402
     skyline_two_phase,
 )
 from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
+    skyline_auto,
     skyline_broadcast_verify,
 )
 from flink_skyline_qos_spark.functions.text import (  # noqa: E402
@@ -724,6 +725,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         generate_points_hash(s, GEN_N, 4, dist="anti_correlated"),
         ["d0", "d1", "d2", "d3"],
     )
+    # the ADAPTIVE strategy on the same 4-D set: measures survivors and
+    # dispatches (here: the huge-survivor hybrid-verify branch) — the
+    # measure-then-replan path, oracled against the same NOT-EXISTS
+    q["gen_anticorr_skyline_auto_4d"] = lambda s, d: skyline_auto(
+        generate_points_hash(s, GEN_N, 4, dist="anti_correlated"),
+        ["d0", "d1", "d2", "d3"], broadcast_threshold=1000,
+    )
 
     # unlabeled scale path: random-hyperplane LSH blocking, exact verify.
     q["embedding_near_dup_lsh"] = lambda s, d: embedding_near_dup_lsh(
@@ -1116,6 +1124,7 @@ FROM ranked WHERE rn <= 10
         f"({generate_points_sql(GEN_N, 4, dist='anti_correlated')})",
         ["d0", "d1", "d2", "d3"],
     )
+    o["gen_anticorr_skyline_auto_4d"] = o["gen_anticorr_skyline_4d"]
 
     o["embedding_near_dup_lsh"] = embedding_near_dup_lsh_sql(
         "embeddings", 64, threshold=0.35, n_planes=32, bands=8)
