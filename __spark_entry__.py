@@ -55,6 +55,8 @@ from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
     contamination_check_sql,
     pack_sequences,
     pack_sequences_sql,
+    rarity_score,
+    rarity_score_sql,
     remove_boilerplate_lines,
     remove_boilerplate_lines_sql,
     tfidf_top_terms,
@@ -496,6 +498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-doc top-5 TF-IDF terms (log-free RSJ idf: engine-exact doubles)
     q["tfidf_documents"] = lambda s, d: tfidf_top_terms(
         load_table(s, d, "documents"), k=5, min_df=2)
+    # per-doc mean token rarity (log-free perplexity surrogate;
+    # token-ordered fold so the float sum is engine-identical)
+    q["rarity_documents"] = lambda s, d: rarity_score(
+        load_table(s, d, "documents"))
     # corpus-boilerplate removal (C4-style): delete units appearing
     # verbatim in >= min_docs distinct docs. The synthetic docs are
     # single-line, so the registered query runs at token granularity
@@ -975,6 +981,7 @@ FROM reach GROUP BY node HAVING min(comp) = node
         "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
     o["tfidf_documents"] = tfidf_top_terms_sql(
         "documents", k=5, min_df=2)
+    o["rarity_documents"] = rarity_score_sql("documents")
     o["corpus_profile_documents"] = f"""
 WITH t AS (
   SELECT lang, source, {token_count_sql('text')} AS nt, n_chars

@@ -38,6 +38,8 @@ __all__ = [
     "pack_sequences_sql",
     "remove_boilerplate_lines",
     "remove_boilerplate_lines_sql",
+    "rarity_score",
+    "rarity_score_sql",
     "tfidf_top_terms",
     "tfidf_top_terms_sql",
 ]
@@ -307,6 +309,94 @@ SELECT c.{id_col},
                   ELSE h.n_hits * 1.0 / h.n_grams END, 6)
          AS contaminated_frac
 FROM ({corpus_sql}) c LEFT JOIN hits h ON h.id = c.{id_col}
+""".strip()
+
+
+def rarity_score(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document mean token rarity — the log-free perplexity
+    surrogate: how "surprising" a document's tokens are under the
+    corpus unigram distribution.
+
+    For each token occurrence, rarity = ``(T + 1) / (tf + 1)`` where
+    ``tf`` is the token's corpus term frequency and ``T`` the corpus
+    token count (inverse unigram probability, add-one smoothed);
+    returns (id, n_tokens, round(mean rarity, 6)).  High values flag
+    rare-token-dense documents (often noise), low values flag
+    boilerplate — the same axis unigram log-perplexity measures, kept
+    to one IEEE division + mean so the DuckDB twin is bit-identical
+    (a ``log`` would tie correctness to libm rounding, as with
+    :func:`tfidf_top_terms`).
+
+    Shape: explode → per-(doc, token) counts → token frequencies over
+    that aggregate → broadcast the V-row frequency table + 1-row total
+    back onto the doc tokens → one per-doc average.  Nothing heavier
+    than (doc, token, count) rows ever shuffles.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_clean_tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = toks.groupBy("__id", "token").agg(
+        F.count(F.lit(1)).alias("n"))
+    tf = per_doc.groupBy("token").agg(F.sum("n").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("__t"))
+    term = (F.col("n")
+            * ((F.col("__t") + 1.0) / (F.col("tf") + 1.0))).alias("v")
+    # float summation is ORDER-DEPENDENT; an unordered SUM would let
+    # Spark's partial-agg order and DuckDB's sequential order disagree
+    # in the last ulp and occasionally flip round(,6).  Fold the terms
+    # in token order on both engines instead — bit-identical.
+    scored = (
+        per_doc.join(F.broadcast(tf), "token")
+        .crossJoin(F.broadcast(total))
+        .select("__id", "n", F.struct("token", term).alias("tv"))
+        .groupBy("__id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("tv")),
+                    F.lit(0.0), lambda acc, x: acc + x["v"],
+                ) / F.sum("n"), 6).alias("mean_rarity"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(id_col,
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("mean_rarity", F.lit(0.0)).alias("mean_rarity"))
+    )
+
+
+def rarity_score_sql(table: str, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of :func:`rarity_score`."""
+    w = _CLEAN_TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({w}) AS token FROM {table}
+),
+per_doc AS (
+  SELECT id, token, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2
+),
+tf AS (SELECT token, sum(n)::BIGINT AS tf FROM per_doc GROUP BY 1),
+tot AS (SELECT sum(tf)::BIGINT AS t FROM tf),
+scored AS (
+  SELECT id, sum(n)::BIGINT AS n_tokens,
+         round(list_reduce(
+                 list_prepend(0.0,
+                   list(n * ((t + 1.0) / (tf + 1.0)) ORDER BY token)),
+                 (a, b) -> a + b) / sum(n), 6)
+           AS mean_rarity
+  FROM per_doc JOIN tf USING (token), tot
+  GROUP BY id
+)
+SELECT d.{id_col},
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.mean_rarity, 0.0) AS mean_rarity
+FROM {table} d LEFT JOIN scored s ON s.id = d.{id_col}
 """.strip()
 
 

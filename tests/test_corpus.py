@@ -395,3 +395,40 @@ def test_corpus_twins_unicode_parity(spark):
     dk = sorted(map(tuple, con.sql(
         tfidf_top_terms_sql("documents", k=3, min_df=1)).fetchall()))
     assert sp == dk
+
+
+# ---------- rarity score ----------
+
+def test_rarity_crafted(spark):
+    from flink_skyline_qos_spark.functions.corpus import rarity_score
+
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rarity_score(docs).collect()}
+    # T=5 total tokens; tf: common=4, rare=1
+    # doc1: 3 tokens, each rarity 6/5 -> mean 1.2
+    assert out[1].n_tokens == 3
+    assert out[1].mean_rarity == pytest.approx(1.2)
+    # doc2: (6/5 + 6/2) / 2 = 2.1
+    assert out[2].mean_rarity == pytest.approx(2.1)
+    # empty doc keeps its row with zeros
+    assert out[3].n_tokens == 0 and out[3].mean_rarity == 0.0
+
+
+def test_rarity_duckdb_parity(documents, sf_dir):
+    from flink_skyline_qos_spark.functions.corpus import (
+        rarity_score,
+        rarity_score_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.n_tokens, r.mean_rarity)
+        for r in rarity_score(documents).collect())
+    dk = sorted(map(tuple, con.sql(rarity_score_sql("documents"))
+                    .fetchall()))
+    assert sp == dk
