@@ -41,6 +41,7 @@ from .functions.corpus import (
     chunk_documents,
     contamination_check,
     pack_sequences,
+    rarity_score,
     remove_boilerplate_lines,
     tfidf_top_terms,
 )
@@ -56,6 +57,6 @@ __all__ = [
     "k_skyband", "skycube", "dynamic_skyline", "epsilon_skyline",
     "thick_skyline",
     "chunk_documents", "pack_sequences", "contamination_check",
-    "tfidf_top_terms", "remove_boilerplate_lines",
+    "tfidf_top_terms", "remove_boilerplate_lines", "rarity_score",
     "get_spark",
 ]

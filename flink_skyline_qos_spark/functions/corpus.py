@@ -154,6 +154,11 @@ def pack_sequences(chunks: DataFrame, seq_len: int = 2048, *,
     if n_parts is None:
         n_parts = chunks.sparkSession.sparkContext.defaultParallelism
     oc = list(order_cols)
+    # NULL order keys have no place in a total order: a NULL leading
+    # key would fall out of the bucket equi-join while still inflating
+    # offsets, and engines disagree on NULL sort position.  Excluded
+    # explicitly, mirrored in the SQL twin.
+    chunks = chunks.na.drop(subset=oc)
     lead = oc[0]
 
     bounds = chunks.agg(
@@ -197,6 +202,8 @@ def pack_sequences_sql(chunks_sql: str, seq_len: int = 2048, *,
     """DuckDB twin of :func:`pack_sequences` (plain global running sum —
     the oracle may serialize; the Spark side must not)."""
     ob = ", ".join(order_cols)
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in order_cols)
+    chunks_sql = f"SELECT * FROM ({chunks_sql}) WHERE {nn}"
     return f"""
 SELECT *,
        (sum({count_col}) OVER (ORDER BY {ob} ROWS UNBOUNDED PRECEDING)

@@ -65,11 +65,15 @@ def as_of_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
         raise ValueError("as_of_join needs at least one `by` key "
                          "(a global as-of would serialize on one task)")
     payload = list(right_cols)
+    # order by the tiebreak's NATIVE type — casting to long would turn
+    # a string/uuid tiebreak into NULL for every row and silently
+    # reintroduce the nondeterministic tie the parameter exists to kill
+    tb_type = right.schema[tiebreak].dataType.simpleString()
     r = right.select(
         *by,
         F.col(on).alias("__t"),
         F.lit(0).alias("__side"),
-        F.col(tiebreak).cast("long").alias("__tb"),
+        F.col(tiebreak).alias("__tb"),
         F.col(on).alias(f"{on}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in payload],
     )
@@ -77,7 +81,7 @@ def as_of_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
         "*",
         F.col(on).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (Window.partitionBy(*by)
@@ -111,7 +115,7 @@ def as_of_join_sql(left_sql: str, right_sql: str, *, on: str = "ts",
     lcols = ", ".join(left_cols)
     rsel = ", ".join(
         [*by, f"{on} AS __t", "0 AS __side",
-         f"cast({tiebreak} AS BIGINT) AS __tb",
+         f"{tiebreak} AS __tb",
          f"{on} AS {on}{suffix}"]
         + [f"{c} AS {c}{suffix}" for c in payload])
     lnull = ", ".join(
@@ -127,7 +131,7 @@ def as_of_join_sql(left_sql: str, right_sql: str, *, on: str = "ts",
         [lcols] + [f"__a_{c} AS {c}{suffix}" for c in [on, *payload]])
     return f"""
 WITH u AS (
-  SELECT {lcols}, {on} AS __t, 1 AS __side, NULL::BIGINT AS __tb, {lnull}
+  SELECT {lcols}, {on} AS __t, 1 AS __side, NULL AS __tb, {lnull}
   FROM ({left_sql})
   UNION ALL BY NAME
   SELECT {rsel} FROM ({right_sql})
@@ -159,6 +163,12 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
     w = float(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be > 0")
+    if how not in ("inner", "left"):
+        # outer/right would emit one null-padded row per BUCKET REPLICA
+        # of an unmatched interval (intervals are exploded before the
+        # join) — wrong cardinality, so those modes are rejected
+        raise ValueError("range_join supports how='inner' or 'left' "
+                         "(points side) only")
     iv = intervals.withColumn(
         "__b",
         F.explode(F.sequence(

@@ -36,7 +36,7 @@ from functools import reduce
 from operator import and_, or_
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dominance import dominance_sql
@@ -298,6 +298,26 @@ def _eps_vec(eps, cols: Sequence[str]) -> "list[float]":
     return v
 
 
+def _broadcast_eliminate(df: DataFrame, cand: DataFrame,
+                         cond: Column) -> DataFrame:
+    """Candidates-first elimination shared by the non-transitive
+    variants (ε-skyline, k-dominant): stream the FULL input `df`
+    (alias ``u``) against the BROADCAST candidate set (alias ``c``) on
+    `cond`, collapse the matched candidates, and anti-join them out —
+    n × |cand| work, never n²."""
+    c, u = cand.alias("c"), df.alias("u")
+    dominated = (
+        u.join(F.broadcast(c), cond, "inner")
+        .select(*[F.col(f"c.{x}").alias(x) for x in cand.columns])
+        .distinct()
+    )
+    eq = reduce(and_, [
+        F.col(f"c.{x}").eqNullSafe(F.col(f"d.{x}")) for x in cand.columns
+    ])
+    return (cand.alias("c")
+            .join(dominated.alias("d"), eq, "left_anti"))
+
+
 def epsilon_skyline(df: DataFrame, cols: Sequence[str],
                     eps) -> DataFrame:
     """ε-skyline (Koltun & Papadimitriou's ε-dominance, as used for
@@ -320,7 +340,6 @@ def epsilon_skyline(df: DataFrame, cols: Sequence[str],
     from .skyline import skyline
 
     cand = skyline(df, cols)
-    c, u = cand.alias("c"), df.alias("u")
     all_le = reduce(and_, [
         F.col(f"u.{x}") <= F.col(f"c.{x}") + e for x, e in zip(cols, ev)])
     any_lt = reduce(or_, [
@@ -330,16 +349,7 @@ def epsilon_skyline(df: DataFrame, cols: Sequence[str],
     # don't change when an id rides along
     not_self = reduce(or_, [
         F.col(f"u.{x}") != F.col(f"c.{x}") for x in cols])
-    dominated = (
-        u.join(F.broadcast(c), all_le & any_lt & not_self, "inner")
-        .select(*[F.col(f"c.{x}").alias(x) for x in df.columns])
-        .distinct()
-    )
-    eq = reduce(and_, [
-        F.col(f"c.{x}").eqNullSafe(F.col(f"d.{x}")) for x in df.columns
-    ])
-    return (cand.alias("c")
-            .join(dominated.alias("d"), eq, "left_anti"))
+    return _broadcast_eliminate(df, cand, all_le & any_lt & not_self)
 
 
 def epsilon_skyline_sql(table: str, cols: Sequence[str],
@@ -378,8 +388,9 @@ def thick_skyline(df: DataFrame, cols: Sequence[str],
     the corpus is never shuffled.
     """
     ev = _eps_vec(eps, cols)
-    from .skyline import skyline
+    from .skyline import _complete, skyline
 
+    df = _complete(df, cols)  # one NULL/NaN semantics, like every entry
     sky = skyline(df, cols).select(
         *[F.col(x).alias(f"__s_{x}") for x in cols]).distinct()
     cond = reduce(and_, [
@@ -402,9 +413,13 @@ def thick_skyline_sql(table: str, cols: Sequence[str], eps) -> str:
     any_lt = " OR ".join(
         f"u.{c} < t.{c} - {e!r}" for c, e in zip(cols, ev))
     sky = skyline_not_exists_sql(table, cols)
+    nn = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan(cast({c} AS DOUBLE))"
+        for c in cols)
     return (
         f"WITH __sky AS ({sky}) "
-        f"SELECT t.* FROM {table} t WHERE NOT EXISTS ("
+        f"SELECT t.* FROM (SELECT * FROM {table} WHERE {nn}) t "
+        f"WHERE NOT EXISTS ("
         f"SELECT 1 FROM __sky u WHERE ({all_le}) AND ({any_lt}))"
     )
 
@@ -427,21 +442,26 @@ def skycube(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
     2^d − 1 cuboids; meant for the reference's d ≤ 4 regime.  Each
     cuboid runs the decomposable two-phase skyline operator (narrow
-    local prune → survivor merge), so the cube is one DAG of
-    independent scale-safe skylines over a shared column-pruned scan —
-    ties are kept per-cuboid, and no cuboid's answer is derived from
-    another's (subset-sharing is unsound under ties).
+    local prune → survivor merge) over the PINNED input (union branches
+    do not share scans, so the source is persisted once and released
+    when the result is dropped) — ties are kept per-cuboid, and no
+    cuboid's answer is derived from another's (subset-sharing is
+    unsound under ties).
     """
+    from .caching import release_on_gc
     from .skyline import skyline
 
+    # pin the input once: union branches do NOT share scans, so without
+    # the cache each of the 2^d−1 cuboids would re-read the source
+    pinned = df.persist()
     parts = []
     for label, sub in _subspaces(cols):
         parts.append(
-            skyline(df, sub).withColumn("subspace", F.lit(label)))
+            skyline(pinned, sub).withColumn("subspace", F.lit(label)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return release_on_gc(out, pinned)
 
 
 def skycube_sql(table: str, cols: Sequence[str]) -> str:
@@ -548,21 +568,9 @@ def k_dominant_skyline(df: DataFrame, cols: Sequence[str],
     from .skyline import skyline
 
     cand = skyline(df, cols)
-    c, u = cand.alias("c"), df.alias("u")
     cond = _k_dominates([F.col(f"u.{x}") for x in cols],
                         [F.col(f"c.{x}") for x in cols], k)
-    dominated = (
-        u.join(F.broadcast(c), cond, "inner")
-        .select(*[F.col(f"c.{x}").alias(x) for x in df.columns])
-        .distinct()
-    )
-    eq = reduce(and_, [
-        F.col(f"c.{x}").eqNullSafe(F.col(f"d.{x}")) for x in df.columns
-    ])
-    return (
-        cand.alias("c")
-        .join(dominated.alias("d"), eq, "left_anti")
-    )
+    return _broadcast_eliminate(df, cand, cond)
 
 
 def k_dominant_skyline_sql(table: str, cols: Sequence[str], k: int) -> str:

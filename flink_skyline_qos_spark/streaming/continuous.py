@@ -323,7 +323,10 @@ def streaming_sliding_skyline(stream: DataFrame, dims: int, *,
     ])
     d_ms, s_ms = _dur_ms(window_duration), _dur_ms(slide_duration)
     n_wins = -(-d_ms // s_ms)
-    ep = (F.col(ts_col).cast("double") * 1000).cast("long")
+    # exact integer epoch-ms: double-arithmetic (cast double * 1000)
+    # truncates 1 ms low at non-dyadic boundaries, which would shift s0
+    # one slide early and silently drop a row's newest member window
+    ep = F.unix_millis(F.col(ts_col).cast("timestamp"))
     s0 = (F.floor(ep / s_ms).cast("long") * s_ms)
     wins = F.array(*[
         F.struct(
