@@ -282,3 +282,61 @@ def test_thick_skyline_crafted(spark):
     got = {r.id for r in
            thick_skyline(pts, ["x", "y"], 2.0).collect()}
     assert got == {1, 2}
+
+
+def test_variants_match_bruteforce_property(spark):
+    """k_skyband, epsilon_skyline, thick_skyline vs pure-Python brute
+    force over random small point sets (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_skyline_qos_spark.operators.variants import (
+        epsilon_skyline,
+        k_skyband,
+        thick_skyline,
+    )
+
+    def dom(a, b):
+        return all(x <= y for x, y in zip(a, b)) and \
+            any(x < y for x, y in zip(a, b))
+
+    coord = st.integers(min_value=0, max_value=6).map(float)
+    point = st.tuples(coord, coord)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(point, min_size=1, max_size=14, unique=True),
+           st.integers(min_value=1, max_value=3),
+           st.sampled_from([0.0, 1.0, 2.5]))
+    def run(pts, k, eps):
+        rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        cols = ["x", "y"]
+
+        # k-skyband brute force: dominator count < k
+        expect = {i for i, p in enumerate(pts)
+                  if sum(dom(q, p) for q in pts) < k}
+        got = {r.id for r in k_skyband(df, cols, k).collect()}
+        assert got == expect, ("skyband", pts, k)
+
+        # epsilon: eliminated if any OTHER-dims point is within eps
+        def eps_dom(q, p):
+            return q != p and \
+                all(a <= b + eps for a, b in zip(q, p)) and \
+                any(a < b + eps for a, b in zip(q, p))
+        sky = {i for i, p in enumerate(pts)
+               if not any(dom(q, p) for q in pts)}
+        expect = {i for i in sky
+                  if not any(eps_dom(q, pts[i]) for q in pts)}
+        got = {r.id for r in epsilon_skyline(df, cols, eps).collect()}
+        assert got == expect, ("epsilon", pts, eps)
+
+        # thick: survives unless beaten by a clear eps margin
+        def margin_dom(q, p):
+            return all(a <= b - eps for a, b in zip(q, p)) and \
+                any(a < b - eps for a, b in zip(q, p))
+        expect = {i for i, p in enumerate(pts)
+                  if not any(margin_dom(q, p) for q in pts)}
+        got = {r.id for r in thick_skyline(df, cols, eps).collect()}
+        assert got == expect, ("thick", pts, eps)
+
+    run()
