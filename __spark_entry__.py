@@ -81,6 +81,8 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
 from flink_skyline_qos_spark.operators.joins import (  # noqa: E402
     as_of_join,
     as_of_join_sql,
+    bloom_semi_join,
+    bloom_semi_join_sql,
     range_join,
     range_join_sql,
 )
@@ -104,6 +106,12 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     skycube_sql,
     top_k_dominating,
     top_k_dominating_sql,
+)
+from flink_skyline_qos_spark.operators.sketches import (  # noqa: E402
+    histogram_quantiles,
+    histogram_quantiles_sql,
+    hll_distinct,
+    hll_distinct_sql,
 )
 from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
     deterministic_sample,
@@ -381,6 +389,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
              F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
     )
+
+    # --- explicit runtime filter: Bloom-pruned semi join.  The fact
+    # side (orders) is filtered by a 16 KiB bitmap of the selected
+    # customer keys BEFORE any exchange — the star-schema scan shape at
+    # 100 TB when the dim side is too big to broadcast as rows; the
+    # final equi semi join removes false positives, so the result is
+    # exactly the plain semi join the oracle states.
+    def _bloom(s: SparkSession, d: str) -> DataFrame:
+        orders = load_table(s, d, "orders")
+        cust = load_table(s, d, "customer").where(
+            F.col("c_custkey") % 16 == 1)
+        return bloom_semi_join(
+            orders, cust, "o_custkey", dim_key="c_custkey"
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+    q["bloom_semi_join_orders"] = _bloom
+
+    # --- mergeable sketches: the 100 TB replacements for exact
+    # COUNT(DISTINCT) and exact percentiles.  Both deterministic
+    # (md5-hash HLL / fixed-width histogram), so each has an exact
+    # DuckDB twin — unlike approx_count_distinct/percentile_approx,
+    # whose internals are engine-private.  Shuffle after the map-side
+    # combine is ≤ groups × 2^b register rows / groups × nbins bins,
+    # independent of input size.
+    q["hll_users_events"] = lambda s, d: hll_distinct(
+        load_table(s, d, "events"), "user_id",
+        group_cols=["event_type"], bucket_bits=10)
+    q["quantile_sketch_events"] = lambda s, d: histogram_quantiles(
+        load_table(s, d, "events"), "value",
+        group_cols=["event_type"], nbins=4096)
 
     # sliding windows (1 h window, 30 min slide → every event in exactly
     # two windows).  2-D ⇒ the all-JVM window plan (skew-immune: each
@@ -863,6 +900,17 @@ SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type
 """.strip()
+
+    o["bloom_semi_join_orders"] = bloom_semi_join_sql(
+        "SELECT * FROM orders",
+        "SELECT * FROM customer WHERE c_custkey % 16 = 1",
+        "o_custkey", dim_key="c_custkey",
+        fact_cols=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    o["hll_users_events"] = hll_distinct_sql(
+        "events", "user_id", group_cols=["event_type"], bucket_bits=10)
+    o["quantile_sketch_events"] = histogram_quantiles_sql(
+        "events", "value", group_cols=["event_type"], nbins=4096)
 
     o["session_skyline_events"] = skyline_not_exists_sql(
         "(WITH e AS (SELECT event_id, user_id, event_type, value, "

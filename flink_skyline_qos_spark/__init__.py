@@ -37,6 +37,10 @@ from .operators.variants import (
     thick_skyline,
     top_k_dominating,
 )
+from .operators.sketches import (
+    histogram_quantiles,
+    hll_distinct,
+)
 from .functions.corpus import (
     chunk_documents,
     contamination_check,
@@ -56,6 +60,7 @@ __all__ = [
     "grid_prefilter", "k_dominant_skyline", "top_k_dominating",
     "k_skyband", "skycube", "dynamic_skyline", "epsilon_skyline",
     "thick_skyline",
+    "hll_distinct", "histogram_quantiles",
     "chunk_documents", "pack_sequences", "contamination_check",
     "tfidf_top_terms", "remove_boilerplate_lines", "rarity_score",
     "get_spark",

@@ -24,6 +24,8 @@ while the twin's explicit (ts, side, tiebreak) order is total).
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -35,6 +37,8 @@ __all__ = [
     "as_of_join_sql",
     "range_join",
     "range_join_sql",
+    "bloom_semi_join",
+    "bloom_semi_join_sql",
 ]
 
 
@@ -195,6 +199,101 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
         iv[c] for c in intervals.columns if c not in by
     ]
     return joined.select(*keep)
+
+
+def _bloom_positions(key: "F.Column", nbits: int, num_hashes: int):
+    """`num_hashes` independent bit positions in [0, nbits) from md5 of
+    (i, key) — the repo-wide engine-portable hash convention."""
+    out = []
+    for i in range(num_hashes):
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}|"), key.cast("string"))),
+            1, 15), 16, 10).cast("long")
+        out.append(h % nbits)
+    return out
+
+
+def bloom_semi_join(fact: DataFrame, dim: DataFrame, key: str, *,
+                    dim_key: str | None = None,
+                    bits_log2: int = 17, num_hashes: int = 5,
+                    exact: bool = True) -> DataFrame:
+    """Semi join ``fact ⋉ dim`` on `key`, pre-pruned by a Bloom filter
+    built from the dim keys — the explicit, deterministic form of the
+    runtime filter every 100 TB star-schema scan needs.
+
+    The regime this targets: `dim` has too many keys to broadcast as a
+    hash relation, so a plain semi join shuffles the ENTIRE fact table
+    on `key`.  A Bloom bitmap of the dim keys is tiny (2^bits_log2 bits
+    = 16 KiB at the default) and is inlined as one constant-folded
+    array literal, making the probe a pure fact-side predicate; fact
+    rows failing the membership test — the vast majority, when the dim
+    side is selective — are dropped at the scan, below the final join,
+    inside whole-stage codegen.  The final equi semi
+    join (``exact=True``, default) removes the false positives, so the
+    result is exactly the plain semi join; ``exact=False`` returns the
+    superset (FP rate ≈ (1−e^{−kn/m})^k ≈ 0.1 % at k=5, m/n≈16) for
+    pipelines that tolerate it and want zero fact-side shuffle at all.
+
+    Everything is deterministic md5 Column math (no driver-side
+    `DataFrame.stat.bloomFilter`, whose bit layout is engine-private):
+    the bitmap aggregation shuffles ≤ 2^(bits_log2−6) word rows — the
+    driver collects that bounded word list, never the keys.  Spark's
+    own adaptive runtime bloom (`spark.sql.optimizer.runtime.
+    bloomFilter.enabled`) picks this plan only when stats allow; this
+    operator guarantees it.
+    """
+    nbits = 1 << int(bits_log2)
+    if not 10 <= int(bits_log2) <= 24:
+        raise ValueError("bits_log2 must be in [10, 24]")
+    if not 1 <= int(num_hashes) <= 8:
+        raise ValueError("num_hashes must be in [1, 8]")
+    nwords = nbits >> 6
+    dk = dim_key or key
+    dimkeys = dim.select(F.col(dk).alias(key)) \
+        .where(F.col(key).isNotNull()).distinct()
+    words = (
+        dimkeys
+        .select(F.explode(F.array(
+            *_bloom_positions(F.col(key), nbits, num_hashes))).alias("__p"))
+        .select(F.shiftright(F.col("__p"), 6).alias("__w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(__p & 63 AS INT))").alias("__m"))
+        .groupBy("__w").agg(F.expr("bit_or(__m)").alias("__m"))
+        .collect()
+    )
+    bitmap = [0] * nwords
+    for r in words:
+        bitmap[r["__w"]] = r["__m"]
+    # inline as an array LITERAL (constant-folded to one object, ≤16 KiB
+    # at the default) rather than a broadcast one-row frame: a literal
+    # keeps the probe a pure predicate on fact columns, which Catalyst
+    # pushes below the final semi join all the way to the scan — a
+    # joined bitmap column would pin the probe ABOVE the join.
+    bm = F.lit(bitmap)
+    test = reduce(and_, [
+        F.getbit(F.element_at(bm, F.shiftright(pos, 6).cast("int") + 1),
+                 pos.bitwiseAND(F.lit(63))) == 1
+        for pos in _bloom_positions(F.col(key), nbits, num_hashes)
+    ])
+    pruned = fact.where(test)
+    if not exact:
+        return pruned
+    return pruned.join(dimkeys, on=key, how="leftsemi")
+
+
+def bloom_semi_join_sql(fact_sql: str, dim_sql: str, key: str, *,
+                        dim_key: str | None = None,
+                        fact_cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`bloom_semi_join` (exact mode) — the plain
+    semi join; the Bloom stage is a pure physical pre-filter whose
+    false positives the final equi join provably removes."""
+    dk = dim_key or key
+    cols = ", ".join(f"f.{c}" for c in fact_cols)
+    return (
+        f"SELECT {cols} FROM ({fact_sql}) f "
+        f"WHERE f.{key} IN (SELECT {dk} FROM ({dim_sql}) "
+        f"WHERE {dk} IS NOT NULL)"
+    )
 
 
 def range_join_sql(points_sql: str, intervals_sql: str, *,

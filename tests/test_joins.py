@@ -126,3 +126,61 @@ def test_range_join_bucket_width_invariance(spark, events):
         point_cols=["event_id", "v"],
         interval_cols=["iv_id", "lo", "hi"])).fetchall()))
     assert ref == dk
+
+
+# --- bloom semi join -------------------------------------------------
+
+def test_bloom_semi_join_matches_plain_semi(spark, sf_dir):
+    from flink_skyline_qos_spark.operators.joins import bloom_semi_join
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .where("c_custkey % 7 = 0")
+    got = sorted(r.o_orderkey for r in bloom_semi_join(
+        orders, cust, "o_custkey", dim_key="c_custkey")
+        .select("o_orderkey").collect())
+    want = sorted(r.o_orderkey for r in orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        on="o_custkey", how="leftsemi").select("o_orderkey").collect())
+    assert got == want and len(got) > 0
+
+
+def test_bloom_only_mode_is_superset_and_prunes(spark, sf_dir):
+    from flink_skyline_qos_spark.operators.joins import bloom_semi_join
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .where("c_custkey % 11 = 0")
+    exact = {r.o_orderkey for r in bloom_semi_join(
+        orders, cust, "o_custkey", dim_key="c_custkey")
+        .select("o_orderkey").collect()}
+    sup = {r.o_orderkey for r in bloom_semi_join(
+        orders, cust, "o_custkey", dim_key="c_custkey", exact=False)
+        .select("o_orderkey").collect()}
+    assert exact <= sup                     # never loses a row
+    assert len(sup) < orders.count()        # really prunes the fact side
+    # FP budget: m/n is huge here, allow a small absolute slack
+    assert len(sup) - len(exact) <= max(10, len(exact) // 10)
+
+
+def test_bloom_prefilter_runs_before_the_join(spark, sf_dir):
+    # the membership conjunction must sit under the final semi join,
+    # i.e. the plan filters fact rows before the exchange
+    from flink_skyline_qos_spark.operators.joins import bloom_semi_join
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .where("c_custkey % 5 = 0")
+    df = bloom_semi_join(orders, cust, "o_custkey", dim_key="c_custkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan           # bloom probe present
+    semi_pos = plan.find("LeftSemi")
+    probe_pos = plan.find("getbit")
+    assert semi_pos != -1 and probe_pos > semi_pos  # probe deeper in tree
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_semi_join_empty_dim(spark, sf_dir):
+    from flink_skyline_qos_spark.operators.joins import bloom_semi_join
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .where("c_custkey < 0")
+    assert bloom_semi_join(orders, cust, "o_custkey",
+                           dim_key="c_custkey").count() == 0
