@@ -104,6 +104,8 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     k_skyband_sql,
     skycube,
     skycube_sql,
+    reverse_skyline,
+    reverse_skyline_sql,
     top_k_dominating,
     top_k_dominating_sql,
 )
@@ -279,6 +281,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dynamic_skyline_part"] = lambda s, d: dynamic_skyline(
         load_table(s, d, "part").select(*PART_COLS),
         ["p_size", "p_retailprice"], [25.0, 1200.0])
+    # reverse skyline: the seller-side dual — which points would deem
+    # the query offer Pareto-relevant (Dellis & Seeger); small answers
+    # are intrinsic to the monochromatic form (cf. the 1-row k-dominant
+    # precedent); crafted cases live in tests/test_variants.py
+    q["reverse_skyline_part"] = lambda s, d: reverse_skyline(
+        load_table(s, d, "part").select(*PART_COLS),
+        ["p_retailprice", "p_size"], [1000.0, 25.0],
+        id_col="p_partkey")
     # epsilon-skyline: drop points beaten within tolerance eps — thins
     # the dense frontier (3156 -> 581 points on this set; mutual
     # eps-elimination CAN empty a dense frontier, so the registered
@@ -845,6 +855,10 @@ def oracle_sql() -> dict[str, str]:
     o["dynamic_skyline_part"] = dynamic_skyline_sql(
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_size", "p_retailprice"], [25.0, 1200.0])
+    o["reverse_skyline_part"] = reverse_skyline_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_retailprice", "p_size"], [1000.0, 25.0],
+        id_col="p_partkey")
     o["epsilon_skyline_gen_2d"] = epsilon_skyline_sql(
         f"({generate_points_sql(GEN_N, 2, dist='anti_correlated')})",
         ["d0", "d1"], eps=[2.0, 2.0])

@@ -29,6 +29,7 @@ from .operators.skyline import (
 )
 from .operators.variants import (
     dynamic_skyline,
+    reverse_skyline,
     epsilon_skyline,
     grid_prefilter,
     k_dominant_skyline,
@@ -58,7 +59,8 @@ __all__ = [
     "skyline", "skyline_two_phase", "skyline_anti_join",
     "skyline_broadcast_verify", "grouped_skyline",
     "grid_prefilter", "k_dominant_skyline", "top_k_dominating",
-    "k_skyband", "skycube", "dynamic_skyline", "epsilon_skyline",
+    "k_skyband", "skycube", "dynamic_skyline", "reverse_skyline",
+    "epsilon_skyline",
     "thick_skyline",
     "hll_distinct", "histogram_quantiles",
     "chunk_documents", "pack_sequences", "contamination_check",

@@ -58,6 +58,8 @@ __all__ = [
     "top_k_dominating_sql",
     "k_dominant_skyline",
     "k_dominant_skyline_sql",
+    "reverse_skyline",
+    "reverse_skyline_sql",
 ]
 
 
@@ -571,6 +573,109 @@ def k_dominant_skyline(df: DataFrame, cols: Sequence[str],
     cond = _k_dominates([F.col(f"u.{x}") for x in cols],
                         [F.col(f"c.{x}") for x in cols], k)
     return _broadcast_eliminate(df, cand, cond)
+
+
+def _rsl_prune_fn(cols: Sequence[str], q: Sequence[float]):
+    """Per-batch local prune for :func:`reverse_skyline`: drop every
+    point disqualified by another point IN THE SAME BATCH (a local
+    disqualifier is a global one — sound, never lossy)."""
+    import numpy as np
+
+    qv = np.asarray(q, dtype=float)
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n <= 1:
+                yield pdf
+                continue
+            X = pdf[list(cols)].to_numpy(dtype=float)
+            U = np.abs(X - qv)              # per-point box half-widths
+            killed = np.zeros(n, dtype=bool)
+            step = max(1, 4_000_000 // max(1, n * X.shape[1]))
+            for s in range(0, n, step):
+                e = min(s + step, n)
+                D = np.abs(X[:, None, :] - X[None, s:e, :])
+                leq = (D <= U[None, s:e, :]).all(axis=-1)
+                lt = (D < U[None, s:e, :]).any(axis=-1)
+                kill = leq & lt
+                rng = np.arange(s, e)
+                kill[rng, rng - s] = False  # a row never kills itself
+                killed[s:e] = kill.any(axis=0)
+            yield pdf[~killed]
+
+    return fn
+
+
+def reverse_skyline(df: DataFrame, cols: Sequence[str],
+                    query_point: Sequence[float], *, id_col: str,
+                    num_partitions: int = 32) -> DataFrame:
+    """Monochromatic reverse skyline of `query_point` (Dellis & Seeger,
+    VLDB 2007): the points p for which q belongs to the DYNAMIC skyline
+    centered at p — i.e. no other point r satisfies
+    ``|r_i − p_i| ≤ |q_i − p_i|`` in every dimension with strict ``<``
+    in at least one.  "Which service profiles would consider offer q
+    Pareto-relevant?" — the seller-side companion of
+    :func:`dynamic_skyline` (the buyer-side personalization).
+
+    Scale shape (the :func:`~..operators.skyline.skyline_broadcast_verify`
+    pattern, adapted to the non-transitive reverse predicate):
+
+    1. range-repartition on (orthant of p−q, first dim) so nearby
+       points — each other's likeliest disqualifiers — share batches;
+    2. local prune (Arrow batch kernel): any same-batch disqualifier
+       removes p.  Sound but not complete: reverse dominance is not
+       transitive, and a pruned point may still disqualify others;
+    3. global verify: stream the FULL input once against the broadcast
+       survivor set (n × |survivors| work, never n²) and anti-join the
+       disqualified survivors out.
+
+    `id_col` must be unique per row; duplicate COORDINATES are still
+    handled per the definition (two coincident points disqualify each
+    other unless they equal q).
+    """
+    if len(query_point) != len(cols):
+        raise ValueError("query_point must match cols")
+    q = [float(v) for v in query_point]
+
+    orth = None
+    for i, c in enumerate(cols):
+        bit = F.when(F.col(c) >= F.lit(q[i]), F.lit(1 << i)).otherwise(0)
+        orth = bit if orth is None else orth + bit
+    parted = (df.withColumn("__orth", orth)
+              .repartitionByRange(num_partitions, "__orth", cols[0]))
+    pruned = parted.mapInPandas(_rsl_prune_fn(cols, q), parted.schema) \
+        .drop("__orth")
+
+    strict = reduce(or_, [
+        F.abs(F.col(f"u.{c}") - F.col(f"c.{c}"))
+        < F.abs(F.lit(q[i]) - F.col(f"c.{c}"))
+        for i, c in enumerate(cols)])
+    cond = reduce(and_, [
+        F.abs(F.col(f"u.{c}") - F.col(f"c.{c}"))
+        <= F.abs(F.lit(q[i]) - F.col(f"c.{c}"))
+        for i, c in enumerate(cols)] + [
+        strict, F.col(f"u.{id_col}") != F.col(f"c.{id_col}")])
+    return _broadcast_eliminate(df, pruned, cond)
+
+
+def reverse_skyline_sql(table: str, cols: Sequence[str],
+                        query_point: Sequence[float], *,
+                        id_col: str) -> str:
+    """DuckDB twin of :func:`reverse_skyline` — the direct NOT EXISTS
+    statement of the definition."""
+    q = [float(v) for v in query_point]
+    leq = " AND ".join(
+        f"abs(r.{c} - p.{c}) <= abs({q[i]!r} - p.{c})"
+        for i, c in enumerate(cols))
+    lt = " OR ".join(
+        f"abs(r.{c} - p.{c}) < abs({q[i]!r} - p.{c})"
+        for i, c in enumerate(cols))
+    return (
+        f"SELECT p.* FROM {table} p WHERE NOT EXISTS ("
+        f"SELECT 1 FROM {table} r WHERE r.{id_col} <> p.{id_col} "
+        f"AND {leq} AND ({lt}))"
+    )
 
 
 def k_dominant_skyline_sql(table: str, cols: Sequence[str], k: int) -> str:

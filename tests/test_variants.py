@@ -340,3 +340,64 @@ def test_variants_match_bruteforce_property(spark):
         assert got == expect, ("thick", pts, eps)
 
     run()
+
+
+# --- reverse skyline -------------------------------------------------
+
+def test_reverse_skyline_crafted_corners(spark):
+    from flink_skyline_qos_spark.operators.variants import reverse_skyline
+    # four isolated points around q, plus one disqualified by id=1:
+    # |9-10|<=|0-9| and |1-0|<=|0-1| strictly in dim0 → 5 is out; the
+    # corners' boxes contain no other point
+    rows = [(1, 10.0, 0.0), (2, -10.0, 0.0), (3, 0.0, 10.0),
+            (4, 0.0, -10.0), (5, 9.0, 1.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = sorted(r.id for r in reverse_skyline(
+        df, ["x", "y"], [0.0, 0.0], id_col="id").collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_reverse_skyline_duplicates_disqualify_each_other(spark):
+    from flink_skyline_qos_spark.operators.variants import reverse_skyline
+    rows = [(1, 5.0, 5.0), (2, 5.0, 5.0), (3, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = sorted(r.id for r in reverse_skyline(
+        df, ["x", "y"], [0.0, 0.0], id_col="id").collect())
+    assert got == [3]  # the coincident pair kill each other
+
+
+def test_reverse_skyline_matches_oracle_and_partitioning(spark, sf_dir):
+    import duckdb
+    from flink_skyline_qos_spark.operators.variants import (
+        reverse_skyline, reverse_skyline_sql)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey", "p_size", "p_retailprice")
+    q = [1000.0, 25.0]
+    a = sorted(tuple(r) for r in reverse_skyline(
+        part, ["p_retailprice", "p_size"], q,
+        id_col="p_partkey").collect())
+    b = sorted(tuple(r) for r in reverse_skyline(
+        part.repartition(7), ["p_retailprice", "p_size"], q,
+        id_col="p_partkey", num_partitions=3).collect())
+    assert a == b  # partitioning-invariant (local prune is sound)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT p_partkey, p_size, "
+            f"p_retailprice FROM '{sf_dir}/part.parquet'")
+    want = sorted(tuple(r) for r in con.sql(reverse_skyline_sql(
+        "part", ["p_retailprice", "p_size"], q,
+        id_col="p_partkey")).fetchall())
+    assert a == want
+
+
+def test_reverse_skyline_local_prune_actually_prunes(spark):
+    from flink_skyline_qos_spark.operators.variants import (
+        _rsl_prune_fn)
+    import pandas as pd
+    # a dense cluster far from q: everything kills everything except
+    # isolated outliers — the batch kernel must shrink the batch
+    rows = [(i, 100.0 + i * 0.001, 100.0) for i in range(50)]
+    rows.append((99, 0.5, 0.5))
+    pdf = pd.DataFrame(rows, columns=["id", "x", "y"])
+    out = list(_rsl_prune_fn(["x", "y"], [0.0, 0.0])(iter([pdf])))[0]
+    assert len(out) < len(pdf)
+    assert 99 in set(out["id"])  # the isolated point survives locally
