@@ -32,6 +32,9 @@ from flink_skyline_qos_spark import (  # noqa: E402
 from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
     skyline_auto,
     skyline_broadcast_verify,
+    skyline_delta,
+    skyline_layers,
+    skyline_layers_sql,
 )
 from flink_skyline_qos_spark.functions.text import (  # noqa: E402
     quality_score,
@@ -253,6 +256,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "FROM lineitem_v)", LI_DIMS2))
 
     q["skyline_sql_surface_lineitem"] = _sql_surface
+
+    # --- incremental skyline maintenance: skyline(A∪B) ==
+    # skyline(skyline(A)∪B), so a materialized skyline absorbs an
+    # insert batch at |skyline(A)|+|B| cost — never a base rescan.
+    # The oracle states the full-recompute answer; the query takes the
+    # delta path (base = pre-1997 shipments, inserts = the rest).
+    def _delta(s: SparkSession, d: str) -> DataFrame:
+        li = load_table(s, d, "lineitem")
+        sel = ["l_orderkey", *LI_DIMS2]
+        base = li.where("l_shipdate < timestamp '1997-01-01'").select(*sel)
+        ins = li.where("l_shipdate >= timestamp '1997-01-01'").select(*sel)
+        return skyline_delta(skyline(base, LI_DIMS2), ins, LI_DIMS2)
+    q["skyline_delta_lineitem"] = _delta
+
+    # --- onion peeling: first three skyline layers (frontier ranking) ---
+    q["skyline_layers_lineitem"] = lambda s, d: skyline_layers(
+        load_table(s, d, "lineitem")
+        .select("l_orderkey", *LI_DIMS2), LI_DIMS2, max_layers=3)
 
     # --- P4 grid pre-filter (reference had it disabled; we guard it) ---
     q["grid_prefilter_lineitem"] = lambda s, d: grid_prefilter(
@@ -821,6 +842,13 @@ def oracle_sql() -> dict[str, str]:
     sky2 = skyline_not_exists_sql(li, LI_DIMS2)
     o["skyline_2d_lineitem"] = sky2
     o["skyline_3d_lineitem"] = skyline_not_exists_sql(li, LI_DIMS3)
+    # delta maintenance answers EXACTLY the full recompute
+    o["skyline_delta_lineitem"] = skyline_not_exists_sql(
+        f"(SELECT l_orderkey, {', '.join(LI_DIMS2)} FROM lineitem)",
+        LI_DIMS2)
+    o["skyline_layers_lineitem"] = skyline_layers_sql(
+        f"(SELECT l_orderkey, {', '.join(LI_DIMS2)} FROM lineitem)",
+        LI_DIMS2, max_layers=3)
     o["skyline_part"] = skyline_not_exists_sql(
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_retailprice", "p_size"],

@@ -51,6 +51,9 @@ __all__ = [
     "skyline_broadcast_verify",
     "skyline_auto",
     "grouped_skyline",
+    "skyline_delta",
+    "skyline_layers",
+    "skyline_layers_sql",
 ]
 
 
@@ -547,3 +550,91 @@ def grouped_skyline(df: DataFrame, cols: Sequence[str],
         return partial.groupBy(*by).applyInPandas(
             _group_prune(cols), schema=df.schema)
     return df.groupBy(*by).applyInPandas(_group_prune(cols), schema=df.schema)
+
+
+def skyline_delta(base_skyline: DataFrame, inserts: DataFrame,
+                  cols: Sequence[str], **skyline_kwargs) -> DataFrame:
+    """Incrementally maintain a materialized skyline under INSERTS:
+    ``skyline(A ∪ B) = skyline(skyline(A) ∪ B)`` — a point dominated
+    within A stays dominated in any superset, so the maintained answer
+    only needs the PREVIOUS ANSWER plus the new batch, never a rescan
+    of the 100 TB base corpus.  (The algebraic identity behind the
+    reference's incremental keyed-state merge,
+    `FlinkSkyline.java:546-568`, lifted to batch view-maintenance.)
+
+    `base_skyline` must be a (previously computed) skyline over the
+    base set — e.g. yesterday's materialized view; `inserts` is the new
+    data.  DELETES are not expressible this way (a removed skyline
+    point may un-dominate arbitrary base rows; that requires a rescan
+    or dominance-count bookkeeping) and are intentionally unsupported.
+
+    Cost: |skyline(A)| + |B| input rows — independent of |A|.
+    """
+    merged = base_skyline.select(*base_skyline.columns).unionByName(
+        inserts.select(*base_skyline.columns))
+    return skyline(merged, cols, **skyline_kwargs)
+
+
+def skyline_layers(df: DataFrame, cols: Sequence[str], *,
+                   max_layers: int = 3) -> DataFrame:
+    """Onion-peeling decomposition: layer 1 is the skyline, layer k is
+    the skyline of what remains after peeling layers 1..k-1 ("best,
+    second-best, …" frontier ranking — the k-skyband's ordered cousin:
+    the k-skyband bounds how many DOMINATORS a point has, the layer
+    number is the length of the longest dominance CHAIN above it).
+
+    Returns the input columns plus an integer ``layer`` (1-based) for
+    the first `max_layers` layers; deeper rows are omitted.  Each peel
+    is one full skyline (the scale-safe local-prune + merge path) plus
+    a coordinate anti-join against the just-peeled layer; the layer
+    frame is pinned while it serves both roles and released when the
+    result frame is dropped.  All copies of tied coordinates share a
+    layer, so the coordinate anti-join removes exactly the peeled rows.
+    """
+    if max_layers < 1:
+        raise ValueError("max_layers must be >= 1")
+    from .caching import release_on_gc
+
+    remaining = _complete(df, cols)
+    parts: list[DataFrame] = []
+    pinned: list[DataFrame] = []
+    for layer in range(1, max_layers + 1):
+        s = skyline(remaining, cols).persist()
+        pinned.append(s)
+        parts.append(s.withColumn("layer", F.lit(layer)))
+        if layer < max_layers:
+            remaining = remaining.join(
+                s.select(*cols).distinct(), on=list(cols), how="left_anti")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return release_on_gc(out, *pinned)
+
+
+def skyline_layers_sql(table: str, cols: Sequence[str], *,
+                       max_layers: int = 3) -> str:
+    """DuckDB twin of :func:`skyline_layers`: iterated CTE peeling with
+    the same pivot-prefiltered NOT-EXISTS skyline per layer.  EXCEPT
+    ALL is equivalent to the Spark side's coordinate anti-join here
+    because every copy of a tied coordinate vector lands in the same
+    layer (removing "all copies of peeled coordinates" ≡ subtracting
+    the peeled multiset)."""
+    from ..functions.dominance import skyline_not_exists_sql
+
+    ctes = []
+    src = table
+    selects = []
+    for k in range(1, max_layers + 1):
+        lname, rname = f"__l{k}", f"__r{k}"
+        ctes.append(f"{lname} AS ({skyline_not_exists_sql(src, cols)})")
+        selects.append(f"SELECT *, {k} AS layer FROM {lname}")
+        if k < max_layers:
+            nn = " AND ".join(
+                f"{c} IS NOT NULL AND NOT isnan(cast({c} AS DOUBLE))"
+                for c in cols)
+            ctes.append(
+                f"{rname} AS (SELECT * FROM (SELECT * FROM {src} "
+                f"WHERE {nn}) EXCEPT ALL SELECT * FROM {lname})")
+            src = rname
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(selects))

@@ -319,3 +319,45 @@ def test_nan_dims_one_semantics_across_strategies(spark):
         f"SELECT id FROM ({skyline_not_exists_sql('t', ['x', 'y'])})"
     ).fetchall())
     assert got == [1]
+
+
+# --- incremental maintenance + onion layers --------------------------
+
+def test_skyline_delta_equals_full_recompute(spark, lineitem):
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline, skyline_delta)
+    dims = ["l_extendedprice", "l_discount"]
+    sel = ["l_orderkey"] + dims
+    base = lineitem.where("l_orderkey % 3 != 0").select(*sel)
+    ins = lineitem.where("l_orderkey % 3 = 0").select(*sel)
+    got = sorted(tuple(r) for r in skyline_delta(
+        skyline(base, dims), ins, dims).collect())
+    want = sorted(tuple(r) for r in skyline(
+        lineitem.select(*sel), dims).collect())
+    assert got == want
+
+
+def test_skyline_layers_structure(spark):
+    from flink_skyline_qos_spark.operators.skyline import skyline_layers
+    # diagonal chain + a tie on layer 1
+    rows = [(1, 1.0, 1.0), (2, 1.0, 1.0), (3, 2.0, 2.0), (4, 3.0, 3.0),
+            (5, 4.0, 4.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = sorted((r.id, r.layer) for r in skyline_layers(
+        df, ["x", "y"], max_layers=3).collect())
+    # ties share layer 1; deeper than max_layers omitted
+    assert got == [(1, 1), (2, 1), (3, 2), (4, 3)]
+
+
+def test_skyline_layers_every_deep_point_has_shallower_dominator(
+        spark, lineitem):
+    from flink_skyline_qos_spark.operators.skyline import skyline_layers
+    dims = ["l_extendedprice", "l_discount"]
+    out = skyline_layers(lineitem.select(*dims), dims,
+                         max_layers=2).collect()
+    l1 = [(r.l_extendedprice, r.l_discount) for r in out if r.layer == 1]
+    l2 = [(r.l_extendedprice, r.l_discount) for r in out if r.layer == 2]
+    assert l1 and l2
+    for p in l2:
+        assert any(q[0] <= p[0] and q[1] <= p[1]
+                   and (q[0] < p[0] or q[1] < p[1]) for q in l1)
