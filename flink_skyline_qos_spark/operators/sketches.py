@@ -53,6 +53,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "hll_bucket_rho",
+    "hll_estimate_wide",
     "hll_distinct",
     "hll_distinct_sql",
     "histogram_quantiles",
@@ -81,6 +83,50 @@ def _hash60(key: Column) -> Column:
         .cast("long")
 
 
+def hll_bucket_rho(key: Column, bucket_bits: int) -> "tuple[Column, Column]":
+    """(bucket, rho) register coordinates for one key — the shared core
+    of the batch and streaming HLL forms."""
+    b = int(bucket_bits)
+    tail_bits = _HASH_BITS - b
+    tail_mask = (1 << tail_bits) - 1
+    rho_max = tail_bits + 1
+    hv = _hash60(key)
+    bucket = F.shiftright(hv, tail_bits)
+    tail = hv.bitwiseAND(F.lit(tail_mask))
+    rho = (F.when(tail == 0, F.lit(rho_max))
+           .otherwise(F.lit(rho_max) - F.length(F.bin(tail))))
+    return bucket, rho
+
+
+def hll_estimate_wide(reg_cols: Sequence[Column],
+                      bucket_bits: int) -> "tuple[Column, Column]":
+    """(n_buckets_hit, estimate) from 2^bucket_bits per-register max
+    columns (NULL = bucket never hit) — the wide layout a single
+    streaming aggregation produces.  Same exact-integer harmonic sum
+    and linear-counting branch as :func:`hll_distinct`."""
+    m = 1 << int(bucket_bits)
+    if len(reg_cols) != m:
+        raise ValueError(f"need exactly {m} register columns")
+    const = _alpha(m) * m * m * float(_TWO63)
+    s_total = None
+    n_hit = None
+    for rc in reg_cols:
+        # 2^(63−M) — pow(2, k) is exact for integer k ≤ 63, and this
+        # helper only needs Spark↔Spark determinism (stream vs batch
+        # twin), so the double route is sound; NULL register = never
+        # hit = M 0 = 2^63.
+        t = F.pow(F.lit(2.0), F.lit(63) - F.coalesce(rc, F.lit(0))) \
+            .cast("decimal(38,0)")
+        s_total = t if s_total is None else s_total + t
+        h = rc.isNotNull().cast("long")
+        n_hit = h if n_hit is None else n_hit + h
+    raw = F.lit(const) / s_total.cast("double")
+    empty = (F.lit(m) - n_hit).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / empty)
+    est = F.when((raw <= F.lit(2.5 * m)) & (empty > 0), lc).otherwise(raw)
+    return n_hit, F.round(est, 6)
+
+
 def hll_distinct(df: DataFrame, key_col: str, *,
                  group_cols: Sequence[str] = (),
                  bucket_bits: int = 10) -> DataFrame:
@@ -99,17 +145,10 @@ def hll_distinct(df: DataFrame, key_col: str, *,
     if not 4 <= b <= 16:
         raise ValueError("bucket_bits must be in [4, 16]")
     m = 1 << b
-    tail_bits = _HASH_BITS - b
-    tail_mask = (1 << tail_bits) - 1
-    rho_max = tail_bits + 1
     const = _alpha(m) * m * m * float(_TWO63)
 
-    hv = _hash60(F.col(key_col))
-    bucket = F.shiftright(hv, tail_bits)
-    tail = hv.bitwiseAND(F.lit(tail_mask))
     # exact leading-zero rank: length(bin(tail)) == floor(log2(tail))+1
-    rho = (F.when(tail == 0, F.lit(rho_max))
-           .otherwise(F.lit(rho_max) - F.length(F.bin(tail))))
+    bucket, rho = hll_bucket_rho(F.col(key_col), b)
 
     gcols = [F.col(c) for c in group_cols]
     regs = (df.where(F.col(key_col).isNotNull())

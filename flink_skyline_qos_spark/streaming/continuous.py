@@ -37,7 +37,56 @@ from ..operators.partitioners import partitioner_expr
 __all__ = ["continuous_local_skylines", "start_continuous_global",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
-           "streaming_windowed_skyline"]
+           "streaming_windowed_hll", "streaming_windowed_skyline"]
+
+
+def streaming_windowed_hll(stream: DataFrame, key_col: str, *,
+                           window_duration: str = "10 seconds",
+                           watermark_delay: str = "5 seconds",
+                           ts_col: str = "ts",
+                           bucket_bits: int = 6) -> DataFrame:
+    """Distinct-key cardinality per event-time window over an UNBOUNDED
+    stream — "how many distinct users in each 10-second window" — as
+    ONE native streaming aggregation, no Python state.
+
+    The HLL registers (cf. :func:`~..operators.sketches.hll_distinct`)
+    are laid out WIDE: 2^bucket_bits ``max(rho where bucket=j)``
+    aggregate columns keyed on the window, so per-window state is
+    exactly m small ints, merged by Spark's built-in max — mergeable,
+    bounded, watermark-finalized (append mode: one emission per closed
+    window).  The estimate uses the same exact-integer harmonic sum and
+    linear-counting branch as the batch form, so a closed window's
+    value EQUALS the batch ``hll_bucket_rho``+wide-max aggregation over
+    exactly that window's rows (asserted in the executed streaming
+    test).  The default m=64 keeps the aggregate width sane; per-window
+    exact distinct at 100 TB would instead shuffle every distinct key.
+
+    Output: ``win_start, win_end, n_buckets_hit, hll_estimate``.
+    """
+    from ..operators.sketches import hll_bucket_rho, hll_estimate_wide
+
+    b = int(bucket_bits)
+    if not 4 <= b <= 8:
+        raise ValueError("bucket_bits must be in [4, 8] for the wide "
+                         "streaming layout")
+    m = 1 << b
+    bucket, rho = hll_bucket_rho(F.col(key_col), b)
+    agg = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .select(F.window(ts_col, window_duration).alias("__win"),
+                bucket.alias("__bucket"), rho.alias("__rho"))
+        .groupBy("__win")
+        .agg(*[F.max(F.when(F.col("__bucket") == j, F.col("__rho")))
+               .alias(f"__r{j}") for j in range(m)])
+    )
+    n_hit, est = hll_estimate_wide(
+        [F.col(f"__r{j}") for j in range(m)], b)
+    return agg.select(
+        F.col("__win.start").alias("win_start"),
+        F.col("__win.end").alias("win_end"),
+        n_hit.alias("n_buckets_hit"),
+        est.alias("hll_estimate"),
+    )
 
 
 def streaming_interval_join(left: DataFrame, right: DataFrame, *,

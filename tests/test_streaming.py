@@ -781,3 +781,76 @@ def test_streaming_interval_join_executes_and_matches(spark):
     ids = sorted(r["click_id"] for r in rows)
     settled = ids[: max(len(ids) // 4, 1)]
     assert len(settled) == len(set(settled))
+
+
+def test_streaming_windowed_hll_matches_batch(spark):
+    """Windowed distinct-cardinality sketch EXECUTED from an unbounded
+    rate source: every watermark-closed window's (n_buckets_hit,
+    estimate) must EQUAL the batch wide-register aggregation over that
+    window's saturated key set.  Construction: ts = BASE + id % 40 and
+    key = id*37 % 400, so each 10 s window's key set saturates once
+    400 ids have been ingested (280·t mod 400 has period 10) — and 400
+    ids arrive within the first second at 500 rows/s, long before the
+    5 s watermark can close any window.  The closed window's registers
+    are therefore exactly reconstructible from ids 0..399."""
+    import time as _t
+
+    from flink_skyline_qos_spark.operators.sketches import (
+        hll_bucket_rho, hll_estimate_wide)
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_windowed_hll)
+
+    BASE = 1_600_000_000
+    B = 6
+
+    def shape(df):
+        return df.select(
+            "id",
+            F.timestamp_seconds(F.lit(BASE) + F.col("id") % 40)
+            .alias("ts"),
+            (F.col("id") * 37 % 400).cast("string").alias("k"))
+
+    src = shape(spark.readStream.format("rate")
+                .option("rowsPerSecond", 500).load()
+                .select(F.col("value").alias("id")))
+    out = streaming_windowed_hll(src, "k", window_duration="10 seconds",
+                                 watermark_delay="5 seconds",
+                                 bucket_bits=B)
+    q = (out.writeStream.format("memory").queryName("win_hll")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM win_hll").first()["c"]:
+                break
+            _t.sleep(0.5)
+        else:
+            raise AssertionError("no window closed before timeout")
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    bucket, rho = hll_bucket_rho(F.col("k"), B)
+    wide = (shape(spark.range(400)).select(
+                F.window("ts", "10 seconds").alias("__win"),
+                bucket.alias("__bucket"), rho.alias("__rho"))
+            .groupBy("__win")
+            .agg(*[F.max(F.when(F.col("__bucket") == j, F.col("__rho")))
+                   .alias(f"__r{j}") for j in range(1 << B)]))
+    n_hit, est = hll_estimate_wide(
+        [F.col(f"__r{j}") for j in range(1 << B)], B)
+    batch = {(r[0].start, r[0].end): (r[1], float(r[2])) for r in
+             wide.select("__win", n_hit.alias("n"), est.alias("e"))
+             .collect()}
+    exact = {(r[0].start, r[0].end): r[1] for r in
+             shape(spark.range(400)).select(
+                 F.window("ts", "10 seconds").alias("w"), "k")
+             .groupBy("w").agg(F.countDistinct("k")).collect()}
+    rows = spark.sql("SELECT * FROM win_hll").collect()
+    assert rows
+    for r in rows:
+        w = (r.win_start, r.win_end)
+        assert batch[w] == (r.n_buckets_hit, float(r.hll_estimate)), w
+        # and the estimate is a real estimate of the exact cardinality
+        assert abs(r.hll_estimate - exact[w]) / exact[w] < 0.35, (
+            w, r.hll_estimate, exact[w])
