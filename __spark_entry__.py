@@ -112,6 +112,14 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     top_k_dominating,
     top_k_dominating_sql,
 )
+from flink_skyline_qos_spark.operators.compaction import (  # noqa: E402
+    latest_by_key,
+    latest_by_key_sql,
+)
+from flink_skyline_qos_spark.operators.stats import (  # noqa: E402
+    corr_matrix,
+    corr_matrix_sql,
+)
 from flink_skyline_qos_spark.operators.sketches import (  # noqa: E402
     histogram_quantiles,
     histogram_quantiles_sql,
@@ -420,6 +428,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
              F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
     )
+
+    # --- changelog compaction: each key's LATEST row under a TOTAL
+    # (ts, tiebreak) order — the CDC upsert collapse every consumer
+    # runs before joining a 100 TB append-only table.  max_by(struct)
+    # aggregate: map-side partial combine, no per-key sort (the window
+    # row_number form the oracle states would sort every version).
+    q["latest_events_per_user"] = lambda s, d: latest_by_key(
+        load_table(s, d, "events"), "user_id",
+        order_col="ts", tiebreak="event_id")
+
+    # --- deterministic correlation matrix: quantized inputs + exact
+    # decimal sums make Pearson correlation a pure function of the
+    # data (Statistics.corr's double sums are partial-order-dependent);
+    # one scan computes all pairs map-side combined.
+    q["corr_profile_lineitem"] = lambda s, d: corr_matrix(
+        load_table(s, d, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     # --- explicit runtime filter: Bloom-pruned semi join.  The fact
     # side (orders) is filtered by a 16 KiB bitmap of the selected
@@ -942,6 +967,14 @@ SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type
 """.strip()
+
+    o["latest_events_per_user"] = latest_by_key_sql(
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        "user_id", order_col="ts", tiebreak="event_id")
+    o["corr_profile_lineitem"] = corr_matrix_sql(
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     o["bloom_semi_join_orders"] = bloom_semi_join_sql(
         "SELECT * FROM orders",

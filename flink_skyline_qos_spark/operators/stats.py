@@ -1,0 +1,100 @@
+"""Exact numeric profiling: deterministic pairwise correlation matrix.
+
+`Statistics.corr` / `DataFrame.stat.corr` accumulate double sums whose
+value depends on partial-aggregation order — two runs of the same data
+can disagree in the last ulps, and two engines certainly do.  Here the
+inputs are QUANTIZED (``floor(x·10^dp)`` as integers) and every sum
+runs in exact DECIMAL/HUGEINT arithmetic, so the Pearson correlation
+of the quantized values is a pure function of the data — bit-identical
+across engines, runs, and partitionings — while differing from the
+unquantized correlation by O(10^-dp / σ).
+
+Scale shape: ONE map-side-combined aggregate computes every Σx, Σx²,
+Σxy for all d·(d+1)/2 pairs in a single scan (the d×d matrix costs one
+pass, not d² passes); the final d² arithmetic runs on the one-row
+aggregate.  Rows with a NULL in any profiled column are dropped first
+(complete-case, stated identically in the SQL twin).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corr_matrix", "corr_matrix_sql"]
+
+_DEC = "decimal(38,0)"
+
+
+def _q(col, dp: int):
+    return F.floor(F.col(col).cast("double") * F.lit(float(10 ** dp))) \
+        .cast(_DEC)
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str], *,
+                dp: int = 6) -> DataFrame:
+    """Pearson correlation for every unordered pair of `cols` over the
+    10^-dp-quantized values.  Output: ``col_x, col_y, n, corr`` (one
+    row per pair, col_x < col_y lexically is NOT imposed — pairs follow
+    the input order)."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    complete = df.dropna(subset=cols)
+    qs = {c: _q(c, dp) for c in cols}
+    aggs = [F.count(F.lit(1)).cast(_DEC).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(qs[c]).alias(f"__s_{c}"))
+        aggs.append(F.sum(qs[c] * qs[c]).alias(f"__ss_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum(qs[a] * qs[b]).alias(f"__sp_{a}_{b}"))
+    g = complete.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("__n")
+        num = (n * F.col(f"__sp_{a}_{b}")
+               - F.col(f"__s_{a}") * F.col(f"__s_{b}")).cast("double")
+        da = (n * F.col(f"__ss_{a}")
+              - F.col(f"__s_{a}") * F.col(f"__s_{a}")).cast("double")
+        db = (n * F.col(f"__ss_{b}")
+              - F.col(f"__s_{b}") * F.col(f"__s_{b}")).cast("double")
+        return num / (F.sqrt(da) * F.sqrt(db))
+
+    pairs = F.array(*[
+        F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                 F.col("__n").cast("long").alias("n"),
+                 corr_expr(a, b).alias("corr"))
+        for a, b in combinations(cols, 2)
+    ])
+    return g.select(F.explode(pairs).alias("__p")).select("__p.*")
+
+
+def corr_matrix_sql(table: str, cols: Sequence[str], *,
+                    dp: int = 6) -> str:
+    """DuckDB twin of :func:`corr_matrix` — identical quantization,
+    exact HUGEINT sums, and the identical double expression tree."""
+    cols = list(cols)
+    scale = float(10 ** dp)
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    qdef = {c: (f"CAST(floor(CAST({c} AS DOUBLE) * {scale!r}) "
+                f"AS HUGEINT)") for c in cols}
+    sums = ["count(*)::HUGEINT AS __n"]
+    for c in cols:
+        sums.append(f"sum({qdef[c]}) AS __s_{c}")
+        sums.append(f"sum({qdef[c]} * {qdef[c]}) AS __ss_{c}")
+    for a, b in combinations(cols, 2):
+        sums.append(f"sum({qdef[a]} * {qdef[b]}) AS __sp_{a}_{b}")
+    agg = f"SELECT {', '.join(sums)} FROM {table} WHERE {nn}"
+    parts = []
+    for a, b in combinations(cols, 2):
+        num = f"CAST(__n * __sp_{a}_{b} - __s_{a} * __s_{b} AS DOUBLE)"
+        da = f"CAST(__n * __ss_{a} - __s_{a} * __s_{a} AS DOUBLE)"
+        db = f"CAST(__n * __ss_{b} - __s_{b} * __s_{b} AS DOUBLE)"
+        parts.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"CAST(__n AS BIGINT) AS n, "
+            f"{num} / (sqrt({da}) * sqrt({db})) AS corr FROM __agg")
+    return f"WITH __agg AS ({agg})\n" + "\nUNION ALL ".join(parts)

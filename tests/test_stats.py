@@ -1,0 +1,87 @@
+"""Compaction (latest-by-key) and deterministic correlation matrix."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.operators.compaction import (
+    latest_by_key,
+    latest_by_key_sql,
+)
+from flink_skyline_qos_spark.operators.stats import (
+    corr_matrix,
+    corr_matrix_sql,
+)
+
+
+def test_latest_by_key_matches_oracle(spark, events, sf_dir):
+    got = sorted(tuple(r) for r in latest_by_key(
+        events, "user_id", order_col="ts", tiebreak="event_id")
+        .collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM '{sf_dir}/events.parquet'")
+    want = sorted(tuple(r) for r in con.sql(latest_by_key_sql(
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        "user_id", order_col="ts", tiebreak="event_id")).fetchall())
+    assert got == want
+    keys = [g[2] for g in got]
+    assert len(keys) == len(set(keys))  # one row per key
+
+
+def test_latest_by_key_tiebreak_is_decisive(spark):
+    rows = [(1, 100, 10.0), (2, 100, 20.0), (3, 99, 30.0)]
+    df = spark.createDataFrame(rows, "id bigint, ts bigint, v double")
+    df = df.withColumn("k", F.lit("a"))
+    out = latest_by_key(df, "k", order_col="ts", tiebreak="id").collect()
+    assert len(out) == 1 and out[0].id == 2  # max (ts, id)
+
+
+def test_latest_by_key_plan_combines_map_side(spark, events):
+    # the exchange must sit ABOVE a partial max_by: each mapper
+    # collapses to one candidate per key before shuffling (the window
+    # row_number form would shuffle every version)
+    df = latest_by_key(events, "user_id", order_col="ts",
+                       tiebreak="event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.find("Exchange") < plan.find("partial_max_by")
+
+
+def test_corr_matrix_matches_oracle_bit_exact(spark, lineitem, sf_dir):
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = sorted(tuple(r) for r in corr_matrix(lineitem, cols).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{sf_dir}/lineitem.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(corr_matrix_sql("lineitem", cols)).fetchall())
+    assert got == want  # exact float equality
+
+
+def test_corr_matrix_close_to_native_and_invariant(spark, lineitem):
+    cols = ["l_quantity", "l_extendedprice"]
+    ours = corr_matrix(lineitem, cols).collect()[0]["corr"]
+    native = lineitem.stat.corr(*cols)
+    assert abs(ours - native) < 1e-6  # quantization error only
+    again = corr_matrix(lineitem.repartition(13), cols) \
+        .collect()[0]["corr"]
+    assert ours == again  # partitioning-invariant, bit-for-bit
+
+
+def test_corr_matrix_perfect_and_anti_correlation(spark):
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2.0 + 1.0).alias("y"),
+        (-F.col("id").cast("double")).alias("z"))
+    out = {(r.col_x, r.col_y): r.corr
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == pytest.approx(1.0, abs=1e-12)
+    assert out[("x", "z")] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_corr_matrix_rejects_single_column(spark, lineitem):
+    with pytest.raises(ValueError):
+        corr_matrix(lineitem, ["l_quantity"])
