@@ -112,6 +112,10 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     top_k_dominating,
     top_k_dominating_sql,
 )
+from flink_skyline_qos_spark.operators.layout import (  # noqa: E402
+    zorder_key,
+    zorder_key_sql,
+)
 from flink_skyline_qos_spark.operators.compaction import (  # noqa: E402
     latest_by_key,
     latest_by_key_sql,
@@ -166,6 +170,9 @@ from flink_skyline_qos_spark.streaming.wire import (  # noqa: E402
 # the reference takes --domain from the CLI (FlinkSkyline.java:71).
 LI_DOMAIN = 120000.0
 LI_DIMS2 = ["l_extendedprice", "l_discount"]
+ZO_COLS = ["l_extendedprice", "l_quantity"]
+ZO_DOMS = {"l_extendedprice": (900.0, 105000.0),
+           "l_quantity": (1.0, 51.0)}
 LI_DIMS3 = ["l_extendedprice", "l_discount", "l_quantity"]
 LI_COLS = [
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
@@ -428,6 +435,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
              F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
     )
+
+    # --- Z-order clustering key (Delta/Iceberg ZORDER BY, as plain
+    # Column math): rows close in EVERY dimension get close keys, so a
+    # range-partitioned write's per-file min/max stats prune
+    # multi-dimensional box predicates (~8× tighter file bounding
+    # boxes on this table, asserted in tests/test_layout.py).
+    q["zorder_keys_lineitem"] = lambda s, d: (
+        load_table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", *ZO_COLS,
+                zorder_key(ZO_COLS, ZO_DOMS).alias("zkey")))
 
     # --- changelog compaction: each key's LATEST row under a TOTAL
     # (ts, tiebreak) order — the CDC upsert collapse every consumer
@@ -967,6 +984,10 @@ SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type
 """.strip()
+
+    o["zorder_keys_lineitem"] = (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(ZO_COLS)}, "
+        f"{zorder_key_sql(ZO_COLS, ZO_DOMS)} AS zkey FROM lineitem")
 
     o["latest_events_per_user"] = latest_by_key_sql(
         "events",
