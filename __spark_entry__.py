@@ -72,6 +72,8 @@ from flink_skyline_qos_spark.functions.multimodal import (  # noqa: E402
 )
 from flink_skyline_qos_spark.operators.clustering import (  # noqa: E402
     dedup_clusters,
+    link_rank,
+    link_rank_sql,
 )
 from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
@@ -435,6 +437,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
              F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
     )
+
+    # --- link centrality (truncated PageRank, exact integer grid):
+    # the crawl-corpus quality signal, over the supplier "handoff"
+    # graph (consecutive line numbers within an order).  One edges-to-
+    # ranks equi-join + one map-side-combined sum per iteration; the
+    # integer recurrence makes the ranks value-oracle-able, which a
+    # double-summed PageRank never is.
+    def _link_rank(s: SparkSession, d: str) -> DataFrame:
+        li = load_table(s, d, "lineitem")
+        a, b = li.alias("a"), li.alias("b")
+        edges = a.join(
+            b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+        ).select(F.col("a.l_suppkey").alias("src"),
+                 F.col("b.l_suppkey").alias("dst"))
+        return link_rank(edges)
+    q["link_rank_suppliers"] = _link_rank
 
     # --- Z-order clustering key (Delta/Iceberg ZORDER BY, as plain
     # Column math): rows close in EVERY dimension get close keys, so a
@@ -984,6 +1003,12 @@ SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type
 """.strip()
+
+    o["link_rank_suppliers"] = link_rank_sql(
+        "SELECT a.l_suppkey AS src, b.l_suppkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey "
+        "AND b.l_linenumber = a.l_linenumber + 1")
 
     o["zorder_keys_lineitem"] = (
         f"SELECT l_orderkey, l_linenumber, {', '.join(ZO_COLS)}, "
