@@ -97,7 +97,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     checkpointed to truncate lineage (iterative plans otherwise grow
     exponentially); the previous round's blocks are unpersisted once
     the new round is materialized so executor storage stays O(|E|)
-    rather than O(rounds · |E|).
+    rather than O(rounds · |E|).  Only the FINAL round's compact
+    checkpoint (the converged star edges) stays pinned — every derived
+    plan reads it and a dropped localCheckpoint cannot recompute; its
+    RDD ids are exposed as ``result._checkpoint_rdd_ids`` for callers
+    that want to release explicitly when done.
 
     By default the checkpoint is ``localCheckpoint`` — fast, but
     non-replicated: after lineage truncation, losing one executor fails
@@ -139,14 +143,39 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             rnd += 1
             return out
     else:
+        # localCheckpoint pins blocks at the RDD level, which
+        # DataFrame.unpersist() does NOT release (it only touches the
+        # CacheManager) — without explicit release every call leaks all
+        # its round checkpoints for the session's lifetime.  Track the
+        # RDD ids each eager checkpoint pins (snapshot diff around the
+        # materializing call; assumes no concurrent persist on the same
+        # context, as everywhere in this module) and drop a round's
+        # blocks by id once the next round is materialized.
+        def _pinned_ids() -> "set[int]":
+            ids, it = set(), sc._jsc.getPersistentRDDs().keySet().iterator()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        round_ids: "dict[int, set[int]]" = {}
+
         def ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            before = _pinned_ids()
+            out = df.localCheckpoint(eager=True)
+            round_ids[id(out)] = _pinned_ids() - before
+            return out
+
+        def _drop_blocks(df: DataFrame) -> None:
+            for rid in round_ids.pop(id(df), ()):
+                sc._jsc.sc().unpersistRDD(rid, False)
 
     e = ckpt(_canon(edges, src, dst))
     prev = None
     for _ in range(max_iter):
         nxt = ckpt(_small_star(_large_star(e)))
         e.unpersist()
+        if checkpoint_dir is None:
+            _drop_blocks(e)
         e = nxt
         chk = e.agg(
             F.count(F.lit(1)).alias("n"),
@@ -182,6 +211,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         weakref.finalize(
             out, lambda dirs=tuple(cleanup_dirs), rm=_rm: [rm(d)
                                                            for d in dirs])
+    else:
+        # The FINAL round's blocks must outlive every plan derived from
+        # `out` — a localCheckpoint cannot recompute once dropped, and
+        # derived frames (dedup_clusters, the corpus queries) may
+        # outlive the `out` object itself, so no GC hook can be safe.
+        # They stay pinned (ONE compact RDD per call, the converged
+        # star edges — the intermediate rounds, the unbounded part, are
+        # dropped eagerly above); callers that are truly done can
+        # release via the ids exposed here:
+        #   for rid in out._checkpoint_rdd_ids:
+        #       sc._jsc.sc().unpersistRDD(rid, False)
+        out._checkpoint_rdd_ids = tuple(round_ids.get(id(e), ()))
     return out
 
 
@@ -197,11 +238,13 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, *,
     """
     cc = connected_components(pairs, src, dst,
                               nodes=df.select(id_col), node_col=id_col)
-    return cc.select(
+    out = cc.select(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+    out._checkpoint_rdd_ids = getattr(cc, "_checkpoint_rdd_ids", ())
+    return out
 
 
 def link_rank(edges: DataFrame, *, src: str = "src", dst: str = "dst",

@@ -175,3 +175,26 @@ def test_link_rank_empty_and_bad_args(spark):
         link_rank(df, iterations=0)
     with _pt.raises(ValueError):
         link_rank(df, damping=(100, 100))
+
+
+def test_connected_components_drops_intermediate_round_blocks(spark):
+    """Each CC call may leave ONE pinned RDD (the documented final-round
+    checkpoint) but must eagerly free every intermediate round — the
+    session-lifetime leak class localCheckpoint+unpersist() silently
+    creates (DataFrame.unpersist never touches RDD-level pins)."""
+    def n_pinned():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # a 64-node path graph needs multiple large/small-star rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "id_a bigint, id_b bigint")
+    before = n_pinned()
+    out = connected_components(edges)
+    assert out.count() == 65
+    grown = n_pinned() - before
+    assert grown <= 1, f"intermediate rounds leaked ({grown} pins)"
+    assert len(out._checkpoint_rdd_ids) <= 1
+    # explicit release path works
+    for rid in out._checkpoint_rdd_ids:
+        spark.sparkContext._jsc.sc().unpersistRDD(rid, False)
+    assert n_pinned() <= before

@@ -187,14 +187,30 @@ def test_pack_sequences_duckdb_parity(documents, sf_dir):
 
 
 def test_pack_sequences_releases_cache(spark, documents):
+    """Pin-hygiene gate (VERDICT r3 #5): after this query and a GC, no
+    NEW operator-internal cache may remain pinned.  (Other tests in the
+    shared session may hold connected_components' documented final-
+    round checkpoint pins, and GC-released pins drain asynchronously —
+    so the assertion is no-growth, not global-zero.)"""
     import gc
+    import time
 
+    def n_pinned():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    gc.collect()
+    time.sleep(0.5)
+    before = n_pinned()
     out = pack_sequences(chunk_documents(documents, size=16, stride=16),
                          seq_len=64)
     out.count()
     del out
-    gc.collect()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    for _ in range(20):
+        gc.collect()
+        if n_pinned() <= before:
+            break
+        time.sleep(0.25)
+    assert n_pinned() <= before
 
 
 # ---------- tf-idf ----------
