@@ -42,6 +42,16 @@ HEADLINE = [
     "ann_topk_embeddings",
     "ann_topk_gemm_embeddings",
     "skyline_metrics_mr_dim",
+    # round-4 additions: sketches, runtime filter, layout, profiling,
+    # compaction, graph centrality, skyline maintenance/peeling
+    "hll_users_events",
+    "quantile_sketch_events",
+    "corr_profile_lineitem",
+    "zorder_keys_lineitem",
+    "latest_events_per_user",
+    "bloom_semi_join_orders",
+    "link_rank_suppliers",
+    "skyline_layers_lineitem",
 ]
 
 
