@@ -304,14 +304,19 @@ def link_rank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             .select(F.col("dst").alias("node"),
                     F.expr("__r div __od").alias("__c")))
         summed = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        prev_ranks = ranks
         ranks = (nodes.join(summed, on="node", how="left")
                  .select("node",
                          (F.lit(base)
                           + F.expr(f"({d_num} * coalesce(__s, 0L)) "
                                    f"div {d_den}")).alias("__r"))
                  .persist())
-        pinned.append(ranks)
         ranks.count()  # materialize: bounds plan depth per iteration
+        if pinned and pinned[-1] is prev_ranks:
+            # the previous iteration's frame is fully consumed now —
+            # release it eagerly (ordinary persist, lineage survives)
+            pinned.pop().unpersist(False)
+        pinned.append(ranks)
     from .caching import release_on_gc
     out = ranks.select(
         F.col("node"), F.col("__r").alias("rank_int"),

@@ -244,7 +244,10 @@ def histogram_quantiles(df: DataFrame, value_col: str, *,
         raise ValueError("quantiles must be in (0, 1)")
     grouped = bool(group_cols)
     gcols = list(group_cols) if grouped else ["__g"]
-    v = df.where(F.col(value_col).isNotNull())
+    # NaN excluded like NULL (a NaN would poison min/max into NaN bins
+    # and the SQL twin cannot cast NaN to an integer bin at all)
+    v = df.where(F.col(value_col).isNotNull()
+                 & ~F.isnan(F.col(value_col).cast("double")))
     if not grouped:
         v = v.withColumn("__g", F.lit(0))
     v = v.select(*gcols, F.col(value_col).cast("double").alias("__x"))
@@ -310,6 +313,7 @@ def histogram_quantiles_sql(table: str, value_col: str, *,
 WITH __v AS (
   SELECT {gsrc}, CAST({value_col} AS DOUBLE) AS __x
   FROM {table} WHERE {value_col} IS NOT NULL
+    AND NOT isnan(CAST({value_col} AS DOUBLE))
 ), __st AS (
   SELECT {g}, min(__x) AS __mn, max(__x) AS __mx, count(*) AS n
   FROM __v GROUP BY {g}

@@ -43,7 +43,13 @@ def corr_matrix(df: DataFrame, cols: Sequence[str], *,
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("need at least two columns")
-    complete = df.dropna(subset=cols)
+    ok = None
+    for c in cols:
+        # complete-case incl. NaN (dropna alone leaves the SQL twin
+        # diverging: DuckDB can't cast NaN to HUGEINT)
+        t = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        ok = t if ok is None else ok & t
+    complete = df.where(ok)
     qs = {c: _q(c, dp) for c in cols}
     aggs = [F.count(F.lit(1)).cast(_DEC).alias("__n")]
     for c in cols:
@@ -78,7 +84,9 @@ def corr_matrix_sql(table: str, cols: Sequence[str], *,
     exact HUGEINT sums, and the identical double expression tree."""
     cols = list(cols)
     scale = float(10 ** dp)
-    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    nn = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan(CAST({c} AS DOUBLE))"
+        for c in cols)
     qdef = {c: (f"CAST(floor(CAST({c} AS DOUBLE) * {scale!r}) "
                 f"AS HUGEINT)") for c in cols}
     sums = ["count(*)::HUGEINT AS __n"]

@@ -198,3 +198,32 @@ def test_connected_components_drops_intermediate_round_blocks(spark):
     for rid in out._checkpoint_rdd_ids:
         spark.sparkContext._jsc.sc().unpersistRDD(rid, False)
     assert n_pinned() <= before
+
+
+def test_link_rank_releases_intermediate_iterations(spark):
+    """Only the final ranks frame (plus e/nodes/e_od) may stay pinned
+    while the result lives — earlier iterations are consumed the moment
+    the next one materializes and must be unpersisted eagerly."""
+    from flink_skyline_qos_spark.operators.clustering import link_rank
+
+    def n_pinned():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    import gc
+    import time
+    gc.collect()
+    time.sleep(0.3)
+    before = n_pinned()
+    edges = spark.createDataFrame([(i, (i * 7) % 23) for i in range(200)],
+                                  "src bigint, dst bigint")
+    out = link_rank(edges, iterations=5)
+    out.count()
+    grown = n_pinned() - before
+    assert grown <= 4, f"{grown} pins: intermediate iterations leaked"
+    del out
+    for _ in range(20):
+        gc.collect()
+        if n_pinned() <= before:
+            break
+        time.sleep(0.25)
+    assert n_pinned() <= before

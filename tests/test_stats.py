@@ -85,3 +85,35 @@ def test_corr_matrix_perfect_and_anti_correlation(spark):
 def test_corr_matrix_rejects_single_column(spark, lineitem):
     with pytest.raises(ValueError):
         corr_matrix(lineitem, ["l_quantity"])
+
+
+def test_corr_matrix_nan_rows_excluded_both_engines(spark):
+    import duckdb as _dd
+    import pandas as pd
+    rows = [(1.0, 2.0), (2.0, 4.0), (float("nan"), 6.0), (3.0, 7.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = [tuple(r) for r in corr_matrix(df, ["x", "y"]).collect()]
+    con = _dd.connect()
+    con.register("t", pd.DataFrame(rows, columns=["x", "y"]))
+    want = [tuple(r) for r in con.sql(
+        corr_matrix_sql("t", ["x", "y"])).fetchall()]
+    assert got == want
+    assert got[0][2] == 3  # the NaN row is complete-case-dropped
+
+
+def test_histogram_nan_values_excluded_both_engines(spark):
+    import duckdb as _dd
+    import pandas as pd
+
+    from flink_skyline_qos_spark.operators.sketches import (
+        histogram_quantiles, histogram_quantiles_sql)
+    rows = [(1.0,), (2.0,), (float("nan"),), (3.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = [tuple(r) for r in histogram_quantiles(
+        df, "v", quantiles=(0.5,)).collect()]
+    con = _dd.connect()
+    con.register("t", pd.DataFrame(rows, columns=["v"]))
+    want = [tuple(r) for r in con.sql(histogram_quantiles_sql(
+        "t", "v", quantiles=(0.5,))).fetchall()]
+    assert got == want
+    assert got[0][0] == 3 and got[0][1] == got[0][1]  # n=3, not NaN

@@ -372,10 +372,13 @@ def test_reverse_skyline_matches_oracle_and_partitioning(spark, sf_dir):
         reverse_skyline, reverse_skyline_sql)
     part = spark.read.parquet(f"{sf_dir}/part.parquet") \
         .select("p_partkey", "p_size", "p_retailprice")
-    q = [1000.0, 25.0]
+    # q chosen to yield a NON-EMPTY answer at sf0.001 AND sf0.01 —
+    # empty==empty==empty would make every assertion below vacuous
+    q = [905.0, 2.0]
     a = sorted(tuple(r) for r in reverse_skyline(
         part, ["p_retailprice", "p_size"], q,
         id_col="p_partkey").collect())
+    assert len(a) > 0
     b = sorted(tuple(r) for r in reverse_skyline(
         part.repartition(7), ["p_retailprice", "p_size"], q,
         id_col="p_partkey", num_partitions=3).collect())
