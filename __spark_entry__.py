@@ -140,6 +140,10 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
     stratified_sample,
     stratified_sample_sql,
 )
+from flink_skyline_qos_spark.operators.kmeans import (  # noqa: E402
+    kmeans_assign,
+    kmeans_assign_sql,
+)
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_gemm,
@@ -893,6 +897,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("vec_id", "cluster_id"))
     q["embedding_dedup_corpus"] = _embedding_dedup
 
+    # --- distributed k-means over embeddings (cluster-based curation:
+    # SemDeDup prune-within-cluster, cluster-balanced sampling, data-mix
+    # audits).  Exact integer arithmetic end-to-end (quantized vectors,
+    # BIGINT distances, floor-mean centroids, md5-content seeds), so the
+    # final assignment is value-oracle-able — MLlib's KMeans is not.
+    q["kmeans_clusters_embeddings"] = lambda s, d: kmeans_assign(
+        load_table(s, d, "embeddings"), dim=64, k=8, iterations=3, dp=4)
+
     return q
 
 
@@ -1337,5 +1349,8 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v))
          * sqrt(list_dot_product(b.v, b.v))) >= 0.35
 """.strip()
+
+    o["kmeans_clusters_embeddings"] = kmeans_assign_sql(
+        "SELECT * FROM embeddings", dim=64, k=8, iterations=3, dp=4)
 
     return o

@@ -1,0 +1,95 @@
+"""Distributed exact-integer k-means (operators/kmeans.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_skyline_qos_spark.operators.kmeans import (
+    kmeans_assign,
+    kmeans_assign_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_matches_oracle(spark, embeddings, sf_dir):
+    got = sorted(tuple(r) for r in kmeans_assign(
+        embeddings, dim=64, k=8, iterations=3, dp=4).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{sf_dir}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in con.sql(kmeans_assign_sql(
+        "SELECT * FROM embeddings", dim=64, k=8, iterations=3,
+        dp=4)).fetchall())
+    assert got == want
+    clusters = {c for _, c, _ in got}
+    assert clusters <= set(range(8)) and len(clusters) > 1
+    assert all(d >= 0 for _, _, d in got)
+
+
+def test_kmeans_partitioning_invariant(spark, embeddings):
+    base = sorted(tuple(r) for r in kmeans_assign(
+        embeddings, dim=64, k=4, iterations=2).collect())
+    shuffled = sorted(tuple(r) for r in kmeans_assign(
+        embeddings.repartition(7), dim=64, k=4, iterations=2).collect())
+    assert base == shuffled
+
+
+def test_kmeans_drops_incomplete_vectors(spark):
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [float("nan"), 2.0]),   # NaN component
+        (3, None),                  # null vector
+        (4, [1.0]),                 # wrong length
+        (5, [None, 2.0]),           # null component
+        (6, [10.0, 20.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kmeans_assign(df, dim=2, k=2, iterations=1).collect()
+    assert sorted(r.vec_id for r in out) == [1, 6]
+
+
+def test_kmeans_zero_iterations_assigns_to_seeds(spark):
+    # two well-separated groups; k=2 seeds land one in each by content
+    # hash, and even the 0-update assignment separates the groups
+    rows = [(i, [0.0 + i, 0.0]) for i in range(3)] + \
+           [(100 + i, [1000.0 + i, 1000.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r.cluster for r in
+           kmeans_assign(df, dim=2, k=2, iterations=0).collect()}
+    assert len(out) == 6
+    low = {out[i] for i in (0, 1, 2)}
+    high = {out[i] for i in (100, 101, 102)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_kmeans_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = kmeans_assign(df, dim=2, k=2, iterations=1)
+    assert out.columns == ["vec_id", "cluster", "sq_dist_q"]
+    assert out.count() == 0
+
+
+def test_kmeans_final_assign_is_jvm_narrow(spark, embeddings):
+    # the returned frame (final assignment against literal centroids)
+    # must be pure JVM Column math: no Python eval, no join, and no
+    # exchange — per-row work only, whatever the input partitioning
+    df = kmeans_assign(embeddings, dim=64, k=4, iterations=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_kmeans_bad_args(spark, embeddings):
+    with pytest.raises(ValueError):
+        kmeans_assign(embeddings, dim=64, k=0)
+    with pytest.raises(ValueError):
+        kmeans_assign(embeddings, dim=0, k=2)
+    with pytest.raises(ValueError):
+        kmeans_assign(embeddings, dim=64, k=2, iterations=-1)
