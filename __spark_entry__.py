@@ -74,6 +74,8 @@ from flink_skyline_qos_spark.operators.clustering import (  # noqa: E402
     dedup_clusters,
     link_rank,
     link_rank_sql,
+    triangle_count,
+    triangle_count_sql,
 )
 from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
@@ -458,6 +460,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.col("b.l_suppkey").alias("dst"))
         return link_rank(edges)
     q["link_rank_suppliers"] = _link_rank
+
+    # --- per-node triangle counts (local clustering-coefficient
+    # numerator — community-density / link-farm signal) over the
+    # supplier co-occurrence graph: suppliers sharing a sampled order
+    # (l_orderkey % 50 = 0 keeps the graph sparse and non-degenerate
+    # at every SF).  Degree-ordered orientation bounds the wedge join;
+    # every step is an equi-join, exact BIGINTs throughout.
+    def _triangles(s: SparkSession, d: str) -> DataFrame:
+        li = load_table(s, d, "lineitem") \
+            .filter(F.col("l_orderkey") % 50 == 0)
+        a, b = li.alias("a"), li.alias("b")
+        edges = a.join(
+            b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+        ).select(F.col("a.l_suppkey").alias("src"),
+                 F.col("b.l_suppkey").alias("dst"))
+        return triangle_count(edges)
+    q["triangles_suppliers"] = _triangles
 
     # --- Z-order clustering key (Delta/Iceberg ZORDER BY, as plain
     # Column math): rows close in EVERY dimension get close keys, so a
@@ -1352,5 +1372,12 @@ WHERE list_dot_product(a.v, b.v)
 
     o["kmeans_clusters_embeddings"] = kmeans_assign_sql(
         "SELECT * FROM embeddings", dim=64, k=8, iterations=3, dp=4)
+
+    o["triangles_suppliers"] = triangle_count_sql(
+        "SELECT a.l_suppkey AS src, b.l_suppkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_linenumber < b.l_linenumber "
+        "WHERE a.l_orderkey % 50 = 0")
 
     return o

@@ -227,3 +227,64 @@ def test_link_rank_releases_intermediate_iterations(spark):
             break
         time.sleep(0.25)
     assert n_pinned() <= before
+
+
+def test_triangle_count_crafted(spark):
+    from flink_skyline_qos_spark.operators.clustering import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, 3 per node), a pendant node 5 on 1
+    # (0 triangles, degree 1), and an isolated edge 6-7
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(1, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: (r.degree, r.triangles)
+           for r in triangle_count(df).collect()}
+    assert got[1] == (4, 3)
+    assert got[2] == (3, 3) and got[3] == (3, 3) and got[4] == (3, 3)
+    assert got[5] == (1, 0)
+    assert got[6] == (1, 0) and got[7] == (1, 0)
+
+
+def test_triangle_count_dedup_selfloops_and_direction(spark):
+    from flink_skyline_qos_spark.operators.clustering import triangle_count
+
+    # duplicate/reversed edges and self-loops collapse to one triangle
+    rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3), (None, 3)]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint")
+    got = {r.node: (r.degree, r.triangles)
+           for r in triangle_count(df).collect()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+def test_triangle_count_matches_oracle_and_partitioning(spark, sf_dir):
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.clustering import (
+        triangle_count,
+        triangle_count_sql,
+    )
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_orderkey") % 50 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+    ).select(F.col("a.l_suppkey").alias("src"),
+             F.col("b.l_suppkey").alias("dst"))
+    got = sorted(tuple(r) for r in triangle_count(edges).collect())
+    reshuffled = sorted(tuple(r) for r in
+                        triangle_count(edges.repartition(7)).collect())
+    assert got == reshuffled  # degree orientation is partitioning-blind
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{sf_dir}/lineitem.parquet'")
+    want = sorted(tuple(r) for r in con.sql(triangle_count_sql(
+        "SELECT a.l_suppkey AS src, b.l_suppkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_linenumber < b.l_linenumber "
+        "WHERE a.l_orderkey % 50 = 0")).fetchall())
+    assert got == want
+    assert sum(t for _, _, t in got) > 0
