@@ -129,6 +129,9 @@ from flink_skyline_qos_spark.operators.stats import (  # noqa: E402
     corr_matrix_sql,
 )
 from flink_skyline_qos_spark.operators.sketches import (  # noqa: E402
+    count_min,
+    count_min_estimate,
+    count_min_sql,
     histogram_quantiles,
     histogram_quantiles_sql,
     hll_distinct,
@@ -621,6 +624,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["vocab_documents"] = lambda s, d: vocab(
         load_table(s, d, "documents"), top_v=200, min_count=2
     )
+
+    # count-min sketch heavy-hitter probe: build the deterministic
+    # depth×width frequency sketch over every token, then point-query
+    # it for the exact top-20 vocab tokens — cm_est ≥ term_freq (the
+    # sketch only over-counts), both value-oracled.  At 100 TB the
+    # sketch shuffle is partitions·depth·width rows regardless of
+    # token cardinality; the exact pass exists only to ground-truth
+    # the probe at test scale.
+    def _count_min_tokens(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+            .alias("token")).filter(F.col("token") != "")
+        sk = count_min(toks, "token", depth=4, width=512)
+        cand = vocab(docs, top_v=20).select("token", "term_freq", "rank")
+        return count_min_estimate(sk, cand, "token", depth=4, width=512)
+    q["count_min_tokens_documents"] = _count_min_tokens
     # PII/URL redaction pass (emails/URLs/long digit runs masked)
     q["redact_documents"] = lambda s, d: redact_text(
         load_table(s, d, "documents")
@@ -1372,6 +1392,12 @@ WHERE list_dot_product(a.v, b.v)
 
     o["kmeans_clusters_embeddings"] = kmeans_assign_sql(
         "SELECT * FROM embeddings", dim=64, k=8, iterations=3, dp=4)
+
+    o["count_min_tokens_documents"] = count_min_sql(
+        "SELECT unnest(list_filter(string_split_regex(trim(text), "
+        "'\\s+'), x -> x <> '')) AS token FROM documents",
+        f"SELECT token, term_freq, rank FROM ({vocab_sql('documents', top_v=20)})",
+        item_col="token", depth=4, width=512)
 
     o["triangles_suppliers"] = triangle_count_sql(
         "SELECT a.l_suppkey AS src, b.l_suppkey AS dst "

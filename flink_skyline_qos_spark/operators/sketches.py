@@ -59,6 +59,9 @@ __all__ = [
     "hll_distinct_sql",
     "histogram_quantiles",
     "histogram_quantiles_sql",
+    "count_min",
+    "count_min_estimate",
+    "count_min_sql",
 ]
 
 _HASH_BITS = 60  # 15 hex chars of md5 → always positive in a BIGINT
@@ -333,4 +336,93 @@ WITH __v AS (
 )
 SELECT {outg}, {", ".join(sels)}
 FROM __cc GROUP BY {outg}
+""".strip()
+
+
+def _cm_bucket(item: Column, row: int, width: int) -> Column:
+    """Row-r count-min bucket: md5-derived 60-bit hash of "r:item",
+    reduced mod width — engine-portable (same convention as _hash60)."""
+    return F.pmod(_hash60(F.concat(F.lit(f"{row}:"), item.cast("string"))),
+                  F.lit(int(width)))
+
+
+def count_min(df: DataFrame, item_col: str, *, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of an item
+    stream: ``(row, bucket, cnt)`` with ≤ depth·width rows — the
+    mergeable frequency summary behind heavy-hitter monitoring at
+    100 TB (exact per-item counts shuffle every distinct item; the
+    sketch shuffles ≤ partitions · depth · width map-side-combined
+    rows, independent of cardinality).
+
+    Deterministic md5 row hashes (no RNG, no seed), so the sketch —
+    and every estimate read off it — is bit-identical across engines,
+    runs, and partitionings.  Standard guarantee: estimates
+    OVER-count; est ≤ true + 2e/width · N with prob 1 − (1/2)^depth.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1, width >= 2")
+    items = df.select(F.col(item_col).alias("__item")) \
+        .filter(F.col("__item").isNotNull())
+    coords = items.select(F.explode(F.array(*[
+        F.struct(F.lit(r).cast("long").alias("row"),
+                 _cm_bucket(F.col("__item"), r, width).alias("bucket"))
+        for r in range(depth)
+    ])).alias("__rb"))
+    return coords.groupBy(F.col("__rb.row").alias("row"),
+                          F.col("__rb.bucket").alias("bucket")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimate(sketch: DataFrame, candidates: DataFrame,
+                       item_col: str, *, depth: int = 4,
+                       width: int = 256) -> DataFrame:
+    """Point-query the sketch for each candidate item: min over the
+    depth rows (absent bucket ⇒ 0).  Adds ``cm_est`` to `candidates`.
+    The sketch side is ≤ depth·width rows — broadcast by AQE; the
+    candidate side never shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    probes = candidates.select(
+        "*", F.explode(F.array(*[
+            F.struct(F.lit(r).cast("long").alias("row"),
+                     _cm_bucket(F.col(item_col), r, width).alias("bucket"))
+            for r in range(depth)
+        ])).alias("__rb")
+    ).select("*", F.col("__rb.row").alias("__row"),
+             F.col("__rb.bucket").alias("__bucket")).drop("__rb")
+    joined = probes.join(
+        broadcast(sketch.withColumnRenamed("row", "__row")
+                  .withColumnRenamed("bucket", "__bucket")),
+        on=["__row", "__bucket"], how="left")
+    keep = [c for c in candidates.columns]
+    return (joined.groupBy(*keep)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("cm_est")))
+
+
+def count_min_sql(items_sql: str, candidates_sql: str, *,
+                  item_col: str = "item", depth: int = 4,
+                  width: int = 256) -> str:
+    """DuckDB twin: build the sketch from `items_sql` (one item per
+    row, column `item_col`) and estimate each row of `candidates_sql`
+    (same column name; all its columns are carried through)."""
+    h = (f"(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || "
+         f"CAST({{it}} AS VARCHAR)), 1, 15))::BIGINT % {int(width)})")
+    return f"""
+WITH __rows AS (SELECT unnest(range({int(depth)})) AS row),
+__sk AS (
+  SELECT r.row, {h.format(it=f"i.{item_col}")} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM ({items_sql}) i CROSS JOIN __rows r
+  WHERE i.{item_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+__cand AS ({candidates_sql})
+SELECT c.*, min(COALESCE(s.cnt, 0))::BIGINT AS cm_est
+FROM __cand c
+CROSS JOIN __rows r
+LEFT JOIN __sk s ON s.row = r.row
+   AND s.bucket = {h.format(it=f"c.{item_col}")}
+GROUP BY ALL
 """.strip()

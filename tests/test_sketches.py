@@ -2,6 +2,7 @@
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from flink_skyline_qos_spark.operators.sketches import (
     histogram_quantiles,
@@ -103,3 +104,71 @@ def test_sketches_stay_jvm_side(events):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_count_min_overcounts_never_undercounts(spark):
+    from flink_skyline_qos_spark.operators.sketches import (
+        count_min,
+        count_min_estimate,
+    )
+
+    rows = [(f"item{i % 37}",) for i in range(1000)] + [(None,)]
+    df = spark.createDataFrame(rows, "item string")
+    # width 16 << 37 distinct items: collisions guaranteed
+    sk = count_min(df, "item", depth=3, width=16)
+    exact = df.where(F.col("item").isNotNull()) \
+        .groupBy("item").agg(F.count(F.lit(1)).alias("tf"))
+    est = count_min_estimate(sk, exact, "item", depth=3, width=16)
+    out = est.collect()
+    assert len(out) == 37
+    assert all(r.cm_est >= r.tf for r in out)
+    # sketch is capped at depth*width rows
+    assert sk.count() <= 3 * 16
+
+
+def test_count_min_exact_when_wide(spark):
+    from flink_skyline_qos_spark.operators.sketches import (
+        count_min,
+        count_min_estimate,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "item string")
+    # 2^14 buckets for 3 items: collision probability ~ 0 for this
+    # fixed md5 hash set (deterministic, so this is a stable fact,
+    # not a flaky probabilistic assertion)
+    sk = count_min(df, "item", depth=4, width=16384)
+    cand = df.distinct()
+    got = {r.item: r.cm_est for r in
+           count_min_estimate(sk, cand, "item",
+                              depth=4, width=16384).collect()}
+    assert got == {"a": 5, "b": 3, "c": 1}
+
+
+def test_count_min_matches_oracle_and_partitioning(spark, sf_dir):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["count_min_tokens_documents"]
+    got = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{sf_dir}/documents.parquet'")
+    want_rel = con.sql(entrymod.oracle_sql()["count_min_tokens_documents"])
+    cols = want_rel.columns
+    # align column order to Spark's before comparing
+    idx = [cols.index(c) for c in ["token", "term_freq", "rank", "cm_est"]]
+    want = sorted(tuple(row[i] for i in idx) for row in want_rel.fetchall())
+    assert got == want
+    assert all(r[3] >= r[1] for r in got)  # cm_est >= term_freq
+
+
+def test_count_min_bad_args(spark):
+    from flink_skyline_qos_spark.operators.sketches import count_min
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        count_min(df, "item", depth=0)
+    with pytest.raises(ValueError):
+        count_min(df, "item", width=1)
