@@ -148,6 +148,8 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
 from flink_skyline_qos_spark.operators.kmeans import (  # noqa: E402
     kmeans_assign,
     kmeans_assign_sql,
+    pq_encode,
+    pq_encode_sql,
 )
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
@@ -945,6 +947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmeans_clusters_embeddings"] = lambda s, d: kmeans_assign(
         load_table(s, d, "embeddings"), dim=64, k=8, iterations=3, dp=4)
 
+    # --- product quantization: per-subspace exact-integer codebooks,
+    # one packed BIGINT code per vector (m·log2(k) bits) — the ANN
+    # compression step that fits a billion-vector index in memory.
+    # Encode is one narrow literal-codebook pass: no joins, no shuffle.
+    q["pq_codes_embeddings"] = lambda s, d: pq_encode(
+        load_table(s, d, "embeddings"), dim=64, m=4, k=16,
+        iterations=2, dp=4)
+
     return q
 
 
@@ -1392,6 +1402,10 @@ WHERE list_dot_product(a.v, b.v)
 
     o["kmeans_clusters_embeddings"] = kmeans_assign_sql(
         "SELECT * FROM embeddings", dim=64, k=8, iterations=3, dp=4)
+
+    o["pq_codes_embeddings"] = pq_encode_sql(
+        "SELECT * FROM embeddings", dim=64, m=4, k=16,
+        iterations=2, dp=4)
 
     o["count_min_tokens_documents"] = count_min_sql(
         "SELECT unnest(list_filter(string_split_regex(trim(text), "

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 
 from .caching import release_on_gc
 
-__all__ = ["kmeans_assign", "kmeans_assign_sql"]
+__all__ = ["kmeans_assign", "kmeans_assign_sql",
+           "pq_encode", "pq_encode_sql"]
 
 
 def _quantize(vec_col: str, dp: int) -> Column:
@@ -50,27 +51,63 @@ def _quantize(vec_col: str, dp: int) -> Column:
     )
 
 
-def _dist_to(centroid: list[int]) -> Column:
+def _dist_to(centroid: list[int], qv: Column | str = "__qv") -> Column:
     c_lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
     return F.aggregate(
-        F.zip_with("__qv", c_lit, lambda x, c: (x - c) * (x - c)),
+        F.zip_with(qv, c_lit, lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
-def _assign(pts: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Nearest centroid per row: ties go to the smallest cluster id
-    (lexicographic struct order on (dist, cluster))."""
-    best = F.array_min(F.array(*[
-        F.struct(_dist_to(c).alias("d"),
+def _best(centroids: list[list[int]], qv: Column | str = "__qv") -> Column:
+    """(dist, cluster) of the nearest centroid: ties go to the smallest
+    cluster id (lexicographic struct order)."""
+    return F.array_min(F.array(*[
+        F.struct(_dist_to(c, qv).alias("d"),
                  F.lit(j).cast("long").alias("c"))
         for j, c in enumerate(centroids)
     ]))
-    return pts.withColumn("__best", best) \
+
+
+def _assign(pts: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    return pts.withColumn("__best", _best(centroids)) \
         .withColumn("cluster", F.col("__best.c")) \
         .withColumn("sq_dist_q", F.col("__best.d")) \
         .drop("__best")
+
+
+def _train(pts: DataFrame, id_col: str, dim: int, k: int,
+           iterations: int) -> list[list[int]]:
+    """Seed (k smallest (md5(id), id) rows) + `iterations` exact Lloyd's
+    updates over a (id, __qv) frame; returns the centroid codebook —
+    the operator's only driver state, O(k·dim)."""
+    seed_rows = pts.select(
+        F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__qv"
+    ).orderBy("__h", id_col).limit(k).collect()
+    centroids = [list(r["__qv"]) for r in seed_rows]
+    if not centroids:
+        return []
+    for _ in range(iterations):
+        agg = (_assign(pts, centroids)
+               .select("cluster", F.posexplode("__qv")
+                       .alias("__pos", "__val"))
+               .groupBy("cluster", "__pos")
+               .agg(F.sum("__val").alias("__s"),
+                    F.count(F.lit(1)).alias("__n"))
+               .collect())
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in agg:
+            sums.setdefault(r["cluster"], [0] * dim)[r["__pos"]] = r["__s"]
+            counts[r["cluster"]] = r["__n"]
+        centroids = [
+            # Python // is floor division — matches the SQL twin's
+            # non-negative-remainder form exactly, signs and all.
+            [s // counts[j] for s in sums[j]] if j in sums else c
+            for j, c in enumerate(centroids)
+        ]
+    return centroids
 
 
 def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
@@ -92,36 +129,11 @@ def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
     pts = df.filter(ok).select(
         F.col(id_col), _quantize(vec_col, dp).alias("__qv")).persist()
 
-    # Seeds: k smallest (md5(id), id) — TakeOrderedAndProject, O(k·d)
-    # to the driver (the operator's only driver state).
-    seed_rows = pts.select(
-        F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__qv"
-    ).orderBy("__h", id_col).limit(k).collect()
-    centroids = [list(r["__qv"]) for r in seed_rows]
+    centroids = _train(pts, id_col, dim, k, iterations)
     if not centroids:
         return release_on_gc(
             _assign(pts, [[0] * dim]).filter(F.lit(False))
             .select(id_col, "cluster", "sq_dist_q"), pts)
-
-    for _ in range(iterations):
-        agg = (_assign(pts, centroids)
-               .select("cluster", F.posexplode("__qv")
-                       .alias("__pos", "__val"))
-               .groupBy("cluster", "__pos")
-               .agg(F.sum("__val").alias("__s"),
-                    F.count(F.lit(1)).alias("__n"))
-               .collect())
-        sums: dict[int, list[int]] = {}
-        counts: dict[int, int] = {}
-        for r in agg:
-            sums.setdefault(r["cluster"], [0] * dim)[r["__pos"]] = r["__s"]
-            counts[r["cluster"]] = r["__n"]
-        centroids = [
-            # Python // is floor division — matches the SQL twin's
-            # non-negative-remainder form exactly, signs and all.
-            [s // counts[j] for s in sums[j]] if j in sums else c
-            for j, c in enumerate(centroids)
-        ]
 
     out = _assign(pts, centroids).select(id_col, "cluster", "sq_dist_q")
     return release_on_gc(out, pts)
@@ -176,3 +188,94 @@ def kmeans_assign_sql(table_sql: str, *, vec_col: str = "embedding",
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT id AS {id_col}, cluster, sq_dist_q "
               f"FROM __a{iterations}")
+
+
+def _complete_filter(vec_col: str, dim: int) -> Column:
+    v = F.col(vec_col)
+    return v.isNotNull() & (F.size(v) == dim) \
+        & ~F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
+
+
+def pq_encode(df: DataFrame, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", dim: int, m: int = 4, k: int = 16,
+              iterations: int = 2, dp: int = 4) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    `m` contiguous subspaces of dim/m, train an exact-integer k-means
+    codebook per subspace, and emit each row's packed code
+    ``Σ code_s · k^s`` — ``(id_col, pq_code)``.
+
+    This is the 100 TB ANN compression step: a dim×float32 vector
+    becomes one BIGINT (m·log2(k) bits), so a billion-vector index fits
+    where raw vectors cannot, and asymmetric-distance search scans codes
+    instead of floats.  All arithmetic is the exact integer k-means of
+    :func:`kmeans_assign`, so codes are bit-identical across engines and
+    partitionings — value-oracle-able, which no float PQ is.
+
+    Scale shape: training runs m independent codebooks (driver state
+    O(m·k·dim/m) = O(k·dim)); the ENCODE is one narrow pass — every
+    subspace's argmin is a literal-codebook Column expression, no joins,
+    no shuffle.  Rows failing the complete-vector filter (NULL vector,
+    wrong length, NULL/NaN component) are dropped, as in the SQL twin.
+    """
+    if dim < 1 or m < 1 or dim % m:
+        raise ValueError("need dim >= 1, m >= 1, and m | dim")
+    if k < 2 or k ** m > (1 << 62):
+        raise ValueError("need 2 <= k with k^m inside BIGINT")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    sub = dim // m
+    base = df.filter(_complete_filter(vec_col, dim)).select(
+        F.col(id_col), _quantize(vec_col, dp).alias("__qv0")).persist()
+
+    codebooks: list[list[list[int]]] = []
+    for s_i in range(m):
+        pts = base.select(
+            id_col, F.slice("__qv0", s_i * sub + 1, sub).alias("__qv"))
+        codebooks.append(_train(pts, id_col, sub, k, iterations))
+
+    if any(not cb for cb in codebooks):  # empty input
+        empty = base.select(
+            F.col(id_col), F.lit(0).cast("long").alias("pq_code")
+        ).filter(F.lit(False))
+        return release_on_gc(empty, base)
+
+    packed = None
+    for s_i, cb in enumerate(codebooks):
+        code = _best(cb, F.slice("__qv0", s_i * sub + 1, sub)) \
+            .getField("c")
+        term = code * F.lit(int(k ** s_i)).cast("long")
+        packed = term if packed is None else packed + term
+    out = base.select(F.col(id_col), packed.alias("pq_code"))
+    return release_on_gc(out, base)
+
+
+def pq_encode_sql(table_sql: str, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id", dim: int, m: int = 4,
+                  k: int = 16, iterations: int = 2, dp: int = 4) -> str:
+    """DuckDB twin of :func:`pq_encode`: one nested
+    :func:`kmeans_assign_sql` per subspace over the sliced vector
+    (complete-vector filter applied on the FULL vector first, exactly
+    as the operator does), joined on id and packed base-k."""
+    sub = dim // m
+    nan = " OR ".join(
+        f"{vec_col}[{i}] IS NULL OR isnan(CAST({vec_col}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1))
+    complete = (f"SELECT {id_col}, {vec_col} FROM ({table_sql}) "
+                f"WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim} "
+                f"AND NOT ({nan})")
+    parts = []
+    for s_i in range(m):
+        inner = (f"SELECT {id_col}, "
+                 f"{vec_col}[{s_i * sub + 1}:{(s_i + 1) * sub}] "
+                 f"AS {vec_col} FROM ({complete})")
+        ksql = kmeans_assign_sql(inner, vec_col=vec_col, id_col=id_col,
+                                 dim=sub, k=k, iterations=iterations,
+                                 dp=dp)
+        parts.append(f"__pq{s_i} AS (SELECT {id_col} AS id, cluster "
+                     f"FROM ({ksql}))")
+    joins = " ".join(f"JOIN __pq{s} ON __pq{s}.id = __pq0.id"
+                     for s in range(1, m))
+    pack = " + ".join(f"{k ** s} * __pq{s}.cluster" for s in range(m))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT __pq0.id AS {id_col}, "
+              f"CAST({pack} AS BIGINT) AS pq_code FROM __pq0 {joins}")

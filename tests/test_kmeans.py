@@ -93,3 +93,63 @@ def test_kmeans_bad_args(spark, embeddings):
         kmeans_assign(embeddings, dim=0, k=2)
     with pytest.raises(ValueError):
         kmeans_assign(embeddings, dim=64, k=2, iterations=-1)
+
+
+def test_pq_encode_matches_oracle(spark, embeddings, sf_dir):
+    from flink_skyline_qos_spark.operators.kmeans import (
+        pq_encode,
+        pq_encode_sql,
+    )
+
+    got = sorted(tuple(r) for r in pq_encode(
+        embeddings, dim=64, m=4, k=16, iterations=2, dp=4).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{sf_dir}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in con.sql(pq_encode_sql(
+        "SELECT * FROM embeddings", dim=64, m=4, k=16, iterations=2,
+        dp=4)).fetchall())
+    assert got == want
+    codes = [c for _, c in got]
+    assert all(0 <= c < 16 ** 4 for c in codes)
+    # quantizer actually discriminates: near-unique codes on this set
+    assert len(set(codes)) > len(codes) // 2
+
+
+def test_pq_encode_is_narrow_jvm_plan(spark, embeddings):
+    from flink_skyline_qos_spark.operators.kmeans import pq_encode
+
+    df = pq_encode(embeddings, dim=64, m=4, k=4, iterations=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_pq_encode_subspace_codes_pack_base_k(spark):
+    from flink_skyline_qos_spark.operators.kmeans import pq_encode
+
+    # two groups separated ONLY in the second subspace: subspace-0
+    # codes agree, subspace-1 codes differ, so packed codes differ by
+    # a multiple of k
+    rows = [(i, [1.0, 1.0, 0.0 + i * 0.001, 0.0]) for i in range(4)] + \
+           [(10 + i, [1.0, 1.0, 900.0 + i * 0.001, 900.0])
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r.pq_code for r in pq_encode(
+        df, dim=4, m=2, k=2, iterations=2).collect()}
+    lo = {out[i] for i in range(4)}
+    hi = {out[10 + i] for i in range(4)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    (a,), (b,) = lo, hi
+    assert a % 2 == b % 2  # same subspace-0 code
+    assert abs(a - b) % 2 == 0  # differ only in the k^1 digit
+
+
+def test_pq_encode_bad_args(spark, embeddings):
+    from flink_skyline_qos_spark.operators.kmeans import pq_encode
+
+    with pytest.raises(ValueError):
+        pq_encode(embeddings, dim=64, m=5)  # m does not divide dim
+    with pytest.raises(ValueError):
+        pq_encode(embeddings, dim=64, m=4, k=1)
