@@ -148,6 +148,8 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
 from flink_skyline_qos_spark.operators.kmeans import (  # noqa: E402
     kmeans_assign,
     kmeans_assign_sql,
+    pq_adc_topk,
+    pq_adc_topk_sql,
     pq_encode,
     pq_encode_sql,
 )
@@ -955,6 +957,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), dim=64, m=4, k=16,
         iterations=2, dp=4)
 
+    # --- ADC search over the PQ codes: corpus scanned as integer
+    # codes (never the floats), per-query distances via k-entry
+    # literal lookup tables — the search half of PQ, one narrow pass +
+    # per-query top-k window.  Same query set as ann_topk.
+    def _pq_adc(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return pq_adc_topk(emb, qs, dim=64, m=4, k=16,
+                           iterations=2, dp=4, topk=10)
+    q["pq_adc_topk_embeddings"] = _pq_adc
+
     return q
 
 
@@ -1406,6 +1420,12 @@ WHERE list_dot_product(a.v, b.v)
     o["pq_codes_embeddings"] = pq_encode_sql(
         "SELECT * FROM embeddings", dim=64, m=4, k=16,
         iterations=2, dp=4)
+
+    o["pq_adc_topk_embeddings"] = pq_adc_topk_sql(
+        "SELECT * FROM embeddings",
+        "SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id < 5",
+        dim=64, m=4, k=16, iterations=2, dp=4, topk=10)
 
     o["count_min_tokens_documents"] = count_min_sql(
         "SELECT unnest(list_filter(string_split_regex(trim(text), "

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 from .caching import release_on_gc
 
 __all__ = ["kmeans_assign", "kmeans_assign_sql",
-           "pq_encode", "pq_encode_sql"]
+           "pq_encode", "pq_encode_sql",
+           "pq_adc_topk", "pq_adc_topk_sql"]
 
 
 def _quantize(vec_col: str, dp: int) -> Column:
@@ -139,13 +140,14 @@ def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
     return release_on_gc(out, pts)
 
 
-def kmeans_assign_sql(table_sql: str, *, vec_col: str = "embedding",
-                      id_col: str = "vec_id", dim: int, k: int = 8,
-                      iterations: int = 3, dp: int = 4) -> str:
-    """DuckDB twin of :func:`kmeans_assign` — chained CTEs, one
-    assign+update pair per iteration, all arithmetic exact integers.
-    Dimensions are unrolled explicitly (no lambda dialect dependence);
-    1-based DuckDB list indexing."""
+def _kmeans_ctes(table_sql: str, *, vec_col: str, id_col: str, dim: int,
+                 k: int, iterations: int, dp: int,
+                 prefix: str = "__") -> "tuple[list[str], str, str]":
+    """The chained-CTE body shared by every kmeans SQL twin.  Returns
+    ``(cte_parts, final_assign_name, final_centroid_name)`` — the
+    assign CTE has (id, qv, cluster, sq_dist_q), the centroid CTE
+    (cluster, qv).  `prefix` namespaces the CTEs so several codebooks
+    can live in ONE WITH clause (the PQ/ADC twins)."""
     scale = 10 ** dp
     q = [f"CAST(floor(CAST({vec_col}[{i}] AS DOUBLE) * {scale}) AS BIGINT)"
          for i in range(1, dim + 1)]
@@ -160,34 +162,48 @@ def kmeans_assign_sql(table_sql: str, *, vec_col: str = "embedding",
         f"CAST((sum(qv[{i}]) - ((sum(qv[{i}]) % count(*)) + count(*)) "
         f"% count(*)) // count(*) AS BIGINT)"
         for i in range(1, dim + 1)]
+    p = prefix
     parts = [
-        f"__pts AS (SELECT {id_col} AS id, [{', '.join(q)}] AS qv "
+        f"{p}pts AS (SELECT {id_col} AS id, [{', '.join(q)}] AS qv "
         f"FROM ({table_sql}) WHERE {vec_col} IS NOT NULL "
         f"AND len({vec_col}) = {dim} AND NOT ({nan}))",
-        f"__c0 AS (SELECT (row_number() OVER (ORDER BY "
-        f"md5(CAST(id AS VARCHAR)), id)) - 1 AS cluster, qv FROM __pts "
+        f"{p}c0 AS (SELECT (row_number() OVER (ORDER BY "
+        f"md5(CAST(id AS VARCHAR)), id)) - 1 AS cluster, qv FROM {p}pts "
         f"ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k})",
     ]
     for t in range(iterations + 1):
         parts.append(
-            f"__d{t} AS (SELECT p.id, p.qv, c.cluster, "
+            f"{p}d{t} AS (SELECT p.id, p.qv, c.cluster, "
             f"CAST({dist} AS BIGINT) AS sq_dist_q "
-            f"FROM __pts p CROSS JOIN __c{t} c)")
+            f"FROM {p}pts p CROSS JOIN {p}c{t} c)")
         parts.append(
-            f"__a{t} AS (SELECT id, qv, cluster, sq_dist_q FROM ("
+            f"{p}a{t} AS (SELECT id, qv, cluster, sq_dist_q FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY id "
-            f"ORDER BY sq_dist_q, cluster) AS rn FROM __d{t}) WHERE rn = 1)")
+            f"ORDER BY sq_dist_q, cluster) AS rn FROM {p}d{t}) WHERE rn = 1)")
         if t == iterations:
             break
         parts.append(
-            f"__u{t} AS (SELECT cluster, [{', '.join(mean)}] AS cv "
-            f"FROM __a{t} GROUP BY cluster)")
+            f"{p}u{t} AS (SELECT cluster, [{', '.join(mean)}] AS cv "
+            f"FROM {p}a{t} GROUP BY cluster)")
         parts.append(
-            f"__c{t + 1} AS (SELECT c.cluster, COALESCE(u.cv, c.qv) AS qv "
-            f"FROM __c{t} c LEFT JOIN __u{t} u USING (cluster))")
+            f"{p}c{t + 1} AS (SELECT c.cluster, COALESCE(u.cv, c.qv) AS qv "
+            f"FROM {p}c{t} c LEFT JOIN {p}u{t} u USING (cluster))")
+    return parts, f"{p}a{iterations}", f"{p}c{iterations}"
+
+
+def kmeans_assign_sql(table_sql: str, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", dim: int, k: int = 8,
+                      iterations: int = 3, dp: int = 4) -> str:
+    """DuckDB twin of :func:`kmeans_assign` — chained CTEs, one
+    assign+update pair per iteration, all arithmetic exact integers.
+    Dimensions are unrolled explicitly (no lambda dialect dependence);
+    1-based DuckDB list indexing."""
+    parts, a_final, _ = _kmeans_ctes(
+        table_sql, vec_col=vec_col, id_col=id_col, dim=dim, k=k,
+        iterations=iterations, dp=dp)
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT id AS {id_col}, cluster, sq_dist_q "
-              f"FROM __a{iterations}")
+              f"FROM {a_final}")
 
 
 def _complete_filter(vec_col: str, dim: int) -> Column:
@@ -279,3 +295,148 @@ def pq_encode_sql(table_sql: str, *, vec_col: str = "embedding",
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT __pq0.id AS {id_col}, "
               f"CAST({pack} AS BIGINT) AS pq_code FROM __pq0 {joins}")
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, *,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id", dim: int, m: int = 4,
+                k: int = 16, iterations: int = 2, dp: int = 4,
+                topk: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes (Jégou et
+    al. 2011) — the search half of product quantization: the corpus is
+    scanned as m small integer codes per row (never the float vectors),
+    and each query's distance to a code is m lookups into its
+    per-subspace table of exact integer distances to the k codebook
+    entries.
+
+    Scale shape: ONE narrow pass over the corpus — per-subspace code
+    columns are literal-codebook Column expressions and each query's
+    LUT is a k-entry literal array (`element_at`), so the scan carries
+    |queries|·(one BIGINT) per row into the per-query top-k window; no
+    joins, no Python.  Queries and codebooks are the bounded driver
+    state (O(q·d + k·d)), exactly like `cosine_topk`'s broadcast query
+    side.  All integer arithmetic ⇒ bit-identical, value-oracle-able
+    ranks (ties broken by id).
+
+    Returns ``(query_id_col, id_col, adc_dist_q, rank)``, rank 1..topk
+    per query.  ADC is an APPROXIMATION of the true distance (the
+    quantization residual is lost) — the oracle twin models the same
+    approximation, so the check is exact even though the search is not.
+    """
+    from pyspark.sql.window import Window
+
+    if dim < 1 or m < 1 or dim % m:
+        raise ValueError("need dim >= 1, m >= 1, and m | dim")
+    if k < 2 or topk < 1 or iterations < 0:
+        raise ValueError("need k >= 2, topk >= 1, iterations >= 0")
+    sub = dim // m
+    base = corpus.filter(_complete_filter(vec_col, dim)).select(
+        F.col(id_col), _quantize(vec_col, dp).alias("__qv0")).persist()
+    codebooks = [
+        _train(base.select(id_col,
+                           F.slice("__qv0", s * sub + 1, sub).alias("__qv")),
+               id_col, sub, k, iterations)
+        for s in range(m)
+    ]
+    qrows = queries.filter(_complete_filter(vec_col, dim)).select(
+        F.col(query_id_col), _quantize(vec_col, dp).alias("__qv")
+    ).collect()
+
+    if not qrows or any(not cb for cb in codebooks):
+        empty = (base.join(
+            queries.select(query_id_col).limit(0), how="cross")
+            .select(query_id_col, id_col,
+                    F.lit(0).cast("long").alias("adc_dist_q"),
+                    F.lit(0).alias("rank"))
+            .filter(F.lit(False)))
+        return release_on_gc(empty, base)
+
+    enc = base
+    for s, cb in enumerate(codebooks):
+        enc = enc.withColumn(
+            f"__c{s}",
+            _best(cb, F.slice("__qv0", s * sub + 1, sub)).getField("c"))
+
+    structs = []
+    for r in qrows:
+        qv = list(r["__qv"])
+        score = None
+        for s, cb in enumerate(codebooks):
+            lut = [sum((qv[s * sub + i] - c[i]) ** 2 for i in range(sub))
+                   for c in cb]
+            term = F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
+                (F.col(f"__c{s}") + 1).cast("int"))
+            score = term if score is None else score + term
+        qid = r[query_id_col]
+        qid_lit = F.lit(qid).cast("long") if isinstance(qid, int) \
+            else F.lit(qid)
+        structs.append(F.struct(qid_lit.alias("qid"), score.alias("s")))
+
+    scored = enc.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("__q")
+    ).select(F.col("__q.qid").alias(query_id_col), id_col,
+             F.col("__q.s").alias("adc_dist_q"))
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist_q", id_col)
+    out = scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= topk)
+    return release_on_gc(out, base)
+
+
+def pq_adc_topk_sql(corpus_sql: str, queries_sql: str, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    query_id_col: str = "query_id", dim: int, m: int = 4,
+                    k: int = 16, iterations: int = 2, dp: int = 4,
+                    topk: int = 10) -> str:
+    """DuckDB twin of :func:`pq_adc_topk`: m prefixed codebook CTE
+    chains in one WITH, codes joined on id, LUT lookups expressed as
+    joins to the final centroid CTEs, identical integer arithmetic."""
+    sub = dim // m
+    scale = 10 ** dp
+    nan = " OR ".join(
+        f"{vec_col}[{i}] IS NULL OR isnan(CAST({vec_col}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1))
+    complete_corpus = (
+        f"SELECT {id_col}, {vec_col} FROM ({corpus_sql}) "
+        f"WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim} "
+        f"AND NOT ({nan})")
+    parts: list[str] = []
+    a_names, c_names = [], []
+    for s in range(m):
+        inner = (f"SELECT {id_col}, "
+                 f"{vec_col}[{s * sub + 1}:{(s + 1) * sub}] AS {vec_col} "
+                 f"FROM ({complete_corpus})")
+        ps, a_n, c_n = _kmeans_ctes(
+            inner, vec_col=vec_col, id_col=id_col, dim=sub, k=k,
+            iterations=iterations, dp=dp, prefix=f"__sp{s}_")
+        parts += ps
+        a_names.append(a_n)
+        c_names.append(c_n)
+    qq = [f"CAST(floor(CAST({vec_col}[{i}] AS DOUBLE) * {scale}) AS BIGINT)"
+          for i in range(1, dim + 1)]
+    parts.append(
+        f"__q AS (SELECT {query_id_col}, [{', '.join(qq)}] AS qv "
+        f"FROM ({queries_sql}) WHERE {vec_col} IS NOT NULL "
+        f"AND len({vec_col}) = {dim} AND NOT ({nan}))")
+    contribs = []
+    for s in range(m):
+        contribs.append(" + ".join(
+            f"(q.qv[{s * sub + i}] - c{s}.qv[{i}]) "
+            f"* (q.qv[{s * sub + i}] - c{s}.qv[{i}])"
+            for i in range(1, sub + 1)))
+    total = " + ".join(f"({c})" for c in contribs)
+    code_joins = " ".join(
+        f"JOIN {a_names[s]} a{s} ON a{s}.id = a0.id"
+        for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN {c_names[s]} c{s} ON c{s}.cluster = a{s}.cluster"
+        for s in range(m))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT {query_id_col}, {id_col}, adc_dist_q, rank FROM (
+  SELECT q.{query_id_col}, a0.id AS {id_col},
+         CAST({total} AS BIGINT) AS adc_dist_q,
+         row_number() OVER (PARTITION BY q.{query_id_col}
+                            ORDER BY CAST({total} AS BIGINT), a0.id)
+           AS rank
+  FROM {a_names[0]} a0 {code_joins} CROSS JOIN __q q {lut_joins}
+) WHERE rank <= {topk}""")

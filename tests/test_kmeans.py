@@ -153,3 +153,55 @@ def test_pq_encode_bad_args(spark, embeddings):
         pq_encode(embeddings, dim=64, m=5)  # m does not divide dim
     with pytest.raises(ValueError):
         pq_encode(embeddings, dim=64, m=4, k=1)
+
+
+def test_pq_adc_matches_oracle_and_self_retrieval(spark, embeddings,
+                                                  sf_dir):
+    from flink_skyline_qos_spark.operators.kmeans import (
+        pq_adc_topk,
+        pq_adc_topk_sql,
+    )
+
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(tuple(r) for r in pq_adc_topk(
+        embeddings, qs, dim=64, m=4, k=16, iterations=2, dp=4,
+        topk=10).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{sf_dir}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in con.sql(pq_adc_topk_sql(
+        "SELECT * FROM embeddings",
+        "SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id < 5",
+        dim=64, m=4, k=16, iterations=2, dp=4, topk=10)).fetchall())
+    assert got == want
+    assert len(got) == 50
+    # each query's own vector has ADC distance == its own quantization
+    # residual, minimal among all codes sharing its cell -> rank 1 here
+    rank1 = {q: v for q, v, _, r in got if r == 1}
+    assert rank1 == {i: i for i in range(5)}
+
+
+def test_pq_adc_scan_side_has_no_join(spark, embeddings):
+    from flink_skyline_qos_spark.operators.kmeans import pq_adc_topk
+
+    qs = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    df = pq_adc_topk(embeddings, qs, dim=64, m=2, k=4, iterations=1,
+                     topk=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Join" not in plan  # codes + LUTs are literals, never joined
+    # exactly the one exchange the per-query top-k window requires
+    assert plan.count("Exchange") <= 2
+
+
+def test_pq_adc_empty_queries(spark, embeddings):
+    from flink_skyline_qos_spark.operators.kmeans import pq_adc_topk
+
+    qs = embeddings.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_adc_topk(embeddings, qs, dim=64, m=2, k=4, iterations=0)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "adc_dist_q", "rank"]
