@@ -37,7 +37,8 @@ from ..operators.partitioners import partitioner_expr
 __all__ = ["continuous_local_skylines", "start_continuous_global",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
-           "streaming_windowed_hll", "streaming_windowed_skyline"]
+           "streaming_windowed_count_min", "streaming_windowed_hll",
+           "streaming_windowed_skyline"]
 
 
 def streaming_windowed_hll(stream: DataFrame, key_col: str, *,
@@ -87,6 +88,70 @@ def streaming_windowed_hll(stream: DataFrame, key_col: str, *,
         n_hit.alias("n_buckets_hit"),
         est.alias("hll_estimate"),
     )
+
+
+def streaming_windowed_count_min(stream: DataFrame, item_col: str,
+                                 candidates: "Sequence[str]", *,
+                                 window_duration: str = "10 seconds",
+                                 watermark_delay: str = "5 seconds",
+                                 ts_col: str = "ts", depth: int = 4,
+                                 width: int = 256) -> DataFrame:
+    """Per-event-time-window count-min heavy-hitter estimates for a
+    fixed candidate set, over an UNBOUNDED stream — "how often did each
+    watched item occur in each 10-second window" — as ONE native
+    streaming aggregation, no Python state.
+
+    The sketch is candidate-projected: a stream row contributes to
+    candidate c's depth-r cell iff their row-r buckets collide, so the
+    per-window state is depth·|candidates| long counters (the full
+    depth×width sketch never materializes), merged by Spark's built-in
+    sum — mergeable, bounded, watermark-finalized (append mode, one
+    emission per closed window).  Identical md5 bucket arithmetic to
+    the batch :func:`~..operators.sketches.count_min` /
+    :func:`~..operators.sketches.count_min_estimate` pair, so a closed
+    window's estimate EQUALS the batch build+probe over exactly that
+    window's rows (asserted in the executed streaming test) and keeps
+    the same guarantee: never an undercount.
+
+    Output: ``win_start, win_end, item, cm_est`` (one row per window ×
+    candidate).
+    """
+    import hashlib
+
+    from ..operators.sketches import _cm_bucket
+
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1, width >= 2")
+    cands = [str(c) for c in candidates]
+    if not cands:
+        raise ValueError("need at least one candidate item")
+    aggs = []
+    for ci, cand in enumerate(cands):
+        for r in range(depth):
+            target = int(hashlib.md5(
+                f"{r}:{cand}".encode()).hexdigest()[:15], 16) % width
+            aggs.append(
+                F.sum(F.when(_cm_bucket(F.col(item_col), r, width)
+                             == F.lit(target), 1).otherwise(0))
+                .cast("long").alias(f"__c{ci}_{r}"))
+    agg = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("__win"))
+        .agg(*aggs)
+    )
+
+    def est(ci: int):
+        cols = [F.col(f"__c{ci}_{r}") for r in range(depth)]
+        return cols[0] if depth == 1 else F.least(*cols)
+
+    structs = [F.struct(F.lit(cand).alias("item"),
+                        est(ci).alias("cm_est"))
+               for ci, cand in enumerate(cands)]
+    return agg.select(
+        F.col("__win.start").alias("win_start"),
+        F.col("__win.end").alias("win_end"),
+        F.explode(F.array(*structs)).alias("__e"),
+    ).select("win_start", "win_end", "__e.item", "__e.cm_est")
 
 
 def streaming_interval_join(left: DataFrame, right: DataFrame, *,

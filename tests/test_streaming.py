@@ -854,3 +854,75 @@ def test_streaming_windowed_hll_matches_batch(spark):
         # and the estimate is a real estimate of the exact cardinality
         assert abs(r.hll_estimate - exact[w]) / exact[w] < 0.35, (
             w, r.hll_estimate, exact[w])
+
+
+def test_streaming_windowed_count_min_matches_batch(spark):
+    """Windowed count-min heavy hitters EXECUTED from an unbounded rate
+    source.  Event time advances with id (ts = BASE + id div 50), so
+    the rate source fills windows strictly in order: window k contains
+    EXACTLY ids [k*500, (k+1)*500) by construction, no late data.  A
+    closed window's estimates must EQUAL the batch count_min build +
+    probe over exactly those ids — and never undercount the exact
+    per-window frequency."""
+    import time as _t
+
+    from flink_skyline_qos_spark.operators.sketches import (
+        count_min,
+        count_min_estimate,
+    )
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_windowed_count_min,
+    )
+
+    BASE = 1_600_000_000
+    CANDS = ["i0", "i1", "i5"]
+    DEPTH, WIDTH = 3, 8  # narrow sketch: collisions guaranteed
+
+    def shape(df):
+        return df.select(
+            "id",
+            F.timestamp_seconds(F.lit(BASE) + (F.col("id") / 50)
+                                .cast("long")).alias("ts"),
+            F.concat(F.lit("i"), (F.col("id") % 13).cast("string"))
+            .alias("item"))
+
+    src = shape(spark.readStream.format("rate")
+                .option("rowsPerSecond", 500).load()
+                .select(F.col("value").alias("id")))
+    out = streaming_windowed_count_min(
+        src, "item", CANDS, window_duration="10 seconds",
+        watermark_delay="2 seconds", depth=DEPTH, width=WIDTH)
+    q = (out.writeStream.format("memory").queryName("win_cm")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM win_cm").first()["c"]:
+                break
+            _t.sleep(0.5)
+        else:
+            raise AssertionError("no window closed before timeout")
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM win_cm").collect()
+    assert rows
+    for (ws, we), grp in {
+        (r.win_start, r.win_end): None for r in rows
+    }.items():
+        k = (int(ws.timestamp()) - BASE) // 10
+        ids = shape(spark.range(k * 500, (k + 1) * 500))
+        sk = count_min(ids, "item", depth=DEPTH, width=WIDTH)
+        cand_df = spark.createDataFrame([(c,) for c in CANDS],
+                                        "item string")
+        batch = {r.item: r.cm_est for r in count_min_estimate(
+            sk, cand_df, "item", depth=DEPTH, width=WIDTH).collect()}
+        exact = {r.item: r.c for r in
+                 ids.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+                 .collect()}
+        got = {r.item: r.cm_est for r in rows
+               if (r.win_start, r.win_end) == (ws, we)}
+        assert got == batch, (ws, we)
+        for c in CANDS:
+            assert got[c] >= exact.get(c, 0)  # never undercounts
