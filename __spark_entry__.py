@@ -144,6 +144,8 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
     hash_split_sql,
     stratified_sample,
     stratified_sample_sql,
+    weighted_sample,
+    weighted_sample_sql,
 )
 from flink_skyline_qos_spark.operators.kmeans import (  # noqa: E402
     kmeans_assign,
@@ -755,6 +757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stratified_sample_documents"] = lambda s, d: stratified_sample(
         load_table(s, d, "documents").select("doc_id", "lang"),
         {"en": 0.1, "zh": 1.0, "de": 0.5}, "lang", ["doc_id"])
+    # importance sampling: keep probability proportional to a per-row
+    # weight (here length-derived; in production a quality score) —
+    # the quality-proportional training-mix op, zero shuffle
+    q["weighted_sample_documents"] = lambda s, d: weighted_sample(
+        load_table(s, d, "documents")
+        .select("doc_id", (F.col("n_chars") / F.lit(4000.0))
+                .alias("weight")),
+        1.0, "weight", ["doc_id"])
 
     # --- streaming pipeline (ST1-ST7): foreachBatch ingest, record-ID
     # barrier, incremental local-skyline state, trigger-released answer.
@@ -1326,6 +1336,10 @@ red AS (
     o["stratified_sample_documents"] = stratified_sample_sql(
         "(SELECT doc_id, lang FROM documents)",
         {"en": 0.1, "zh": 1.0, "de": 0.5}, "lang", ["doc_id"])
+    o["weighted_sample_documents"] = weighted_sample_sql(
+        "(SELECT doc_id, CAST(n_chars AS DOUBLE) / 4000.0 AS weight "
+        "FROM documents)",
+        1.0, "weight", ["doc_id"])
 
     _ann_oracle = """
 WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -31,6 +31,8 @@ __all__ = [
     "hash_split_sql",
     "stratified_sample",
     "stratified_sample_sql",
+    "weighted_sample",
+    "weighted_sample_sql",
 ]
 
 _BUCKETS = 1 << 32
@@ -151,3 +153,39 @@ def stratified_sample_sql(table_sql: str, rates: Mapping[str, float],
         for name, r in rates.items())
     thr = f"CASE {whens} ELSE {int(default_rate * _BUCKETS)} END"
     return f"SELECT * FROM {table_sql} WHERE {b} < {thr}"
+
+
+def weighted_sample(df: DataFrame, rate: float, weight_col: str,
+                    key_cols: Sequence[str], *, seed: int = 42) -> DataFrame:
+    """Importance sampling: keep a row with probability
+    ``min(1, weight · rate)`` — the quality-proportional training-mix
+    op (upweight high-quality documents, downweight boilerplate)
+    as the same content-stable md5 decision as
+    :func:`deterministic_sample`, so the sample is reproducible across
+    engines/reruns/partitionings AND across rate changes the row's own
+    keep-threshold doesn't cross.  Rows with NULL/NaN weight are
+    dropped (stated identically in the SQL twin); negative weights
+    clamp to probability 0.  Zero shuffle: one scan-side filter whose
+    threshold is a per-row Column expression (one multiply + clamp +
+    floor — bit-identical in DuckDB)."""
+    if rate < 0.0:
+        raise ValueError("rate must be >= 0")
+    w = F.col(weight_col).cast("double")
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w * F.lit(float(rate))))
+    thr = F.floor(p * F.lit(float(_BUCKETS))).cast("long")
+    return df.filter(w.isNotNull() & ~F.isnan(w)
+                     & (hash_bucket(key_cols, seed) < thr))
+
+
+def weighted_sample_sql(table_sql: str, rate: float, weight_expr: str,
+                        key_cols: Sequence[str], *, seed: int = 42) -> str:
+    """DuckDB twin of :func:`weighted_sample` (bit-identical rows;
+    `weight_expr` is the SQL expression for the weight column)."""
+    if rate < 0.0:
+        raise ValueError("rate must be >= 0")
+    w = f"CAST({weight_expr} AS DOUBLE)"
+    p = f"LEAST(1.0, GREATEST(0.0, {w} * {float(rate)!r}))"
+    thr = f"CAST(floor({p} * {float(_BUCKETS)!r}) AS BIGINT)"
+    return (f"SELECT * FROM {table_sql} "
+            f"WHERE {w} IS NOT NULL AND NOT isnan({w}) "
+            f"AND {_bucket_sql(key_cols, seed)} < {thr}")

@@ -2,6 +2,7 @@
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from flink_skyline_qos_spark.operators.sampling import (
     deterministic_sample,
@@ -85,3 +86,66 @@ def test_stratified_sample_rates_and_stability(spark):
     out2 = stratified_sample(df, {"en": 0.2, "zh": 0.5}, "lang", ["doc_id"])
     en2 = {r["doc_id"] for r in out2.filter("lang = 'en'").collect()}
     assert en1 == en2
+
+
+def test_weighted_sample_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / F.lit(4000.0)).alias("weight"))
+    got = sorted(tuple(r) for r in
+                 weighted_sample(df, 1.0, "weight", ["doc_id"]).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{sf_dir}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(weighted_sample_sql(
+        "(SELECT doc_id, CAST(n_chars AS DOUBLE) / 4000.0 AS weight "
+        "FROM documents)", 1.0, "weight", ["doc_id"])).fetchall())
+    assert got == want
+    assert 0 < len(got) < df.count()  # neither empty nor everything
+
+
+def test_weighted_sample_weight_semantics(spark):
+    from flink_skyline_qos_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 2.0), (2, 0.0), (3, -5.0), (4, None),
+            (5, float("nan")), (6, 1.0)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    kept = {r.id for r in weighted_sample(df, 1.0, "w", ["id"]).collect()}
+    # weight >= 1/rate => probability 1 (always kept); <= 0 / NULL /
+    # NaN => never kept
+    assert 1 in kept and 6 in kept
+    assert kept.isdisjoint({2, 3, 4, 5})
+
+
+def test_weighted_sample_rate_monotone_and_stable(spark):
+    from flink_skyline_qos_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id"), F.lit(0.5).alias("w"))
+    lo = {r.id for r in weighted_sample(df, 0.4, "w", ["id"]).collect()}
+    hi = {r.id for r in weighted_sample(df, 1.2, "w", ["id"]).collect()}
+    assert lo < hi  # strictly more rows at the higher rate
+    # content-stable: repartitioning never changes membership
+    again = {r.id for r in weighted_sample(
+        df.repartition(7), 0.4, "w", ["id"]).collect()}
+    assert again == lo
+
+
+def test_weighted_sample_bad_rate(spark):
+    from flink_skyline_qos_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, w double")
+    with pytest.raises(ValueError):
+        weighted_sample(df, -0.1, "w", ["id"])
+    with pytest.raises(ValueError):
+        weighted_sample_sql("t", -1.0, "w", ["id"])
