@@ -62,6 +62,8 @@ __all__ = [
     "count_min",
     "count_min_estimate",
     "count_min_sql",
+    "fixed_hist_bin",
+    "fixed_hist_quantile_wide",
 ]
 
 _HASH_BITS = 60  # 15 hex chars of md5 → always positive in a BIGINT
@@ -426,3 +428,41 @@ LEFT JOIN __sk s ON s.row = r.row
    AND s.bucket = {h.format(it=f"c.{item_col}")}
 GROUP BY ALL
 """.strip()
+
+
+def fixed_hist_bin(value: Column, lo: float, hi: float,
+                   nbins: int) -> Column:
+    """Fixed-domain histogram bin: ``clamp(floor((x−lo)/w), 0, B−1)``
+    with w = (hi−lo)/B.  The domain is declared, not measured — the
+    one-pass form a streaming aggregation needs (the batch
+    :func:`histogram_quantiles` measures min/max in its first pass)."""
+    w = (float(hi) - float(lo)) / int(nbins)
+    raw = F.floor((value.cast("double") - F.lit(float(lo))) / F.lit(w))
+    return F.greatest(F.lit(0).cast("long"),
+                      F.least(F.lit(int(nbins) - 1).cast("long"), raw))
+
+
+def fixed_hist_quantile_wide(count_cols: Sequence[Column], lo: float,
+                             hi: float, q: float) -> Column:
+    """Quantile estimate from wide per-bin counts (one Column per bin)
+    — the row-wise expression form usable AFTER a streaming
+    aggregation, where window functions are not.  Same interpolation
+    as :func:`histogram_quantiles`: est = lo + w·(bin + (q·n −
+    cum_before)/cnt) at the first bin whose cumulative count reaches
+    q·n."""
+    nbins = len(count_cols)
+    w = (float(hi) - float(lo)) / nbins
+    n = None
+    for c in count_cols:
+        n = c if n is None else n + c
+    tgt = F.lit(float(q)) * n.cast("double")
+    expr = None
+    cum = None
+    for j, c in enumerate(count_cols):
+        cum_before = cum if cum is not None else F.lit(0).cast("long")
+        cum = cum_before + c
+        est = (F.lit(float(lo)) + F.lit(w) * (F.lit(float(j))
+               + (tgt - cum_before.cast("double")) / c.cast("double")))
+        cond = cum.cast("double") >= tgt
+        expr = F.when(cond, est) if expr is None else expr.when(cond, est)
+    return expr

@@ -38,7 +38,7 @@ __all__ = ["continuous_local_skylines", "start_continuous_global",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
            "streaming_windowed_count_min", "streaming_windowed_hll",
-           "streaming_windowed_skyline"]
+           "streaming_windowed_quantiles", "streaming_windowed_skyline"]
 
 
 def streaming_windowed_hll(stream: DataFrame, key_col: str, *,
@@ -152,6 +152,65 @@ def streaming_windowed_count_min(stream: DataFrame, item_col: str,
         F.col("__win.end").alias("win_end"),
         F.explode(F.array(*structs)).alias("__e"),
     ).select("win_start", "win_end", "__e.item", "__e.cm_est")
+
+
+def streaming_windowed_quantiles(stream: DataFrame, value_col: str, *,
+                                 lo: float, hi: float, nbins: int = 32,
+                                 quantiles: "Sequence[float]" = (0.5, 0.95),
+                                 window_duration: str = "10 seconds",
+                                 watermark_delay: str = "5 seconds",
+                                 ts_col: str = "ts") -> DataFrame:
+    """Per-event-time-window quantile estimates over an UNBOUNDED
+    stream — "p50/p95 latency per 10-second window" — as ONE native
+    streaming aggregation, no Python state, no sort.
+
+    The batch :func:`~..operators.sketches.histogram_quantiles`
+    measures min/max in a first pass; a stream cannot, so the domain
+    ``[lo, hi)`` is DECLARED and out-of-range values clamp into the
+    edge bins (estimate error for in-domain data ≤ (hi−lo)/nbins; a
+    clamped outlier biases only its edge bin).  Per-window state is
+    nbins long counters laid out wide, merged by built-in sum,
+    watermark-finalized (append: one emission per closed window).  The
+    estimate is the shared row-wise interpolation
+    :func:`~..operators.sketches.fixed_hist_quantile_wide` — window
+    functions are unavailable after a streaming aggregation, the
+    CASE-cascade form is what makes the one-aggregation plan possible.
+    A closed window's values EQUAL the identical wide-bin batch
+    expression over exactly that window's rows (asserted in the
+    executed test).
+
+    Output: ``win_start, win_end, n, q_<pct>…`` (names as the batch
+    form: q_50 for 0.5).
+    """
+    from ..operators.sketches import fixed_hist_bin, fixed_hist_quantile_wide
+
+    if not float(lo) < float(hi):
+        raise ValueError("need lo < hi")
+    if not 2 <= int(nbins) <= 128:
+        raise ValueError("nbins must be in [2, 128] for the wide layout")
+    qs = [float(q) for q in quantiles]
+    if not qs or any(not 0.0 < q < 1.0 for q in qs):
+        raise ValueError("quantiles must be in (0, 1)")
+    b = fixed_hist_bin(F.col(value_col), lo, hi, nbins)
+    agg = (
+        stream.where(F.col(value_col).isNotNull()
+                     & ~F.isnan(F.col(value_col).cast("double")))
+        .withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col), b.alias("__bin"))
+        .groupBy(F.window(ts_col, window_duration).alias("__win"))
+        .agg(*[F.sum((F.col("__bin") == j).cast("long"))
+               .alias(f"__b{j}") for j in range(int(nbins))])
+    )
+    cols = [F.col(f"__b{j}") for j in range(int(nbins))]
+    n = None
+    for c in cols:
+        n = c if n is None else n + c
+    outs = [F.col("__win.start").alias("win_start"),
+            F.col("__win.end").alias("win_end"), n.alias("n")]
+    for q in qs:
+        outs.append(fixed_hist_quantile_wide(cols, lo, hi, q)
+                    .alias(f"q_{int(round(q * 100))}"))
+    return agg.select(*outs)
 
 
 def streaming_interval_join(left: DataFrame, right: DataFrame, *,

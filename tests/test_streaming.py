@@ -926,3 +926,94 @@ def test_streaming_windowed_count_min_matches_batch(spark):
         assert got == batch, (ws, we)
         for c in CANDS:
             assert got[c] >= exact.get(c, 0)  # never undercounts
+
+
+def test_streaming_windowed_quantiles_matches_batch(spark):
+    """Windowed quantile sketch EXECUTED from an unbounded rate source
+    (ordered event time: window k contains exactly ids
+    [k*500, (k+1)*500)).  Every closed window's (n, q_50, q_95) must
+    EQUAL the identical wide-bin batch expression over those ids, and
+    the estimates must sit within one bin width of the exact
+    percentiles."""
+    import time as _t
+
+    from flink_skyline_qos_spark.operators.sketches import (
+        fixed_hist_bin,
+        fixed_hist_quantile_wide,
+    )
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_windowed_quantiles,
+    )
+
+    BASE = 1_600_000_000
+    LO, HI, B = 0.0, 1000.0, 20
+
+    def shape(df):
+        return df.select(
+            "id",
+            F.timestamp_seconds(F.lit(BASE) + (F.col("id") / 50)
+                                .cast("long")).alias("ts"),
+            ((F.col("id") * 37) % 1000).cast("double").alias("v"))
+
+    src = shape(spark.readStream.format("rate")
+                .option("rowsPerSecond", 500).load()
+                .select(F.col("value").alias("id")))
+    out = streaming_windowed_quantiles(
+        src, "v", lo=LO, hi=HI, nbins=B, quantiles=(0.5, 0.95),
+        window_duration="10 seconds", watermark_delay="2 seconds")
+    q = (out.writeStream.format("memory").queryName("win_hq")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM win_hq").first()["c"]:
+                break
+            _t.sleep(0.5)
+        else:
+            raise AssertionError("no window closed before timeout")
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM win_hq").collect()
+    assert rows
+    binw = (HI - LO) / B
+    for r in rows:
+        k = (int(r.win_start.timestamp()) - BASE) // 10
+        ids = shape(spark.range(k * 500, (k + 1) * 500))
+        bcol = fixed_hist_bin(F.col("v"), LO, HI, B)
+        wide = ids.select(bcol.alias("__bin")).agg(
+            *[F.sum((F.col("__bin") == j).cast("long")).alias(f"__b{j}")
+              for j in range(B)])
+        cols = [F.col(f"__b{j}") for j in range(B)]
+        n = None
+        for c in cols:
+            n = c if n is None else n + c
+        batch = wide.select(
+            n.alias("n"),
+            fixed_hist_quantile_wide(cols, LO, HI, 0.5).alias("q_50"),
+            fixed_hist_quantile_wide(cols, LO, HI, 0.95).alias("q_95"),
+        ).first()
+        assert (r.n, r.q_50, r.q_95) == (batch.n, batch.q_50, batch.q_95)
+        exact = ids.agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95")).first()
+        assert abs(r.q_50 - exact.p50) <= binw
+        assert abs(r.q_95 - exact.p95) <= binw
+
+
+def test_streaming_windowed_quantiles_bad_args(spark):
+    from flink_skyline_qos_spark.streaming.continuous import (
+        streaming_windowed_quantiles,
+    )
+
+    src = (spark.readStream.format("rate").load()
+           .select(F.col("timestamp").alias("ts"),
+                   F.col("value").cast("double").alias("v")))
+    with pytest.raises(ValueError):
+        streaming_windowed_quantiles(src, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError):
+        streaming_windowed_quantiles(src, "v", lo=0.0, hi=1.0, nbins=1)
+    with pytest.raises(ValueError):
+        streaming_windowed_quantiles(src, "v", lo=0.0, hi=1.0,
+                                     quantiles=(0.0,))
