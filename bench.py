@@ -52,6 +52,11 @@ HEADLINE = [
     "bloom_semi_join_orders",
     "link_rank_suppliers",
     "skyline_layers_lineitem",
+    # round-4 (cont.): exact-integer ML ops + graph + frequency sketch
+    "kmeans_clusters_embeddings",
+    "pq_codes_embeddings",
+    "triangles_suppliers",
+    "count_min_tokens_documents",
 ]
 
 

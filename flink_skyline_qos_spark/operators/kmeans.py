@@ -52,23 +52,22 @@ def _quantize(vec_col: str, dp: int) -> Column:
     )
 
 
-def _dist_to(centroid: list[int], qv: Column | str = "__qv") -> Column:
-    c_lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with(qv, c_lit, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _best(centroids: list[list[int]], qv: Column | str = "__qv") -> Column:
     """(dist, cluster) of the nearest centroid: ties go to the smallest
-    cluster id (lexicographic struct order)."""
-    return F.array_min(F.array(*[
-        F.struct(_dist_to(c, qv).alias("d"),
-                 F.lit(j).cast("long").alias("c"))
-        for j, c in enumerate(centroids)
-    ]))
+    cluster id (lexicographic struct order).
+
+    The whole codebook is ONE 2-D array literal probed by an indexed
+    `transform` — constant expression size in k and d.  The naive form
+    (k per-centroid distance expressions over d per-element literals)
+    made Catalyst analysis + codegen dominate wall time: ~20 s for
+    2000 rows at k=16, d=64 before this shape."""
+    cb = F.lit([[int(v) for v in c] for c in centroids]) \
+        .cast("array<array<bigint>>")
+    return F.array_min(F.transform(cb, lambda c, i: F.struct(
+        F.aggregate(F.zip_with(qv, c, lambda x, cc: (x - cc) * (x - cc)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("d"),
+        i.cast("long").alias("c"))))
 
 
 def _assign(pts: DataFrame, centroids: list[list[int]]) -> DataFrame:
@@ -78,37 +77,71 @@ def _assign(pts: DataFrame, centroids: list[list[int]]) -> DataFrame:
         .drop("__best")
 
 
+def _train_subspaces(base: DataFrame, id_col: str, sub: int, m: int,
+                     k: int, iterations: int) -> list[list[list[int]]]:
+    """Train m independent per-subspace codebooks over a (id, __qv0)
+    frame (full quantized vectors, subspace s = slice [s·sub, (s+1)·sub))
+    in ONE Spark job per Lloyd's round: all m assignments are literal-
+    codebook Column expressions in the same pass and the m update sums
+    share one map-side-combined (subspace, cluster, pos) aggregate —
+    driver round-trips are 1 + iterations regardless of m (the per-
+    subspace-loop form paid m·(1+iterations) job latencies).  Returns
+    the codebooks — the operators' only driver state, O(m·k·sub)."""
+    seed_rows = base.select(
+        F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__qv0"
+    ).orderBy("__h", id_col).limit(k).collect()
+    if not seed_rows:
+        return [[] for _ in range(m)]
+    codebooks = [
+        [list(r["__qv0"])[s * sub:(s + 1) * sub] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(iterations):
+        ex = base
+        for s in range(m):
+            ex = ex.withColumn(
+                f"__c{s}",
+                _best(codebooks[s],
+                      F.slice("__qv0", s * sub + 1, sub)).getField("c"))
+        agg = (ex.select(F.explode(F.array(*[
+                   F.struct(F.lit(s).alias("s"),
+                            F.col(f"__c{s}").alias("cl"),
+                            F.slice("__qv0", s * sub + 1, sub).alias("sv"))
+                   for s in range(m)])).alias("__e"))
+               .select(F.col("__e.s").alias("__s2"),
+                       F.col("__e.cl").alias("__cl"),
+                       F.posexplode("__e.sv").alias("__pos", "__val"))
+               .groupBy("__s2", "__cl", "__pos")
+               .agg(F.sum("__val").alias("__sum"),
+                    F.count(F.lit(1)).alias("__n"))
+               .collect())
+        sums: dict[tuple[int, int], list[int]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in agg:
+            key = (r["__s2"], r["__cl"])
+            sums.setdefault(key, [0] * sub)[r["__pos"]] = r["__sum"]
+            counts[key] = r["__n"]
+        codebooks = [
+            [
+                # Python // is floor division — matches the SQL twin's
+                # non-negative-remainder form exactly, signs and all.
+                [v // counts[(s, j)] for v in sums[(s, j)]]
+                if (s, j) in sums else c
+                for j, c in enumerate(cb)
+            ]
+            for s, cb in enumerate(codebooks)
+        ]
+    return codebooks
+
+
 def _train(pts: DataFrame, id_col: str, dim: int, k: int,
            iterations: int) -> list[list[int]]:
     """Seed (k smallest (md5(id), id) rows) + `iterations` exact Lloyd's
     updates over a (id, __qv) frame; returns the centroid codebook —
-    the operator's only driver state, O(k·dim)."""
-    seed_rows = pts.select(
-        F.md5(F.col(id_col).cast("string")).alias("__h"), id_col, "__qv"
-    ).orderBy("__h", id_col).limit(k).collect()
-    centroids = [list(r["__qv"]) for r in seed_rows]
-    if not centroids:
-        return []
-    for _ in range(iterations):
-        agg = (_assign(pts, centroids)
-               .select("cluster", F.posexplode("__qv")
-                       .alias("__pos", "__val"))
-               .groupBy("cluster", "__pos")
-               .agg(F.sum("__val").alias("__s"),
-                    F.count(F.lit(1)).alias("__n"))
-               .collect())
-        sums: dict[int, list[int]] = {}
-        counts: dict[int, int] = {}
-        for r in agg:
-            sums.setdefault(r["cluster"], [0] * dim)[r["__pos"]] = r["__s"]
-            counts[r["cluster"]] = r["__n"]
-        centroids = [
-            # Python // is floor division — matches the SQL twin's
-            # non-negative-remainder form exactly, signs and all.
-            [s // counts[j] for s in sums[j]] if j in sums else c
-            for j, c in enumerate(centroids)
-        ]
-    return centroids
+    the single-space (m=1) case of :func:`_train_subspaces`."""
+    return _train_subspaces(
+        pts.withColumnRenamed("__qv", "__qv0"), id_col, dim, 1, k,
+        iterations)[0]
 
 
 def kmeans_assign(df: DataFrame, *, vec_col: str = "embedding",
@@ -243,11 +276,7 @@ def pq_encode(df: DataFrame, *, vec_col: str = "embedding",
     base = df.filter(_complete_filter(vec_col, dim)).select(
         F.col(id_col), _quantize(vec_col, dp).alias("__qv0")).persist()
 
-    codebooks: list[list[list[int]]] = []
-    for s_i in range(m):
-        pts = base.select(
-            id_col, F.slice("__qv0", s_i * sub + 1, sub).alias("__qv"))
-        codebooks.append(_train(pts, id_col, sub, k, iterations))
+    codebooks = _train_subspaces(base, id_col, sub, m, k, iterations)
 
     if any(not cb for cb in codebooks):  # empty input
         empty = base.select(
@@ -332,12 +361,7 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, *,
     sub = dim // m
     base = corpus.filter(_complete_filter(vec_col, dim)).select(
         F.col(id_col), _quantize(vec_col, dp).alias("__qv0")).persist()
-    codebooks = [
-        _train(base.select(id_col,
-                           F.slice("__qv0", s * sub + 1, sub).alias("__qv")),
-               id_col, sub, k, iterations)
-        for s in range(m)
-    ]
+    codebooks = _train_subspaces(base, id_col, sub, m, k, iterations)
     qrows = queries.filter(_complete_filter(vec_col, dim)).select(
         F.col(query_id_col), _quantize(vec_col, dp).alias("__qv")
     ).collect()
@@ -365,7 +389,7 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, *,
             lut = [sum((qv[s * sub + i] - c[i]) ** 2 for i in range(sub))
                    for c in cb]
             term = F.element_at(
-                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
+                F.lit([int(v) for v in lut]).cast("array<bigint>"),
                 (F.col(f"__c{s}") + 1).cast("int"))
             score = term if score is None else score + term
         qid = r[query_id_col]
