@@ -150,6 +150,8 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
 from flink_skyline_qos_spark.operators.kmeans import (  # noqa: E402
     kmeans_assign,
     kmeans_assign_sql,
+    kmeans_balanced_sample,
+    kmeans_balanced_sample_sql,
     pq_adc_topk,
     pq_adc_topk_sql,
     pq_encode,
@@ -959,6 +961,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmeans_clusters_embeddings"] = lambda s, d: kmeans_assign(
         load_table(s, d, "embeddings"), dim=64, k=8, iterations=3, dp=4)
 
+    # cluster-balanced curation sample: ~target expected rows per
+    # kmeans cluster (big boilerplate clusters downweighted, small
+    # topical ones kept) — thresholds from a broadcast k-row aggregate,
+    # keep decisions the content-stable md5 bucket
+    q["kmeans_balanced_sample_embeddings"] = \
+        lambda s, d: kmeans_balanced_sample(
+            load_table(s, d, "embeddings"), dim=64, k=8, iterations=2,
+            dp=4, target=20)
+
     # --- product quantization: per-subspace exact-integer codebooks,
     # one packed BIGINT code per vector (m·log2(k) bits) — the ANN
     # compression step that fits a billion-vector index in memory.
@@ -1430,6 +1441,10 @@ WHERE list_dot_product(a.v, b.v)
 
     o["kmeans_clusters_embeddings"] = kmeans_assign_sql(
         "SELECT * FROM embeddings", dim=64, k=8, iterations=3, dp=4)
+
+    o["kmeans_balanced_sample_embeddings"] = kmeans_balanced_sample_sql(
+        "SELECT * FROM embeddings", dim=64, k=8, iterations=2,
+        dp=4, target=20)
 
     o["pq_codes_embeddings"] = pq_encode_sql(
         "SELECT * FROM embeddings", dim=64, m=4, k=16,

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from .caching import release_on_gc
 
 __all__ = ["kmeans_assign", "kmeans_assign_sql",
+           "kmeans_balanced_sample", "kmeans_balanced_sample_sql",
            "pq_encode", "pq_encode_sql",
            "pq_adc_topk", "pq_adc_topk_sql"]
 
@@ -464,3 +465,62 @@ SELECT {query_id_col}, {id_col}, adc_dist_q, rank FROM (
            AS rank
   FROM {a_names[0]} a0 {code_joins} CROSS JOIN __q q {lut_joins}
 ) WHERE rank <= {topk}""")
+
+
+def kmeans_balanced_sample(df: DataFrame, *, vec_col: str = "embedding",
+                           id_col: str = "vec_id", dim: int, k: int = 8,
+                           iterations: int = 3, dp: int = 4,
+                           target: int = 50, seed: int = 42) -> DataFrame:
+    """Cluster-balanced sampling: k-means the embedding space, then
+    keep each row with probability ``min(1, target/|cluster|)`` — ≈
+    `target` EXPECTED rows per cluster (binomial, not exact), the
+    diversity-preserving curation sample (big boilerplate-heavy
+    clusters are downweighted, small topical ones kept whole).
+
+    Fully in-plan: the per-cluster thresholds come from a k-row
+    aggregate broadcast-joined back (no driver state beyond the
+    codebook), and the keep decision is the content-stable md5 bucket
+    of :mod:`.sampling` — reproducible across engines, reruns and
+    partitionings, like every sampler here.  Returns ``(id_col,
+    cluster)``.
+    """
+    from .sampling import _BUCKETS, hash_bucket
+
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    asg = kmeans_assign(df, vec_col=vec_col, id_col=id_col, dim=dim,
+                        k=k, iterations=iterations, dp=dp).persist()
+    thr = F.floor(
+        F.least(F.lit(1.0),
+                F.lit(float(target)) / F.col("__n").cast("double"))
+        * F.lit(float(_BUCKETS))).cast("long")
+    sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n")) \
+        .select("cluster", thr.alias("__thr"))
+    out = (asg.join(F.broadcast(sizes), on="cluster")
+           .filter(hash_bucket([id_col], seed) < F.col("__thr"))
+           .select(id_col, "cluster"))
+    return release_on_gc(out, asg)
+
+
+def kmeans_balanced_sample_sql(table_sql: str, *,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id", dim: int,
+                               k: int = 8, iterations: int = 3,
+                               dp: int = 4, target: int = 50,
+                               seed: int = 42) -> str:
+    """DuckDB twin of :func:`kmeans_balanced_sample` (bit-identical
+    rows: assignments, counts, thresholds and md5 buckets are all
+    engine-portable)."""
+    from .sampling import _BUCKETS, _bucket_sql
+
+    ksql = kmeans_assign_sql(table_sql, vec_col=vec_col, id_col=id_col,
+                             dim=dim, k=k, iterations=iterations, dp=dp)
+    b = _bucket_sql([f"a.{id_col}"], seed)
+    return f"""
+WITH __asg AS ({ksql}),
+__sz AS (SELECT cluster, count(*) AS n FROM __asg GROUP BY cluster)
+SELECT a.{id_col}, a.cluster
+FROM __asg a JOIN __sz s USING (cluster)
+WHERE {b} < CAST(floor(LEAST(1.0, {float(target)!r} /
+      CAST(s.n AS DOUBLE)) * {float(_BUCKETS)!r}) AS BIGINT)
+""".strip()

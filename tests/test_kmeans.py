@@ -205,3 +205,47 @@ def test_pq_adc_empty_queries(spark, embeddings):
     out = pq_adc_topk(embeddings, qs, dim=64, m=2, k=4, iterations=0)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "adc_dist_q", "rank"]
+
+
+def test_kmeans_balanced_sample_matches_oracle(spark, embeddings,
+                                               sf_dir):
+    from flink_skyline_qos_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_balanced_sample,
+        kmeans_balanced_sample_sql,
+    )
+
+    got = sorted(tuple(r) for r in kmeans_balanced_sample(
+        embeddings, dim=64, k=8, iterations=2, dp=4,
+        target=20).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{sf_dir}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in con.sql(kmeans_balanced_sample_sql(
+        "SELECT * FROM embeddings", dim=64, k=8, iterations=2, dp=4,
+        target=20)).fetchall())
+    assert got == want
+    # balance: per-cluster counts hover around the target expectation
+    # (binomial at rate 20/|c|); with |c| ~ 60 the spread is wide but
+    # every cluster must be represented and none may exceed its size
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in kmeans_assign(
+        embeddings, dim=64, k=8, iterations=2, dp=4).collect())
+    per = Counter(c for _, c in got)
+    assert set(per) == set(sizes)
+    for c, n in per.items():
+        assert 1 <= n <= sizes[c]
+
+
+def test_kmeans_balanced_sample_keeps_small_clusters_whole(spark):
+    from flink_skyline_qos_spark.operators.kmeans import (
+        kmeans_balanced_sample,
+    )
+
+    # two tight groups of 5; target 50 >> 5 => rate 1, everything kept
+    rows = [(i, [0.0 + i * 0.001, 0.0]) for i in range(5)] + \
+           [(100 + i, [900.0 + i * 0.001, 900.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kmeans_balanced_sample(df, dim=2, k=2, iterations=1, target=50)
+    assert out.count() == 10
