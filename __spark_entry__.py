@@ -58,6 +58,8 @@ from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
     contamination_check_sql,
     pack_sequences,
     pack_sequences_sql,
+    quality_floor,
+    quality_floor_sql,
     rarity_score,
     rarity_score_sql,
     remove_boilerplate_lines,
@@ -632,6 +634,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["vocab_documents"] = lambda s, d: vocab(
         load_table(s, d, "documents"), top_v=200, min_count=2
     )
+
+    # relative quality gate: keep documents at or above their
+    # language's p25 quality score — the distribution-relative floor
+    # (absolute cutoffs misfire when score distributions differ by
+    # language/source); cutoffs broadcast, corpus never sorted
+    def _quality_floor(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents").select(
+            "doc_id", "lang",
+            quality_score(F.col("text")).alias("score"))
+        return quality_floor(docs, "score", group_col="lang", q=0.25)
+    q["quality_floor_documents"] = _quality_floor
 
     # count-min sketch heavy-hitter probe: build the deterministic
     # depth×width frequency sketch over every token, then point-query
@@ -1455,6 +1468,11 @@ WHERE list_dot_product(a.v, b.v)
         "SELECT vec_id AS query_id, embedding FROM embeddings "
         "WHERE vec_id < 5",
         dim=64, m=4, k=16, iterations=2, dp=4, topk=10)
+
+    o["quality_floor_documents"] = quality_floor_sql(
+        f"SELECT doc_id, lang, {quality_score_sql('text')} AS score "
+        f"FROM documents",
+        "score", group_col="lang", q=0.25)
 
     o["count_min_tokens_documents"] = count_min_sql(
         "SELECT unnest(list_filter(string_split_regex(trim(text), "

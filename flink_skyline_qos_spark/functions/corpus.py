@@ -36,6 +36,8 @@ __all__ = [
     "contamination_check_sql",
     "pack_sequences",
     "pack_sequences_sql",
+    "quality_floor",
+    "quality_floor_sql",
     "remove_boilerplate_lines",
     "remove_boilerplate_lines_sql",
     "rarity_score",
@@ -577,3 +579,55 @@ SELECT id AS {id_col}, token, tf, df,
 FROM per_doc JOIN dfreq USING (token), n
 QUALIFY rank <= {k}
 """.strip()
+
+
+def quality_floor(df: DataFrame, score_col: str, *,
+                  group_col: str | None = None,
+                  q: float = 0.1) -> DataFrame:
+    """Relative quality gate: keep rows whose score is at or above the
+    per-group q-quantile — "drop the worst decile per language", the
+    distribution-relative form of the absolute-threshold gate the
+    capstones use (an absolute cutoff misfires when score
+    distributions differ by language/source; FineWeb-style pipelines
+    gate on percentiles for exactly this reason).
+
+    The cutoff is the exact interpolated percentile rounded to 6 dp on
+    both engines (the repo's proven cross-engine float convention, cf.
+    `profile_events`); NULL scores drop.  Scale shape: the cutoff
+    aggregate is one row per group, broadcast back — the corpus is
+    scanned twice but never sorted or shuffled on score.  At 100 TB,
+    substitute :func:`~..operators.sketches.histogram_quantiles` for
+    the exact percentile to make pass 1 sketch-bounded; the gate then
+    moves by at most one bin width.
+    """
+    if not 0.0 < float(q) < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    cut = F.round(F.expr(f"percentile({score_col}, {float(q)!r})"), 6) \
+        .alias("__cut")
+    if group_col:
+        cuts = df.groupBy(group_col).agg(cut)
+        joined = df.join(F.broadcast(cuts), on=group_col)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(cut)))
+    return joined.filter(F.col(score_col) >= F.col("__cut")) \
+        .drop("__cut")
+
+
+def quality_floor_sql(table_sql: str, score_col: str, *,
+                      group_col: str | None = None,
+                      q: float = 0.1) -> str:
+    """DuckDB twin of :func:`quality_floor` (quantile_cont ≡ Spark's
+    exact `percentile`, both rounded to 6 dp before the comparison)."""
+    if not 0.0 < float(q) < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    cut = f"round(quantile_cont({score_col}, {float(q)!r}), 6)"
+    if group_col:
+        return (
+            f"SELECT t.* FROM ({table_sql}) t JOIN "
+            f"(SELECT {group_col}, {cut} AS __cut FROM ({table_sql}) "
+            f"GROUP BY {group_col}) c USING ({group_col}) "
+            f"WHERE t.{score_col} >= c.__cut")
+    return (
+        f"SELECT t.* FROM ({table_sql}) t CROSS JOIN "
+        f"(SELECT {cut} AS __cut FROM ({table_sql})) c "
+        f"WHERE t.{score_col} >= c.__cut")

@@ -448,3 +448,37 @@ def test_rarity_duckdb_parity(documents, sf_dir):
     dk = sorted(map(tuple, con.sql(rarity_score_sql("documents"))
                     .fetchall()))
     assert sp == dk
+
+
+def test_quality_floor_grouped_semantics(spark):
+    from flink_skyline_qos_spark.functions.corpus import quality_floor
+
+    # group a: scores 1..10, p50 cut = 5.5 -> keep 6..10
+    # group b: scores all equal -> everything at the cutoff survives
+    rows = [("a", float(i)) for i in range(1, 11)] + \
+           [("b", 3.0)] * 4 + [("b", None)]
+    df = spark.createDataFrame(rows, "g string, score double")
+    out = quality_floor(df, "score", group_col="g", q=0.5).collect()
+    a = sorted(r.score for r in out if r.g == "a")
+    b = [r.score for r in out if r.g == "b"]
+    assert a == [6.0, 7.0, 8.0, 9.0, 10.0]
+    assert b == [3.0] * 4  # ties at the cutoff kept, NULL dropped
+
+
+def test_quality_floor_ungrouped_and_bad_q(spark):
+    import pytest as _pytest
+
+    from flink_skyline_qos_spark.functions.corpus import (
+        quality_floor,
+        quality_floor_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "score double")
+    out = quality_floor(df, "score", q=0.9)
+    kept = sorted(r.score for r in out.collect())
+    assert kept[0] == 90.0 and len(kept) == 10  # worst 90 % dropped
+    with _pytest.raises(ValueError):
+        quality_floor(df, "score", q=1.0)
+    with _pytest.raises(ValueError):
+        quality_floor_sql("t", "score", q=0.0)
