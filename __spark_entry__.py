@@ -1003,6 +1003,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            iterations=2, dp=4, topk=10)
     q["pq_adc_topk_embeddings"] = _pq_adc
 
+    # --- ANN quality evaluation: recall@10 of the compressed ADC
+    # search against the exact cosine top-k — the metric that decides
+    # whether a PQ configuration is shippable.  Pure composition of
+    # the two registered operators; per-query exact fractions.  (On
+    # these RANDOM synthetic embeddings recall is low — clusterless
+    # vectors are PQ's worst case at 16 bits; the self-hit floors
+    # every query at 0.1.  The measurement, not the value, is the op.)
+    def _ann_recall(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = cosine_topk(emb, qs, k=10).select("query_id", "vec_id")
+        adc = pq_adc_topk(emb, qs, dim=64, m=4, k=16, iterations=2,
+                          dp=4, topk=10).select("query_id", "vec_id")
+        hits = exact.join(adc, on=["query_id", "vec_id"]) \
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        base = exact.select("query_id").distinct()
+        return (base.join(hits, on="query_id", how="left")
+                .select("query_id",
+                        F.coalesce(F.col("n_hits"),
+                                   F.lit(0).cast("long")).alias("n_hits"),
+                        (F.coalesce(F.col("n_hits"),
+                                    F.lit(0).cast("long"))
+                         / F.lit(10.0)).alias("recall")))
+    q["ann_recall_adc_embeddings"] = _ann_recall
+
     return q
 
 
@@ -1468,6 +1494,22 @@ WHERE list_dot_product(a.v, b.v)
         "SELECT vec_id AS query_id, embedding FROM embeddings "
         "WHERE vec_id < 5",
         dim=64, m=4, k=16, iterations=2, dp=4, topk=10)
+
+    o["ann_recall_adc_embeddings"] = f"""
+WITH __ex AS ({o["ann_topk_embeddings"]}),
+__adc AS ({o["pq_adc_topk_embeddings"]}),
+__q AS (SELECT DISTINCT query_id FROM __ex),
+__hit AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_hits
+  FROM __ex e JOIN __adc a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       COALESCE(h.n_hits, 0) / 10.0 AS recall
+FROM __q q LEFT JOIN __hit h USING (query_id)
+""".strip()
 
     o["quality_floor_documents"] = quality_floor_sql(
         f"SELECT doc_id, lang, {quality_score_sql('text')} AS score "

@@ -249,3 +249,16 @@ def test_kmeans_balanced_sample_keeps_small_clusters_whole(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     out = kmeans_balanced_sample(df, dim=2, k=2, iterations=1, target=50)
     assert out.count() == 10
+
+
+def test_ann_recall_adc_query(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["ann_recall_adc_embeddings"]
+    got = {r.query_id: (r.n_hits, r.recall)
+           for r in fn(spark, sf_dir).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for qid, (n, rec) in got.items():
+        # the query's own vector is rank 1 in BOTH searches -> floor
+        assert 1 <= n <= 10
+        assert rec == n / 10.0
