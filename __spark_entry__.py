@@ -129,6 +129,8 @@ from flink_skyline_qos_spark.operators.compaction import (  # noqa: E402
 from flink_skyline_qos_spark.operators.stats import (  # noqa: E402
     corr_matrix,
     corr_matrix_sql,
+    quantile_bins,
+    quantile_bins_sql,
 )
 from flink_skyline_qos_spark.operators.sketches import (  # noqa: E402
     count_min,
@@ -518,6 +520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corr_profile_lineitem"] = lambda s, d: corr_matrix(
         load_table(s, d, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    # equi-depth discretization of a metric column: decile buckets
+    # with per-bucket profiles — the feature-binning / calibrated-
+    # threshold pass; cutpoints broadcast, corpus never sorted
+    q["quantile_bins_events"] = lambda s, d: quantile_bins(
+        load_table(s, d, "events"), "value", nbins=10)
 
     # --- explicit runtime filter: Bloom-pruned semi join.  The fact
     # side (orders) is filtered by a 16 KiB bitmap of the selected
@@ -1510,6 +1518,9 @@ SELECT q.query_id,
        COALESCE(h.n_hits, 0) / 10.0 AS recall
 FROM __q q LEFT JOIN __hit h USING (query_id)
 """.strip()
+
+    o["quantile_bins_events"] = quantile_bins_sql(
+        "SELECT value FROM events", "value", nbins=10)
 
     o["quality_floor_documents"] = quality_floor_sql(
         f"SELECT doc_id, lang, {quality_score_sql('text')} AS score "

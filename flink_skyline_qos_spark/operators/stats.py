@@ -24,7 +24,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "corr_matrix_sql"]
+__all__ = ["corr_matrix", "corr_matrix_sql",
+           "quantile_bins", "quantile_bins_sql"]
 
 _DEC = "decimal(38,0)"
 
@@ -106,3 +107,62 @@ def corr_matrix_sql(table: str, cols: Sequence[str], *,
             f"CAST(__n AS BIGINT) AS n, "
             f"{num} / (sqrt({da}) * sqrt({db})) AS corr FROM __agg")
     return f"WITH __agg AS ({agg})\n" + "\nUNION ALL ".join(parts)
+
+
+def quantile_bins(df: DataFrame, value_col: str, *,
+                  nbins: int = 10) -> DataFrame:
+    """Equi-depth discretization: assign every row the index of its
+    value's quantile bucket (0..nbins−1) and profile each bucket —
+    ``bin, n, lo, hi`` — the feature-binning pass behind calibrated
+    quality thresholds and balanced histogram features.
+
+    Cutpoints are the exact interpolated percentiles at i/nbins,
+    rounded to 6 dp on both engines (cf. `profile_events`); a value
+    equal to a cutpoint goes to the upper bucket; NULL/NaN values
+    drop.  Scale shape: one percentile aggregate (a single nbins−1
+    array row, broadcast back) + one map-side-combined profile
+    aggregate — the corpus is never sorted; at 100 TB substitute
+    :func:`~.sketches.histogram_quantiles` for the exact cutpoints.
+    """
+    if not 2 <= int(nbins) <= 1000:
+        raise ValueError("nbins must be in [2, 1000]")
+    v = F.col(value_col).cast("double")
+    ok = df.where(F.col(value_col).isNotNull() & ~F.isnan(v))
+    qs = ", ".join(repr(i / nbins) for i in range(1, nbins))
+    cuts = ok.agg(F.transform(
+        F.expr(f"percentile({value_col}, array({qs}))"),
+        lambda x: F.round(x, 6)).alias("__cuts"))
+    binned = (ok.crossJoin(F.broadcast(cuts))
+              .withColumn("__bin", F.size(F.filter(
+                  F.col("__cuts"), lambda c: c <= v)).cast("long")))
+    return (binned.groupBy(F.col("__bin").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min(v), 6).alias("lo"),
+                 F.round(F.max(v), 6).alias("hi")))
+
+
+def quantile_bins_sql(table_sql: str, value_col: str, *,
+                      nbins: int = 10) -> str:
+    """DuckDB twin of :func:`quantile_bins` (quantile_cont ≡ Spark's
+    exact `percentile`; identical rounding and boundary rule)."""
+    if not 2 <= int(nbins) <= 1000:
+        raise ValueError("nbins must be in [2, 1000]")
+    qs = ", ".join(repr(i / nbins) for i in range(1, nbins))
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+WITH __ok AS (
+  SELECT {v} AS __x FROM ({table_sql})
+  WHERE {value_col} IS NOT NULL AND NOT isnan({v})
+),
+__cuts AS (
+  SELECT list_transform(quantile_cont(__x, [{qs}]),
+                        x -> round(x, 6)) AS cuts
+  FROM __ok
+)
+SELECT CAST(len(list_filter(c.cuts, x -> x <= o.__x)) AS BIGINT) AS bin,
+       count(*)::BIGINT AS n,
+       round(min(o.__x), 6) AS lo,
+       round(max(o.__x), 6) AS hi
+FROM __ok o CROSS JOIN __cuts c
+GROUP BY 1
+""".strip()

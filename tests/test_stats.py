@@ -117,3 +117,49 @@ def test_histogram_nan_values_excluded_both_engines(spark):
         "t", "v", quantiles=(0.5,))).fetchall()]
     assert got == want
     assert got[0][0] == 3 and got[0][1] == got[0][1]  # n=3, not NaN
+
+
+def test_quantile_bins_matches_oracle_and_depth(spark, events, sf_dir):
+    from flink_skyline_qos_spark.operators.stats import (
+        quantile_bins,
+        quantile_bins_sql,
+    )
+
+    got = sorted(tuple(r) for r in
+                 quantile_bins(events, "value", nbins=10).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM '{sf_dir}/events.parquet'")
+    want = sorted(tuple(r) for r in con.sql(quantile_bins_sql(
+        "SELECT value FROM events", "value", nbins=10)).fetchall())
+    assert got == want
+    assert [b for b, *_ in got] == list(range(10))
+    ns = [n for _, n, *_ in got]
+    # equi-depth: buckets within 25% of each other (ties can skew)
+    assert max(ns) <= 1.25 * min(ns)
+    # buckets tile the value range in order without overlap
+    for (_, _, _, hi_prev), (_, _, lo_next, _) in zip(got, got[1:]):
+        assert hi_prev <= lo_next + 1e-9
+
+
+def test_quantile_bins_boundary_and_nan(spark):
+    from flink_skyline_qos_spark.operators.stats import quantile_bins
+
+    rows = [(float(v),) for v in range(1, 9)] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "value double")
+    out = {r.bin: (r.n, r.lo, r.hi) for r in
+           quantile_bins(df, "value", nbins=2).collect()}
+    # 8 clean values, median cut 4.5: 1-4 below, 5-8 above; NULL/NaN gone
+    assert out == {0: (4, 1.0, 4.0), 1: (4, 5.0, 8.0)}
+
+
+def test_quantile_bins_bad_args(spark, events):
+    from flink_skyline_qos_spark.operators.stats import (
+        quantile_bins,
+        quantile_bins_sql,
+    )
+
+    with pytest.raises(ValueError):
+        quantile_bins(events, "value", nbins=1)
+    with pytest.raises(ValueError):
+        quantile_bins_sql("events", "value", nbins=10000)
