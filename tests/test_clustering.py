@@ -288,3 +288,17 @@ def test_triangle_count_matches_oracle_and_partitioning(spark, sf_dir):
         "WHERE a.l_orderkey % 50 = 0")).fetchall())
     assert got == want
     assert sum(t for _, _, t in got) > 0
+
+
+def test_triangle_count_plan_all_equi_joins(spark):
+    from flink_skyline_qos_spark.operators.clustering import triangle_count
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(300)], "src bigint, dst bigint")
+    plan = triangle_count(edges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # degree orientation + wedge closure are hash equi-joins: a
+    # cartesian/NLJ anywhere means the O(|E|·arboricity) bound is gone
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
