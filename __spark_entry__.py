@@ -263,7 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- two-phase with each reference partitioner (K1/K2/K3 + A1 + A2) ---
-    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+    for algo in ("mr-dim", "mr-grid", "mr-angle", "mr-z"):
         q[f"skyline_2d_{algo.replace('-', '_')}"] = (
             lambda s, d, a=algo: skyline_two_phase(
                 _li(s, d), LI_DIMS2, algo=a, num_partitions=NUM_PARTS,
@@ -272,7 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # --- partitioner routing as data (K1/K2/K3 observable output) ---
-    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+    for algo in ("mr-dim", "mr-grid", "mr-angle", "mr-z"):
         def _counts(s: SparkSession, d: str, a: str = algo) -> DataFrame:
             df = _li(s, d)
             pid = partitioner_expr(
@@ -579,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- result metrics (A4 optimality + A7 record assembly), one per
     # partitioner — optimality is partitioner-dependent (PDF §5.4) ---
-    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+    for algo in ("mr-dim", "mr-grid", "mr-angle", "mr-z"):
         q[f"skyline_metrics_{algo.replace('-', '_')}"] = (
             lambda s, d, a=algo: skyline_query_metrics(
                 _li(s, d), LI_DIMS2, query_id="q1", algo=a,
@@ -1060,10 +1060,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # Partition-invariance: two-phase == plain skyline (SURVEY §1.4)
-    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+    for algo in ("mr-dim", "mr-grid", "mr-angle", "mr-z"):
         o[f"skyline_2d_{algo.replace('-', '_')}"] = sky2
 
-    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+    for algo in ("mr-dim", "mr-grid", "mr-angle", "mr-z"):
         pid = partitioner_sql(algo, LI_DIMS2, NUM_PARTS, LI_DOMAIN)
         o[f"{algo.replace('-', '_')}_partition_counts"] = (
             f"SELECT {pid} AS pid, count(*) AS n_rows FROM {li} t GROUP BY 1"
@@ -1204,7 +1204,7 @@ FROM events GROUP BY event_type
         _EV_SQL, EVENT_TRIGGERS, ["value", "unix_ms"], id_col="event_id"
     )
 
-    for algo in ("mr-dim", "mr-grid", "mr-angle"):
+    for algo in ("mr-dim", "mr-grid", "mr-angle", "mr-z"):
         o[f"skyline_metrics_{algo.replace('-', '_')}"] = metrics_oracle_sql(
             li, LI_DIMS2, query_id="q1",
             pid_sql=partitioner_sql(

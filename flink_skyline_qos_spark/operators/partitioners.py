@@ -103,6 +103,75 @@ def mr_angle_sql(cols: Sequence[str], num_partitions: int) -> str:
     return f"least(greatest({p}, 0), {num_partitions - 1})"
 
 
+
+# --------------------------------------------------------------------------
+# MR-Z (beyond the reference): space-filling-curve partitioner
+# --------------------------------------------------------------------------
+
+def _z_bits(d: int) -> int:
+    return min(16, 62 // d)
+
+
+def mr_z(dims: Sequence[Column], num_partitions: int,
+         domain_max: float) -> Column:
+    """Morton (Z-order) range partitioner — a fourth space partitioner in
+    the reference's two-phase framework (not in the reference; composes
+    the `operators/layout.py` Morton math with the [0, domain_max]
+    uniform-domain convention of MR-Dim/MR-Grid).
+
+    Unlike MR-Dim/Grid/Angle, Z-order is a LINEAR EXTENSION of the
+    dominance partial order (Lee et al., "Approaching the Skyline in Z
+    Order", VLDB 2007): if p dominates q then zkey(p) < zkey(q) —
+    proved by the highest differing interleaved bit, which would
+    otherwise exhibit a coordinate where p > q.  Buckets are
+    key-contiguous, so a point can only be dominated from its OWN or a
+    LOWER bucket: bucket 0's local skyline is final before any merge,
+    and a merge needs only lower-key candidates.  The per-bucket local
+    prune also sees spatially coherent points (high prune rates on
+    correlated data, where MR-Dim slices see full dimension stripes).
+
+    The bucket division is a double divide+floor on both engines
+    (values < 2^{bits·d} are exact in a double for d ≥ 2 at the chosen
+    bit widths; and the twin runs the identical expression, so parity
+    holds regardless).
+    """
+    d = len(dims)
+    bits = _z_bits(d)
+    n = 1 << bits
+    key = None
+    for k, c in enumerate(dims):
+        v = F.least(
+            F.lit(n - 1).cast("long"),
+            F.greatest(F.lit(0).cast("long"),
+                       F.floor(c.cast("double") / F.lit(float(domain_max))
+                               * F.lit(float(n)))))
+        for j in range(bits):
+            term = F.shiftleft(
+                F.shiftright(v, j).bitwiseAND(F.lit(1)), j * d + k)
+            key = term if key is None else key + term
+    width = -(-(1 << (bits * d)) // num_partitions)  # ceil
+    p = F.floor(key / F.lit(float(width))).cast("int")
+    return F.least(F.greatest(p, F.lit(0)), F.lit(num_partitions - 1))
+
+
+def mr_z_sql(cols: Sequence[str], num_partitions: int,
+             domain_max: float) -> str:
+    d = len(cols)
+    bits = _z_bits(d)
+    n = 1 << bits
+    terms = []
+    for k, c in enumerate(cols):
+        v = (f"least({n - 1}::BIGINT, greatest(0::BIGINT, "
+             f"CAST(floor(CAST({c} AS DOUBLE) / {float(domain_max)!r} "
+             f"* {float(n)!r}) AS BIGINT)))")
+        for j in range(bits):
+            terms.append(f"((({v} >> {j}) & 1) << {j * d + k})")
+    key = "(" + " + ".join(terms) + ")"
+    width = -(-(1 << (bits * d)) // num_partitions)
+    p = f"cast(floor({key} / {float(width)!r}) as int)"
+    return f"least(greatest({p}, 0), {num_partitions - 1})"
+
+
 # --------------------------------------------------------------------------
 # Dispatch + the (reference-disabled) grid dominance pre-filter
 # --------------------------------------------------------------------------
@@ -117,6 +186,8 @@ def partitioner_expr(algo: str, dims: Sequence[Column], num_partitions: int,
         return mr_grid(dims, domain_max)
     if algo == "mr-angle":
         return mr_angle(dims, num_partitions)
+    if algo == "mr-z":
+        return mr_z(dims, num_partitions, domain_max)
     raise ValueError(f"unknown partitioner algo: {algo}")
 
 
@@ -129,6 +200,8 @@ def partitioner_sql(algo: str, cols: Sequence[str], num_partitions: int,
         return mr_grid_sql(cols, domain_max)
     if algo == "mr-angle":
         return mr_angle_sql(cols, num_partitions)
+    if algo == "mr-z":
+        return mr_z_sql(cols, num_partitions, domain_max)
     raise ValueError(f"unknown partitioner algo: {algo}")
 
 

@@ -2,6 +2,7 @@
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from flink_skyline_qos_spark import (
     grouped_skyline,
@@ -361,3 +362,68 @@ def test_skyline_layers_every_deep_point_has_shallower_dominator(
     for p in l2:
         assert any(q[0] <= p[0] and q[1] <= p[1]
                    and (q[0] < p[0] or q[1] < p[1]) for q in l1)
+
+
+def test_mr_z_is_linear_extension_of_dominance(spark):
+    """The MR-Z property that makes bucket 0's local skyline final: if
+    p dominates q then zbucket(p) <= zbucket(q) — checked exhaustively
+    on a random grid via a self-join."""
+    from flink_skyline_qos_spark.operators.partitioners import (
+        partitioner_expr,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") * 7919 % 97).cast("double").alias("d0"),
+        (F.col("id") * 6131 % 89).cast("double").alias("d1"))
+    pid = partitioner_expr("mr-z", [F.col("d0"), F.col("d1")], 8, 100.0)
+    t = df.withColumn("b", pid)
+    a, b = t.alias("a"), t.alias("b")
+    violations = a.join(
+        b,
+        (F.col("a.d0") <= F.col("b.d0")) & (F.col("a.d1") <= F.col("b.d1"))
+        & ((F.col("a.d0") < F.col("b.d0")) | (F.col("a.d1") < F.col("b.d1")))
+        & (F.col("a.b") > F.col("b.b")),
+    ).count()
+    assert violations == 0
+
+
+def test_mr_z_two_phase_matches_plain_skyline(spark, lineitem):
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline,
+        skyline_two_phase,
+    )
+
+    cols = ["l_extendedprice", "l_discount"]
+    plain = sorted(
+        tuple(r) for r in skyline(
+            lineitem.select("l_orderkey", *cols), cols).collect())
+    mrz = sorted(
+        tuple(r) for r in skyline_two_phase(
+            lineitem.select("l_orderkey", *cols), cols, algo="mr-z",
+            num_partitions=8, domain_max=120000.0).collect())
+    assert plain == mrz
+
+
+def test_mr_z_bucket_zero_local_skyline_is_final(spark):
+    """Consequence of the linear-extension property: bucket 0's local
+    skyline appears unchanged in the global skyline."""
+    from flink_skyline_qos_spark.operators.kernels import skyline_mask
+    from flink_skyline_qos_spark.operators.partitioners import (
+        partitioner_expr,
+    )
+    from flink_skyline_qos_spark.operators.skyline import skyline
+
+    import numpy as np
+
+    df = spark.range(2000).select(
+        (F.col("id") * 7919 % 9973).cast("double").alias("d0"),
+        (F.col("id") * 6131 % 9941).cast("double").alias("d1"))
+    pid = partitioner_expr("mr-z", [F.col("d0"), F.col("d1")], 8, 10000.0)
+    tagged = df.withColumn("b", pid)
+    b0 = tagged.filter(F.col("b") == 0).select("d0", "d1")
+    rows = np.array([[r.d0, r.d1] for r in b0.collect()])
+    assert rows.size  # bucket 0 non-empty on this grid
+    local0 = {tuple(t) for t in rows[skyline_mask(rows)]}
+    global_sky = {(r.d0, r.d1) for r in
+                  skyline(df, ["d0", "d1"]).collect()}
+    assert local0 <= global_sky
