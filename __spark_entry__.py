@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- core skyline (A1+A2 composed), three physical strategies ---
     q["skyline_2d_lineitem"] = lambda s, d: skyline(_li(s, d), LI_DIMS2)
     q["skyline_3d_lineitem"] = lambda s, d: skyline(_li(s, d), LI_DIMS3)
+    # 4-D on the real table (the reference's hardest regime, PDF §5.4)
+    q["skyline_4d_lineitem"] = lambda s, d: skyline(
+        _li(s, d), [*LI_DIMS3, "l_tax"])
     q["skyline_part"] = lambda s, d: skyline(
         load_table(s, d, "part").select("p_partkey", "p_size", "p_retailprice"),
         ["p_retailprice", "p_size"],
@@ -1047,6 +1050,8 @@ def oracle_sql() -> dict[str, str]:
     sky2 = skyline_not_exists_sql(li, LI_DIMS2)
     o["skyline_2d_lineitem"] = sky2
     o["skyline_3d_lineitem"] = skyline_not_exists_sql(li, LI_DIMS3)
+    o["skyline_4d_lineitem"] = skyline_not_exists_sql(
+        li, [*LI_DIMS3, "l_tax"])
     # delta maintenance answers EXACTLY the full recompute
     o["skyline_delta_lineitem"] = skyline_not_exists_sql(
         f"(SELECT l_orderkey, {', '.join(LI_DIMS2)} FROM lineitem)",
