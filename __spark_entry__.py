@@ -126,6 +126,10 @@ from flink_skyline_qos_spark.operators.compaction import (  # noqa: E402
     latest_by_key,
     latest_by_key_sql,
 )
+from flink_skyline_qos_spark.operators.funnel import (  # noqa: E402
+    funnel,
+    funnel_sql,
+)
 from flink_skyline_qos_spark.operators.stats import (  # noqa: E402
     corr_matrix,
     corr_matrix_sql,
@@ -523,6 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corr_profile_lineitem"] = lambda s, d: corr_matrix(
         load_table(s, d, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    # greedy funnel over the event stream: first-match step times per
+    # user (view -> click -> purchase), one map-side-combined min-agg
+    # per step, shuffles carry one row per user
+    q["funnel_events"] = lambda s, d: funnel(
+        load_table(s, d, "events"), ["view", "click", "purchase"])
 
     # equi-depth discretization of a metric column: decile buckets
     # with per-bucket profiles — the feature-binning / calibrated-
@@ -1523,6 +1533,10 @@ SELECT q.query_id,
        COALESCE(h.n_hits, 0) / 10.0 AS recall
 FROM __q q LEFT JOIN __hit h USING (query_id)
 """.strip()
+
+    o["funnel_events"] = funnel_sql(
+        "SELECT user_id, ts, event_type FROM events",
+        ["view", "click", "purchase"])
 
     o["quantile_bins_events"] = quantile_bins_sql(
         "SELECT value FROM events", "value", nbins=10)

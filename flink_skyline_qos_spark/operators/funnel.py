@@ -1,0 +1,97 @@
+"""Funnel analysis: ordered event-sequence matching per user.
+
+"Of the users who viewed, how many then clicked, then purchased?" — the
+canonical event-sequence query over the QoS/event stream, with the
+standard FIRST-MATCH (greedy) semantics: step 1 anchors at the user's
+earliest step-1 event, and each later step matches its earliest event
+STRICTLY after the previous step's match.  (Greedy is the industry
+semantics — Amplitude/GA funnels — and is what stays relational; the
+alternative "any in-order subsequence" match is a per-user DP.)
+
+Scale shape: one filtered, map-side-combined min-aggregate per step —
+k−1 equi-joins on the user key carrying only the per-user timestamps
+(never event payloads), no window functions, no per-user sort, no
+Python.  Each stage's shuffle is ≤ one row per user.  The SQL twin is
+the identical chain of CTEs, so step times are value-oracle-checked
+exactly.
+
+Reference basis: extends the reference's per-event analytics surface
+(events table, FIXTURES.md F2); no funnel exists in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "funnel_sql"]
+
+
+def funnel(df: DataFrame, steps: Sequence[str], *,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Per-user greedy funnel over `steps` (event-type names).
+
+    Returns one row per user who reached step 1:
+    ``user_col, t_0 … t_{k-1}, stages`` — `t_i` is the (nullable)
+    first-match timestamp of step i, `stages` how many steps were
+    reached.  A user absent from step 1 is absent from the output.
+    """
+    steps = [str(s) for s in steps]
+    if len(steps) < 2:
+        raise ValueError("need at least two funnel steps")
+    res = (df.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("t_0")))
+    for i, st in enumerate(steps[1:], 1):
+        ev = df.filter(F.col(type_col) == st) \
+            .select(user_col, F.col(ts_col).alias("__ts"))
+        keys = [user_col] + [f"t_{j}" for j in range(i)]
+        res = (res.join(ev, on=user_col, how="left")
+               .groupBy(*keys)
+               .agg(F.min(F.when(F.col("__ts") > F.col(f"t_{i - 1}"),
+                                 F.col("__ts"))).alias(f"t_{i}")))
+    stages = None
+    for i in range(len(steps)):
+        c = F.col(f"t_{i}").isNotNull().cast("long")
+        stages = c if stages is None else stages + c
+    return res.select(user_col, *[f"t_{i}" for i in range(len(steps))],
+                      stages.alias("stages"))
+
+
+def funnel_sql(table_sql: str, steps: Sequence[str], *,
+               user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`funnel` (identical greedy chain)."""
+    steps = [str(s) for s in steps]
+    if len(steps) < 2:
+        raise ValueError("need at least two funnel steps")
+
+    def q(v: str) -> str:
+        return v.replace("'", "''")
+
+    parts = [
+        f"__f0 AS (SELECT {user_col}, min({ts_col}) AS t_0 "
+        f"FROM ({table_sql}) WHERE {type_col} = '{q(steps[0])}' "
+        f"GROUP BY {user_col})"
+    ]
+    for i, st in enumerate(steps[1:], 1):
+        carry = ", ".join(f"p.t_{j}" for j in range(i))
+        parts.append(
+            f"__f{i} AS (SELECT p.{user_col}, {carry}, "
+            f"min(CASE WHEN e.{ts_col} > p.t_{i - 1} THEN e.{ts_col} END) "
+            f"AS t_{i} "
+            f"FROM __f{i - 1} p LEFT JOIN ("
+            f"SELECT {user_col}, {ts_col} FROM ({table_sql}) "
+            f"WHERE {type_col} = '{q(st)}') e "
+            f"ON e.{user_col} = p.{user_col} "
+            f"GROUP BY p.{user_col}, {carry})")
+    ts = ", ".join(f"t_{i}" for i in range(len(steps)))
+    stages = " + ".join(
+        f"(CASE WHEN t_{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(steps)))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT {user_col}, {ts}, "
+              f"CAST({stages} AS BIGINT) AS stages "
+              f"FROM __f{len(steps) - 1}")

@@ -163,3 +163,65 @@ def test_quantile_bins_bad_args(spark, events):
         quantile_bins(events, "value", nbins=1)
     with pytest.raises(ValueError):
         quantile_bins_sql("events", "value", nbins=10000)
+
+
+def test_funnel_greedy_first_match(spark):
+    from datetime import datetime
+
+    from flink_skyline_qos_spark.operators.funnel import funnel
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes: view@1, click@3 (first after view), purchase@5
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "click"),
+        (1, T(5), "purchase"),
+        # u2: click BEFORE view never matches; stalls at view
+        (2, T(4), "click"), (2, T(6), "view"),
+        # u3: never views -> absent from output
+        (3, T(1), "purchase"),
+        # u4: purchase before click -> stalls at click
+        (4, T(1), "view"), (4, T(2), "purchase"), (4, T(3), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r.user_id: (r.t_0, r.t_1, r.t_2, r.stages) for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1] == (T(1), T(2), T(5), 3)  # first click after view
+    assert got[2] == (T(6), None, None, 1)
+    assert got[4] == (T(1), T(3), None, 2)
+
+
+def test_funnel_matches_oracle(spark, events, sf_dir):
+    from flink_skyline_qos_spark.operators.funnel import (
+        funnel,
+        funnel_sql,
+    )
+
+    got = sorted(tuple(r) for r in funnel(
+        events, ["view", "click", "purchase"]).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW raw AS SELECT * FROM '{sf_dir}/events.parquet'")
+    con.sql("CREATE VIEW events AS SELECT * REPLACE "
+            "(CAST(ts AS TIMESTAMP) AS ts) FROM raw")
+    want = sorted(tuple(r) for r in con.sql(funnel_sql(
+        "SELECT user_id, ts, event_type FROM events",
+        ["view", "click", "purchase"])).fetchall())
+    assert got == want
+    # funnel monotonicity: stage counts never increase down the funnel
+    n1 = sum(1 for r in got if r[-1] >= 1)
+    n2 = sum(1 for r in got if r[-1] >= 2)
+    n3 = sum(1 for r in got if r[-1] >= 3)
+    assert n1 >= n2 >= n3 > 0
+
+
+def test_funnel_bad_args(spark, events):
+    from flink_skyline_qos_spark.operators.funnel import (
+        funnel,
+        funnel_sql,
+    )
+
+    with pytest.raises(ValueError):
+        funnel(events, ["view"])
+    with pytest.raises(ValueError):
+        funnel_sql("events", ["view"])
