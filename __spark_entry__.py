@@ -129,6 +129,8 @@ from flink_skyline_qos_spark.operators.compaction import (  # noqa: E402
 from flink_skyline_qos_spark.operators.funnel import (  # noqa: E402
     funnel,
     funnel_sql,
+    retention,
+    retention_sql,
 )
 from flink_skyline_qos_spark.operators.stats import (  # noqa: E402
     corr_matrix,
@@ -533,6 +535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per step, shuffles carry one row per user
     q["funnel_events"] = lambda s, d: funnel(
         load_table(s, d, "events"), ["view", "click", "purchase"])
+
+    # cohort retention: first-active-day cohorts x day offsets —
+    # shuffles bounded by user x period cardinality, never event volume
+    q["retention_events"] = lambda s, d: retention(
+        load_table(s, d, "events"), granularity="day")
 
     # equi-depth discretization of a metric column: decile buckets
     # with per-bucket profiles — the feature-binning / calibrated-
@@ -1537,6 +1544,9 @@ FROM __q q LEFT JOIN __hit h USING (query_id)
     o["funnel_events"] = funnel_sql(
         "SELECT user_id, ts, event_type FROM events",
         ["view", "click", "purchase"])
+
+    o["retention_events"] = retention_sql(
+        "SELECT user_id, ts FROM events", granularity="day")
 
     o["quantile_bins_events"] = quantile_bins_sql(
         "SELECT value FROM events", "value", nbins=10)

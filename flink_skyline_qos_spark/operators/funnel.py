@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_sql"]
+__all__ = ["funnel", "funnel_sql", "retention", "retention_sql"]
 
 
 def funnel(df: DataFrame, steps: Sequence[str], *,
@@ -95,3 +95,61 @@ def funnel_sql(table_sql: str, steps: Sequence[str], *,
             + f"\nSELECT {user_col}, {ts}, "
               f"CAST({stages} AS BIGINT) AS stages "
               f"FROM __f{len(steps) - 1}")
+
+
+def retention(df: DataFrame, *, user_col: str = "user_id",
+              ts_col: str = "ts",
+              granularity: str = "day") -> DataFrame:
+    """Cohort retention: users are cohorted by their FIRST active
+    period (day or week), and each (cohort, offset) cell counts how
+    many of them were active `offset` periods later — the engagement
+    matrix behind every retention curve.
+
+    Scale shape: distinct (user, period) first (the only pass over raw
+    events, map-side combined), a per-user min for the cohort, one
+    equi-join on the user key, and a final (cohort, offset) count —
+    every shuffle is bounded by active-user×period cardinality, never
+    event volume.  Same chain in the SQL twin; `date_trunc`/`datediff`
+    arithmetic is calendar-identical on both engines (UTC session).
+
+    Output: ``cohort (date), offset (long), n_users (long)``; offset 0
+    rows give cohort sizes.
+    """
+    if granularity not in ("day", "week"):
+        raise ValueError("granularity must be 'day' or 'week'")
+    per = F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    active = (df.where(F.col(user_col).isNotNull()
+                       & F.col(ts_col).isNotNull())
+              .select(F.col(user_col).alias("__u"), per.alias("__p"))
+              .distinct())
+    cohort = active.groupBy("__u").agg(F.min("__p").alias("__c"))
+    div = 7 if granularity == "week" else 1
+    joined = active.join(cohort, on="__u")
+    return (joined.groupBy(
+                F.col("__c").alias("cohort"),
+                (F.datediff(F.col("__p"), F.col("__c")) / F.lit(div))
+                .cast("long").alias("offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def retention_sql(table_sql: str, *, user_col: str = "user_id",
+                  ts_col: str = "ts",
+                  granularity: str = "day") -> str:
+    """DuckDB twin of :func:`retention`."""
+    if granularity not in ("day", "week"):
+        raise ValueError("granularity must be 'day' or 'week'")
+    div = 7 if granularity == "week" else 1
+    return f"""
+WITH __active AS (
+  SELECT DISTINCT {user_col} AS u,
+         CAST(date_trunc('{granularity}', {ts_col}) AS DATE) AS p
+  FROM ({table_sql})
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+__cohort AS (SELECT u, min(p) AS c FROM __active GROUP BY u)
+SELECT c AS cohort,
+       CAST(date_diff('day', c, p) / {div} AS BIGINT) AS offset,
+       count(*)::BIGINT AS n_users
+FROM __active a JOIN __cohort USING (u)
+GROUP BY 1, 2
+""".strip()

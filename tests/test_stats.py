@@ -225,3 +225,51 @@ def test_funnel_bad_args(spark, events):
         funnel(events, ["view"])
     with pytest.raises(ValueError):
         funnel_sql("events", ["view"])
+
+
+def test_retention_crafted(spark):
+    from datetime import datetime
+
+    from flink_skyline_qos_spark.operators.funnel import retention
+
+    D = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        (1, D(1)), (1, D(1, 5)), (1, D(2)), (1, D(4)),  # cohort d1
+        (2, D(1)),                                      # cohort d1, only d1
+        (3, D(2)), (3, D(3)),                           # cohort d2
+        (4, None),                                      # dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {(r.cohort.isoformat(), r.offset): r.n_users
+           for r in retention(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1, u2
+        ("2024-01-01", 1): 1,  # u1 on d2
+        ("2024-01-01", 3): 1,  # u1 on d4
+        ("2024-01-02", 0): 1,  # u3
+        ("2024-01-02", 1): 1,  # u3 on d3
+    }
+
+
+def test_retention_matches_oracle_and_week(spark, events, sf_dir):
+    from flink_skyline_qos_spark.operators.funnel import (
+        retention,
+        retention_sql,
+    )
+
+    for gran in ("day", "week"):
+        got = sorted(tuple(r) for r in
+                     retention(events, granularity=gran).collect())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW raw AS SELECT * "
+                f"FROM '{sf_dir}/events.parquet'")
+        con.sql("CREATE VIEW events AS SELECT * REPLACE "
+                "(CAST(ts AS TIMESTAMP) AS ts) FROM raw")
+        want = sorted(tuple(r) for r in con.sql(retention_sql(
+            "SELECT user_id, ts FROM events",
+            granularity=gran)).fetchall())
+        assert got == want
+        # cohort sizes (offset 0) bound every later offset's count
+        sizes = {c: n for c, off, n in got if off == 0}
+        for c, off, n in got:
+            assert n <= sizes[c]
