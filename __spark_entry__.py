@@ -135,6 +135,8 @@ from flink_skyline_qos_spark.operators.funnel import (  # noqa: E402
 from flink_skyline_qos_spark.operators.stats import (  # noqa: E402
     corr_matrix,
     corr_matrix_sql,
+    mad_outliers,
+    mad_outliers_sql,
     quantile_bins,
     quantile_bins_sql,
 )
@@ -540,6 +542,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shuffles bounded by user x period cardinality, never event volume
     q["retention_events"] = lambda s, d: retention(
         load_table(s, d, "events"), granularity="day")
+
+    # robust anomaly flagging: |x - median| > 3.5 MAD per event type
+    # (heavy-tail-safe, unlike mean/stddev z-scores); two broadcast
+    # percentile aggregates + scan-side flags, never a corpus sort
+    q["mad_outliers_events"] = lambda s, d: mad_outliers(
+        load_table(s, d, "events")
+        .select("event_id", "event_type", "value"),
+        "value", group_cols=["event_type"]
+    ).select("event_id", "event_type", "value", "med", "mad",
+             "is_outlier")
 
     # equi-depth discretization of a metric column: decile buckets
     # with per-bucket profiles — the feature-binning / calibrated-
@@ -1547,6 +1559,10 @@ FROM __q q LEFT JOIN __hit h USING (query_id)
 
     o["retention_events"] = retention_sql(
         "SELECT user_id, ts FROM events", granularity="day")
+
+    o["mad_outliers_events"] = mad_outliers_sql(
+        "SELECT event_id, event_type, value FROM events",
+        "value", group_cols=["event_type"])
 
     o["quantile_bins_events"] = quantile_bins_sql(
         "SELECT value FROM events", "value", nbins=10)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["corr_matrix", "corr_matrix_sql",
+           "mad_outliers", "mad_outliers_sql",
            "quantile_bins", "quantile_bins_sql"]
 
 _DEC = "decimal(38,0)"
@@ -165,4 +166,88 @@ SELECT CAST(len(list_filter(c.cuts, x -> x <= o.__x)) AS BIGINT) AS bin,
        round(max(o.__x), 6) AS hi
 FROM __ok o CROSS JOIN __cuts c
 GROUP BY 1
+""".strip()
+
+
+def mad_outliers(df: DataFrame, value_col: str, *,
+                 group_cols: Sequence[str] = (),
+                 threshold: float = 3.5) -> DataFrame:
+    """Robust outlier flagging: |x − median| > threshold · MAD per
+    group (median absolute deviation) — the data-quality gate that
+    survives heavy tails, where mean/stddev z-scores are dragged by
+    the very outliers they should flag.
+
+    Both the median and the MAD are exact interpolated percentiles
+    rounded to 6 dp on both engines; rows in a group with MAD = 0
+    (over half the values identical) are never flagged (the standard
+    degenerate-MAD convention, stated identically in the twin);
+    NULL/NaN values drop.  Returns the input columns plus
+    ``med, mad, is_outlier``.
+
+    Scale shape: two percentile aggregates (one row per group,
+    broadcast back) + scan-side flagging — never a sort of the corpus;
+    at 100 TB substitute the histogram sketch for the percentiles.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0")
+    v = F.col(value_col).cast("double")
+    ok = df.where(F.col(value_col).isNotNull() & ~F.isnan(v))
+    gcols = list(group_cols)
+
+    def agg(frame, expr, name):
+        a = F.round(F.expr(expr), 6).alias(name)
+        return frame.groupBy(*gcols).agg(a) if gcols else frame.agg(a)
+
+    med = agg(ok, f"percentile({value_col}, 0.5)", "med")
+    with_med = (ok.join(F.broadcast(med), on=gcols) if gcols
+                else ok.crossJoin(F.broadcast(med)))
+    dev = with_med.withColumn("__adev", F.abs(v - F.col("med")))
+    mad = agg(dev, "percentile(__adev, 0.5)", "mad")
+    # mad frame lacks gcols-free join key; re-join on the same keys
+    out = (dev.join(F.broadcast(mad), on=gcols) if gcols
+           else dev.crossJoin(F.broadcast(mad)))
+    flag = (F.col("mad") > 0) & \
+        (F.abs(v - F.col("med")) > F.lit(float(threshold)) * F.col("mad"))
+    return out.drop("__adev").withColumn("is_outlier", flag)
+
+
+def mad_outliers_sql(table_sql: str, value_col: str, *,
+                     group_cols: Sequence[str] = (),
+                     threshold: float = 3.5) -> str:
+    """DuckDB twin of :func:`mad_outliers` (quantile_cont ≡ Spark's
+    exact percentile; identical rounding, join and flag expressions)."""
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0")
+    gcols = list(group_cols)
+    v = f"CAST(t.{value_col} AS DOUBLE)"
+    gsel = ", ".join(gcols) + ", " if gcols else ""
+    gsel_t = ", ".join(f"t.{g}" for g in gcols) + ", " if gcols else ""
+    on_med = (" AND ".join(f"m.{g} = t.{g}" for g in gcols)
+              if gcols else "TRUE")
+    on_mad = (" AND ".join(f"d.{g} = t.{g}" for g in gcols)
+              if gcols else "TRUE")
+    grp = f"GROUP BY {', '.join(gcols)}" if gcols else ""
+    grp_t = (f"GROUP BY {', '.join('t.' + g for g in gcols)}"
+             if gcols else "")
+    return f"""
+WITH __ok AS (
+  SELECT * FROM ({table_sql}) t
+  WHERE {value_col} IS NOT NULL AND NOT isnan(CAST({value_col} AS DOUBLE))
+),
+__med AS (
+  SELECT {gsel}round(quantile_cont(CAST({value_col} AS DOUBLE), 0.5), 6)
+         AS med
+  FROM __ok {grp}
+),
+__mad AS (
+  SELECT {gsel_t}round(quantile_cont(
+           abs(CAST(t.{value_col} AS DOUBLE) - m.med), 0.5), 6) AS mad
+  FROM __ok t JOIN __med m ON {on_med} {grp_t}
+)
+SELECT t.*, m.med, d.mad,
+       (d.mad > 0 AND abs({v} - m.med) > {float(threshold)!r} * d.mad)
+         AS is_outlier
+FROM __ok t
+JOIN __med m ON {on_med}
+JOIN __mad d ON {on_mad}
 """.strip()

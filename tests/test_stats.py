@@ -273,3 +273,64 @@ def test_retention_matches_oracle_and_week(spark, events, sf_dir):
         sizes = {c: n for c, off, n in got if off == 0}
         for c, off, n in got:
             assert n <= sizes[c]
+
+
+def test_mad_outliers_crafted_and_degenerate(spark):
+    from flink_skyline_qos_spark.operators.stats import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + \
+           [("b", 5.0)] * 6 + [("b", 9.0)] + \
+           [("a", None), ("a", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = mad_outliers(df, "value", group_cols=["g"]).collect()
+    a = {r.value: r.is_outlier for r in out if r.g == "a"}
+    # med(a)=12.5, MAD=1.5: 1000 flagged, the band not
+    assert a[1000.0] is True
+    assert all(not a[v] for v in (10.0, 11.0, 12.0, 13.0, 14.0))
+    # group b: median 5, MAD 0 (majority identical) -> nothing flagged
+    b = [r.is_outlier for r in out if r.g == "b"]
+    assert len(b) == 7 and not any(b)
+    # NULL/NaN rows dropped
+    assert len(out) == 13
+
+
+def test_mad_outliers_matches_oracle(spark, events, sf_dir):
+    from flink_skyline_qos_spark.operators.stats import (
+        mad_outliers,
+        mad_outliers_sql,
+    )
+
+    sdf = mad_outliers(
+        events.select("event_id", "event_type", "value"),
+        "value", group_cols=["event_type"])
+    s_idx = sorted(range(len(sdf.columns)),
+                   key=lambda i: sdf.columns[i])
+    got = sorted(tuple(tuple(r)[i] for i in s_idx)
+                 for r in sdf.collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM '{sf_dir}/events.parquet'")
+    rel = con.sql(mad_outliers_sql(
+        "SELECT event_id, event_type, value FROM events",
+        "value", group_cols=["event_type"]))
+    d_idx = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    want = sorted(tuple(row[i] for i in d_idx) for row in rel.fetchall())
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert got == want
+
+
+def test_mad_outliers_ungrouped_and_bad_threshold(spark):
+    from flink_skyline_qos_spark.operators.stats import (
+        mad_outliers,
+        mad_outliers_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 5, 100]], "value double")
+    out = {r.value: r.is_outlier for r in
+           mad_outliers(df, "value").collect()}
+    assert out[100.0] is True and not out[3.0]
+    with pytest.raises(ValueError):
+        mad_outliers(df, "value", threshold=0)
+    with pytest.raises(ValueError):
+        mad_outliers_sql("t", "value", threshold=-1)
