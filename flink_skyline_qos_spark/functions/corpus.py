@@ -602,13 +602,18 @@ def quality_floor(df: DataFrame, score_col: str, *,
     """
     if not 0.0 < float(q) < 1.0:
         raise ValueError("q must be in (0, 1)")
+    # NaN must drop BEFORE the percentile: Spark's percentile sorts
+    # NaN as the largest value while DuckDB's quantile_cont ignores
+    # it, so an unfiltered NaN shifts the two engines' cutoffs apart
+    sc = F.col(score_col).cast("double")
+    ok = df.where(F.col(score_col).isNotNull() & ~F.isnan(sc))
     cut = F.round(F.expr(f"percentile({score_col}, {float(q)!r})"), 6) \
         .alias("__cut")
     if group_col:
-        cuts = df.groupBy(group_col).agg(cut)
-        joined = df.join(F.broadcast(cuts), on=group_col)
+        cuts = ok.groupBy(group_col).agg(cut)
+        joined = ok.join(F.broadcast(cuts), on=group_col)
     else:
-        joined = df.crossJoin(F.broadcast(df.agg(cut)))
+        joined = ok.crossJoin(F.broadcast(ok.agg(cut)))
     return joined.filter(F.col(score_col) >= F.col("__cut")) \
         .drop("__cut")
 
@@ -620,14 +625,16 @@ def quality_floor_sql(table_sql: str, score_col: str, *,
     exact `percentile`, both rounded to 6 dp before the comparison)."""
     if not 0.0 < float(q) < 1.0:
         raise ValueError("q must be in (0, 1)")
+    ok = (f"(SELECT * FROM ({table_sql}) WHERE {score_col} IS NOT NULL "
+          f"AND NOT isnan(CAST({score_col} AS DOUBLE)))")
     cut = f"round(quantile_cont({score_col}, {float(q)!r}), 6)"
     if group_col:
         return (
-            f"SELECT t.* FROM ({table_sql}) t JOIN "
-            f"(SELECT {group_col}, {cut} AS __cut FROM ({table_sql}) "
+            f"SELECT t.* FROM {ok} t JOIN "
+            f"(SELECT {group_col}, {cut} AS __cut FROM {ok} "
             f"GROUP BY {group_col}) c USING ({group_col}) "
             f"WHERE t.{score_col} >= c.__cut")
     return (
-        f"SELECT t.* FROM ({table_sql}) t CROSS JOIN "
-        f"(SELECT {cut} AS __cut FROM ({table_sql})) c "
+        f"SELECT t.* FROM {ok} t CROSS JOIN "
+        f"(SELECT {cut} AS __cut FROM {ok}) c "
         f"WHERE t.{score_col} >= c.__cut")

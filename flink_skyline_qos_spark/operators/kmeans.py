@@ -302,6 +302,12 @@ def pq_encode_sql(table_sql: str, *, vec_col: str = "embedding",
     :func:`kmeans_assign_sql` per subspace over the sliced vector
     (complete-vector filter applied on the FULL vector first, exactly
     as the operator does), joined on id and packed base-k."""
+    if dim < 1 or m < 1 or dim % m:
+        raise ValueError("need dim >= 1, m >= 1, and m | dim")
+    if k < 2 or k ** m > (1 << 62):
+        raise ValueError("need 2 <= k with k^m inside BIGINT")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
     sub = dim // m
     nan = " OR ".join(
         f"{vec_col}[{i}] IS NULL OR isnan(CAST({vec_col}[{i}] AS DOUBLE))"
@@ -416,6 +422,10 @@ def pq_adc_topk_sql(corpus_sql: str, queries_sql: str, *,
     """DuckDB twin of :func:`pq_adc_topk`: m prefixed codebook CTE
     chains in one WITH, codes joined on id, LUT lookups expressed as
     joins to the final centroid CTEs, identical integer arithmetic."""
+    if dim < 1 or m < 1 or dim % m:
+        raise ValueError("need dim >= 1, m >= 1, and m | dim")
+    if k < 2 or topk < 1 or iterations < 0:
+        raise ValueError("need k >= 2, topk >= 1, iterations >= 0")
     sub = dim // m
     scale = 10 ** dp
     nan = " OR ".join(

@@ -191,6 +191,10 @@ def streaming_windowed_quantiles(stream: DataFrame, value_col: str, *,
     qs = [float(q) for q in quantiles]
     if not qs or any(not 0.0 < q < 1.0 for q in qs):
         raise ValueError("quantiles must be in (0, 1)")
+    names = [f"q_{int(round(q * 100))}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantiles collide after percent rounding: {names}")
     b = fixed_hist_bin(F.col(value_col), lo, hi, nbins)
     agg = (
         stream.where(F.col(value_col).isNotNull()
@@ -207,9 +211,9 @@ def streaming_windowed_quantiles(stream: DataFrame, value_col: str, *,
         n = c if n is None else n + c
     outs = [F.col("__win.start").alias("win_start"),
             F.col("__win.end").alias("win_end"), n.alias("n")]
-    for q in qs:
+    for q, name in zip(qs, names):
         outs.append(fixed_hist_quantile_wide(cols, lo, hi, q)
-                    .alias(f"q_{int(round(q * 100))}"))
+                    .alias(name))
     return agg.select(*outs)
 
 

@@ -482,3 +482,26 @@ def test_quality_floor_ungrouped_and_bad_q(spark):
         quality_floor(df, "score", q=1.0)
     with _pytest.raises(ValueError):
         quality_floor_sql("t", "score", q=0.0)
+
+
+def test_quality_floor_nan_scores_drop_and_engines_agree(spark):
+    import duckdb as _duck
+
+    from flink_skyline_qos_spark.functions.corpus import (
+        quality_floor,
+        quality_floor_sql,
+    )
+
+    # Spark's percentile sorts NaN as the LARGEST value while DuckDB's
+    # quantile_cont ignores it — without the NaN filter the two
+    # engines' cutoffs diverge (found in review, live-reproduced)
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, float("nan"))]
+    df = spark.createDataFrame(rows, "id bigint, score double")
+    got = sorted(r.id for r in quality_floor(df, "score", q=0.5)
+                 .collect())
+    con = _duck.connect()
+    con.sql("CREATE TABLE t (id BIGINT, score DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(r[0] for r in con.sql(quality_floor_sql(
+        "SELECT * FROM t", "score", q=0.5)).fetchall())
+    assert got == want == [5, 6, 7, 8, 9]  # NaN row gone, cut = 5.0

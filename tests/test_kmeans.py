@@ -262,3 +262,15 @@ def test_ann_recall_adc_query(spark, sf_dir):
         # the query's own vector is rank 1 in BOTH searches -> floor
         assert 1 <= n <= 10
         assert rec == n / 10.0
+
+
+def test_pq_sql_builders_validate_args():
+    from flink_skyline_qos_spark.operators.kmeans import (
+        pq_adc_topk_sql,
+        pq_encode_sql,
+    )
+
+    with pytest.raises(ValueError):
+        pq_encode_sql("t", dim=64, m=5)  # m does not divide dim
+    with pytest.raises(ValueError):
+        pq_adc_topk_sql("t", "q", dim=64, m=4, topk=0)

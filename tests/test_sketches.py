@@ -162,6 +162,26 @@ def test_count_min_matches_oracle_and_partitioning(spark, sf_dir):
     want = sorted(tuple(row[i] for i in idx) for row in want_rel.fetchall())
     assert got == want
     assert all(r[3] >= r[1] for r in got)  # cm_est >= term_freq
+    # partitioning invariance: the md5 sketch is a pure function of
+    # the multiset of items, whatever the physical layout
+    from flink_skyline_qos_spark.operators.sketches import (
+        count_min,
+        count_min_estimate,
+    )
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cand = spark.createDataFrame(
+        [(t,) for t, *_ in got], "token string")
+    a = sorted(tuple(r) for r in count_min_estimate(
+        count_min(toks, "token", depth=4, width=512), cand, "token",
+        depth=4, width=512).collect())
+    b = sorted(tuple(r) for r in count_min_estimate(
+        count_min(toks.repartition(7), "token", depth=4, width=512),
+        cand, "token", depth=4, width=512).collect())
+    assert a == b
 
 
 def test_count_min_bad_args(spark):
