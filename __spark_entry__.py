@@ -81,6 +81,8 @@ from flink_skyline_qos_spark.operators.clustering import (  # noqa: E402
 )
 from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
+    minhash_lsh_pairs_cross,
+    minhash_lsh_pairs_cross_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
     ngram_jaccard_pairs,
@@ -630,6 +632,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), num_hashes=64, bands=16,
         shingle_k=5, threshold=0.5,
     )
+    # incremental (cross-corpus) dedup: new batch vs existing corpus
+    # only -- old x old pairs are never generated (the production
+    # daily-crawl admission shape; at 100 TB the old side's signatures
+    # are precomputed once and reused per batch)
+    def _incremental_dedup(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        old = docs.filter(F.col("doc_id") % 3 != 0)
+        return minhash_lsh_pairs_cross(
+            new, old, num_hashes=64, bands=16, shingle_k=5,
+            threshold=0.5)
+    q["incremental_dedup_documents"] = _incremental_dedup
+
     q["minhash_word_dedup_documents"] = lambda s, d: minhash_lsh_pairs(
         load_table(s, d, "documents"), num_hashes=64, bands=16,
         shingle_k=3, shingle_unit="word", threshold=0.5,
@@ -1291,6 +1306,11 @@ FROM reach GROUP BY node
 
     o["minhash_dedup_documents"] = minhash_lsh_pairs_sql(
         "documents", num_hashes=64, bands=16, shingle_k=5, threshold=0.5)
+    o["incremental_dedup_documents"] = minhash_lsh_pairs_cross_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+        num_hashes=64, bands=16, shingle_k=5, threshold=0.5)
+
     o["minhash_word_dedup_documents"] = minhash_lsh_pairs_sql(
         "documents", num_hashes=64, bands=16, shingle_k=3,
         shingle_unit="word", threshold=0.5)

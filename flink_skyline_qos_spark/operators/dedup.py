@@ -33,6 +33,8 @@ __all__ = [
     "word_shingles",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_cross",
+    "minhash_lsh_pairs_cross_sql",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs",
@@ -620,3 +622,175 @@ def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.select("id_a", "id_b", hamming.alias("hamming")) \
         .filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 5,
+                            shingle_unit: str = "char", seed: int = 42,
+                            max_bucket: int = 1000,
+                            threshold: float | None = None) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection: candidate pairs
+    BETWEEN a new batch and the existing corpus — ``(new_id, old_id,
+    est_jaccard)`` — the daily-crawl admission check.
+
+    The production shape the self-join cannot give: old×old pairs are
+    never generated (the existing corpus was already deduped) and
+    new×new pairs are left to a separate self-join over the (much
+    smaller) batch — the banded join is new_banded ⋈ old_banded only.
+    Signatures/bands/hashes are the exact arithmetic of
+    :func:`minhash_lsh_pairs` (md5-derived, engine-portable), so the
+    cross form has the same exact DuckDB twin; the bucket cap applies
+    to the COMBINED (new+old) bucket population and is observable via
+    ``result.lsh_dropped`` like the self-join form.  At 100 TB the old
+    side's signatures are precomputed once and reused per batch — pass
+    a frame of previously-materialized signatures through the same
+    path upstream.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def banded_side(df: DataFrame) -> "tuple[DataFrame, DataFrame]":
+        sh = (char_shingles(F.col(text_col), shingle_k, distinct=False)
+              if shingle_unit == "char"
+              else word_shingles(F.col(text_col), shingle_k,
+                                 distinct=False))
+        hashed = _scale_out(df.select(
+            F.col(id_col).alias("id"), shingle_hashes(sh).alias("__h"),
+        ), probe=df)
+        sig = hashed.mapInPandas(
+            _minhash_fold_np(num_hashes, seed),
+            schema="id long, sig array<long>").persist()
+        sig.count()
+        band_cols = [
+            _md5_long(F.concat_ws(
+                ":", F.lit(b).cast("string"),
+                *[F.element_at("sig", b * rows_per_band + r + 1)
+                  .cast("string") for r in range(rows_per_band)]))
+            .alias("bucket")
+            for b in range(bands)
+        ]
+        banded = sig.select(
+            "id", "sig",
+            F.posexplode(F.array(*[F.struct(F.lit(b).alias("band"), c)
+                                   for b, c in enumerate(band_cols)]))
+            .alias("pos", "bb"),
+        ).select("id", "sig", F.col("bb.band").alias("band"),
+                 F.col("bb.bucket").alias("bucket"))
+        return sig, banded
+
+    n_sig, n_banded = banded_side(new_df)
+    o_sig, o_banded = banded_side(old_df)
+    sizes = (n_banded.select("band", "bucket")
+             .unionByName(o_banded.select("band", "bucket"))
+             .groupBy("band", "bucket").agg(F.count("*").alias("n")))
+    dropped = _dropped_bucket_stats(sizes, max_bucket)
+    ok = F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n"))
+    n_ok = n_banded.join(ok, ["band", "bucket"])
+    o_ok = o_banded.join(ok, ["band", "bucket"])
+    pairs = (
+        n_ok.alias("x").join(
+            o_ok.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")))
+        .select(F.col("x.id").alias("new_id"),
+                F.col("y.id").alias("old_id"),
+                F.col("x.sig").alias("sig_a"),
+                F.col("y.sig").alias("sig_b"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    out = pairs.select("new_id", "old_id", est.alias("est_jaccard"))
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    out.lsh_dropped = dropped
+    return release_on_gc(out, n_sig, o_sig)
+
+
+def minhash_lsh_pairs_cross_sql(new_sql: str, old_sql: str, *,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                num_hashes: int = 64, bands: int = 16,
+                                shingle_k: int = 5,
+                                shingle_unit: str = "char",
+                                seed: int = 42, max_bucket: int = 1000,
+                                threshold: float | None = None) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs_cross` — the self-join
+    twin's CTE chain instantiated once per side with a name prefix,
+    combined-bucket cap, cross-side candidate join."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    params = _hash_params(num_hashes, seed)
+    a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
+    band_concat = " || ':' || ".join(
+        ["b::VARCHAR"] + [f"sig[{rpb} * b + {r + 1}]::VARCHAR"
+                          for r in range(rpb)])
+
+    def side(table_sql: str, p: str) -> str:
+        if shingle_unit == "char":
+            sh = f"""
+  SELECT {id_col} AS id,
+         unnest(list_transform(
+           range(1, greatest(length({text_col}) - {shingle_k - 1}, 1) + 1),
+           i -> substr({text_col}, i, {shingle_k}))) AS s
+  FROM {table_sql}"""
+        else:
+            sh = f"""
+  SELECT id, unnest(list_transform(
+           range(0, greatest(len(toks) - {shingle_k}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + {shingle_k}), ' ')
+         )) AS s
+  FROM (SELECT {id_col} AS id,
+               string_split_regex(trim({text_col}), '\\s+') AS toks
+        FROM {table_sql}) t"""
+        return f"""{p}sh AS ({sh}
+),
+{p}base AS (
+  SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE} AS h
+  FROM {p}sh
+),
+{p}perm AS (
+  SELECT id, j,
+         min(({a_lit}[j + 1] * h + {b_lit}[j + 1]) % {_MERSENNE}) AS m
+  FROM {p}base, range({num_hashes}) t(j)
+  GROUP BY id, j
+),
+{p}sig AS (SELECT id, list(m ORDER BY j) AS sig FROM {p}perm GROUP BY id),
+{p}banded AS (
+  SELECT id, sig, b,
+         ('0x' || substr(md5({band_concat}), 1, 15))::BIGINT AS bucket
+  FROM {p}sig, range({bands}) t(b)
+)"""
+
+    est = (f"(list_sum(list_transform(range({num_hashes}), "
+           f"j -> CASE WHEN sig_a[j + 1] = sig_b[j + 1] THEN 1 ELSE 0 END))"
+           f" / {float(num_hashes)!r})")
+    where = f"WHERE {est} >= {threshold!r}" if threshold is not None else ""
+    return f"""
+WITH {side(new_sql, "n_")},
+{side(old_sql, "o_")},
+__sizes AS (
+  SELECT b, bucket, count(*) AS n FROM (
+    SELECT b, bucket FROM n_banded
+    UNION ALL SELECT b, bucket FROM o_banded)
+  GROUP BY b, bucket
+),
+__okb AS (SELECT b, bucket FROM __sizes WHERE n <= {max_bucket}),
+nok AS (SELECT n_banded.* FROM n_banded JOIN __okb USING (b, bucket)),
+ook AS (SELECT o_banded.* FROM o_banded JOIN __okb USING (b, bucket)),
+cand AS (
+  SELECT DISTINCT x.id AS new_id, y.id AS old_id,
+         x.sig AS sig_a, y.sig AS sig_b
+  FROM nok x JOIN ook y ON x.b = y.b AND x.bucket = y.bucket
+)
+SELECT new_id, old_id, {est} AS est_jaccard
+FROM cand
+{where}
+""".strip()

@@ -133,3 +133,61 @@ def test_embedding_lsh_bucket_cap_is_observable(spark):
                                    bands=4, max_bucket=100)
     assert open_.count() == (30 * 29) // 2
     assert open_.lsh_dropped.first().dropped_pairs == 0
+
+
+def test_cross_corpus_minhash_no_within_side_pairs(spark, documents,
+                                                   sf_dir):
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_cross,
+        minhash_lsh_pairs_cross_sql,
+    )
+
+    new = documents.filter(F.col("doc_id") % 3 == 0)
+    old = documents.filter(F.col("doc_id") % 3 != 0)
+    out = minhash_lsh_pairs_cross(new, old, num_hashes=64, bands=16,
+                                  shingle_k=5, threshold=0.5)
+    got = sorted(tuple(r) for r in out.collect())
+    # sides never mix: every pair is (new, old)
+    assert all(a % 3 == 0 and b % 3 != 0 for a, b, _ in got)
+    # oracle parity
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{sf_dir}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(minhash_lsh_pairs_cross_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+        num_hashes=64, bands=16, shingle_k=5,
+        threshold=0.5)).fetchall())
+    assert got == want
+    # consistency with the self-join form: the cross pairs are exactly
+    # the self-join pairs over the union that straddle the side split
+    full = minhash_lsh_pairs(documents, num_hashes=64, bands=16,
+                             shingle_k=5, threshold=0.5).collect()
+    straddle = sorted(
+        (a, b) if a % 3 == 0 else (b, a)
+        for a, b, _ in (tuple(r) for r in full)
+        if (a % 3 == 0) != (b % 3 == 0))
+    assert sorted((a, b) for a, b, _ in got) == straddle
+
+
+def test_cross_corpus_minhash_dropped_stats_observable(spark):
+    from flink_skyline_qos_spark.operators.dedup import (
+        minhash_lsh_pairs_cross,
+    )
+
+    # boilerplate flood: identical text on both sides blows one bucket
+    # past the cap; the drop must be measurable, the result empty
+    rows_new = [(2 * i, "the same boilerplate text " * 5)
+                for i in range(30)]
+    rows_old = [(2 * i + 1, "the same boilerplate text " * 5)
+                for i in range(30)]
+    new = spark.createDataFrame(rows_new, "doc_id bigint, text string")
+    old = spark.createDataFrame(rows_old, "doc_id bigint, text string")
+    out = minhash_lsh_pairs_cross(new, old, num_hashes=16, bands=4,
+                                  shingle_k=5, max_bucket=10)
+    assert out.count() == 0
+    stats = out.lsh_dropped.first()
+    assert stats.dropped_buckets > 0 and stats.dropped_pairs > 0
