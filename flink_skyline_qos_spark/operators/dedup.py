@@ -35,6 +35,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_cross",
     "minhash_lsh_pairs_cross_sql",
+    "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs",
@@ -624,14 +625,38 @@ def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
 
 
-def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame, *,
+def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       shingle_k: int = 5, shingle_unit: str = "char",
+                       seed: int = 42) -> DataFrame:
+    """Materialize ``(id_col, sig)`` MinHash signatures — the
+    precompute half of incremental dedup: write this once for the
+    standing corpus, then pass it to
+    :func:`minhash_lsh_pairs_cross` via ``old_signatures`` so each
+    new batch never re-shingles 100 TB of admitted text.  Identical
+    arithmetic to the signatures inside :func:`minhash_lsh_pairs`."""
+    sh = (char_shingles(F.col(text_col), shingle_k, distinct=False)
+          if shingle_unit == "char"
+          else word_shingles(F.col(text_col), shingle_k, distinct=False))
+    hashed = _scale_out(df.select(
+        F.col(id_col).alias("id"), shingle_hashes(sh).alias("__h"),
+    ), probe=df)
+    return hashed.mapInPandas(
+        _minhash_fold_np(num_hashes, seed),
+        schema="id long, sig array<long>") \
+        .withColumnRenamed("id", id_col)
+
+
+def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame = None, *,
                             id_col: str = "doc_id",
                             text_col: str = "text",
                             num_hashes: int = 64, bands: int = 16,
                             shingle_k: int = 5,
                             shingle_unit: str = "char", seed: int = 42,
                             max_bucket: int = 1000,
-                            threshold: float | None = None) -> DataFrame:
+                            threshold: float | None = None,
+                            old_signatures: DataFrame | None = None
+                            ) -> DataFrame:
     """Incremental (cross-corpus) near-dup detection: candidate pairs
     BETWEEN a new batch and the existing corpus — ``(new_id, old_id,
     est_jaccard)`` — the daily-crawl admission check.
@@ -645,24 +670,36 @@ def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame, *,
     cross form has the same exact DuckDB twin; the bucket cap applies
     to the COMBINED (new+old) bucket population and is observable via
     ``result.lsh_dropped`` like the self-join form.  At 100 TB the old
-    side's signatures are precomputed once and reused per batch — pass
-    a frame of previously-materialized signatures through the same
-    path upstream.
+    side's signatures are precomputed ONCE with
+    :func:`minhash_signatures` and passed via ``old_signatures``
+    (columns ``(id_col, sig)``): each batch then bands the standing
+    corpus's compact signature table instead of re-shingling its text
+    (`old_df` may be None in that case).
     """
     assert num_hashes % bands == 0
+    if old_df is None and old_signatures is None:
+        raise ValueError("need old_df or old_signatures")
     rows_per_band = num_hashes // bands
 
-    def banded_side(df: DataFrame) -> "tuple[DataFrame, DataFrame]":
-        sh = (char_shingles(F.col(text_col), shingle_k, distinct=False)
-              if shingle_unit == "char"
-              else word_shingles(F.col(text_col), shingle_k,
-                                 distinct=False))
-        hashed = _scale_out(df.select(
-            F.col(id_col).alias("id"), shingle_hashes(sh).alias("__h"),
-        ), probe=df)
-        sig = hashed.mapInPandas(
-            _minhash_fold_np(num_hashes, seed),
-            schema="id long, sig array<long>").persist()
+    def banded_side(df: DataFrame | None,
+                    pre_sig: DataFrame | None = None
+                    ) -> "tuple[DataFrame, DataFrame]":
+        if pre_sig is not None:
+            sig = pre_sig.select(F.col(id_col).alias("id"),
+                                 "sig").persist()
+        else:
+            sh = (char_shingles(F.col(text_col), shingle_k,
+                                distinct=False)
+                  if shingle_unit == "char"
+                  else word_shingles(F.col(text_col), shingle_k,
+                                     distinct=False))
+            hashed = _scale_out(df.select(
+                F.col(id_col).alias("id"),
+                shingle_hashes(sh).alias("__h"),
+            ), probe=df)
+            sig = hashed.mapInPandas(
+                _minhash_fold_np(num_hashes, seed),
+                schema="id long, sig array<long>").persist()
         sig.count()
         band_cols = [
             _md5_long(F.concat_ws(
@@ -682,7 +719,7 @@ def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame, *,
         return sig, banded
 
     n_sig, n_banded = banded_side(new_df)
-    o_sig, o_banded = banded_side(old_df)
+    o_sig, o_banded = banded_side(old_df, pre_sig=old_signatures)
     sizes = (n_banded.select("band", "bucket")
              .unionByName(o_banded.select("band", "bucket"))
              .groupBy("band", "bucket").agg(F.count("*").alias("n")))

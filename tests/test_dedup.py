@@ -191,3 +191,23 @@ def test_cross_corpus_minhash_dropped_stats_observable(spark):
     assert out.count() == 0
     stats = out.lsh_dropped.first()
     assert stats.dropped_buckets > 0 and stats.dropped_pairs > 0
+
+
+def test_cross_corpus_precomputed_signatures_identical(spark, documents):
+    from flink_skyline_qos_spark.operators.dedup import (
+        minhash_lsh_pairs_cross,
+        minhash_signatures,
+    )
+
+    new = documents.filter(F.col("doc_id") % 3 == 0)
+    old = documents.filter(F.col("doc_id") % 3 != 0)
+    direct = sorted(tuple(r) for r in minhash_lsh_pairs_cross(
+        new, old, threshold=0.5).collect())
+    sigs = minhash_signatures(old)
+    pre = sorted(tuple(r) for r in minhash_lsh_pairs_cross(
+        new, old_signatures=sigs, threshold=0.5).collect())
+    assert direct == pre and len(pre) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs_cross(new)
