@@ -34,7 +34,8 @@ from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
 from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
-__all__ = ["continuous_local_skylines", "start_continuous_global",
+__all__ = ["continuous_local_skylines", "run_streaming_minhash_admission",
+           "start_continuous_global",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
            "streaming_windowed_count_min", "streaming_windowed_hll",
@@ -265,6 +266,95 @@ def streaming_exact_dedup(stream: DataFrame, keys: Sequence[str], *,
     """
     return (stream.withWatermark(ts_col, watermark_delay)
             .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def run_streaming_minhash_admission(stream_docs: DataFrame,
+                                    work_dir: str, *,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    num_hashes: int = 64,
+                                    bands: int = 16, shingle_k: int = 5,
+                                    threshold: float = 0.5) -> None:
+    """Streaming corpus ADMISSION: ingest documents continuously,
+    admitting only those that are near-duplicates of NOTHING admitted
+    before them — the end-to-end incremental-dedup loop (batch
+    self-check → cross-check vs the standing signature store → admit →
+    append the admitted docs' signatures to the store).
+
+    Composition of the registered batch operators inside
+    ``foreachBatch`` (the LSH pipeline needs actions — persist/count —
+    a pure streaming plan cannot express): per micro-batch,
+    `minhash_lsh_pairs` rejects within-batch near-dups (keep-first:
+    the smaller id of each candidate pair survives, transitively via
+    its rejection set), then `minhash_lsh_pairs_cross` against the
+    PRECOMPUTED signature parquet (`minhash_signatures` of everything
+    admitted so far — the standing corpus text is never re-shingled),
+    and the survivors' docs + signatures land in per-batch directories
+    whose existence makes retries idempotent (Spark may re-run a batch
+    after recovery; a batch directory that already exists is skipped,
+    matching the engine's epoch convention).
+
+    State is the signature store: O(admitted · num_hashes) longs on
+    disk, read per batch — at scale a bucketed table partitioned by
+    band keys.  Results: ``{work_dir}/admitted`` (the admitted docs,
+    ``batch=N`` partitions) and ``{work_dir}/sigs``.
+    """
+    import glob
+
+    from ..operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_cross,
+        minhash_signatures,
+    )
+
+    adm_dir = os.path.join(work_dir, "admitted")
+    sig_dir = os.path.join(work_dir, "sigs")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdir = os.path.join(adm_dir, f"batch={batch_id}")
+        if os.path.isdir(bdir):  # replayed batch: already committed
+            return
+        batch = batch_df.select(id_col, text_col).persist()
+        if batch.count() == 0:
+            batch.unpersist()
+            return
+        self_pairs = minhash_lsh_pairs(
+            batch, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            threshold=threshold)
+        rejected = self_pairs.select(F.col("id_b").alias(id_col))
+        survivors = batch.join(rejected.distinct(), on=id_col,
+                               how="left_anti").persist()
+        have_sigs = bool(glob.glob(os.path.join(sig_dir, "*", "*.parquet")))
+        if have_sigs:
+            old_sigs = spark.read.parquet(os.path.join(sig_dir, "*"))
+            cross = minhash_lsh_pairs_cross(
+                survivors, old_signatures=old_sigs, id_col=id_col,
+                text_col=text_col, num_hashes=num_hashes, bands=bands,
+                shingle_k=shingle_k, threshold=threshold)
+            dupes = cross.select(F.col("new_id").alias(id_col)).distinct()
+            admitted = survivors.join(dupes, on=id_col, how="left_anti")
+        else:
+            admitted = survivors
+        admitted = admitted.persist()
+        sigs = minhash_signatures(
+            admitted, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_k=shingle_k)
+        # signatures first, docs last: the docs directory is the commit
+        # marker the replay check reads, so a crash between the two
+        # writes replays into a sig overwrite, never a lost batch
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch={batch_id}"))
+        admitted.write.mode("overwrite").parquet(bdir)
+        admitted.unpersist()
+        survivors.unpersist()
+        batch.unpersist()
+
+    q = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
 
 
 def _schemas(dims: int) -> tuple[StructType, StructType]:

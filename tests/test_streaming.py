@@ -1017,3 +1017,56 @@ def test_streaming_windowed_quantiles_bad_args(spark):
     with pytest.raises(ValueError):
         streaming_windowed_quantiles(src, "v", lo=0.0, hi=1.0,
                                      quantiles=(0.0,))
+
+
+def test_streaming_minhash_admission_end_to_end(spark, tmp_path):
+    """The incremental-dedup ADMISSION loop executed as a stream: two
+    micro-batches of documents; within-batch near-dups are rejected
+    keep-first, cross-batch near-dups are rejected against the
+    signature store built from batch 1's admissions, and a full replay
+    over the same work dir admits nothing twice."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_minhash_admission,
+    )
+
+    uniq1 = "the quick brown fox jumps over the lazy dog " * 8
+    uniq2 = "pack my box with five dozen liquor jugs today " * 8
+    uniq3 = "sphinx of black quartz judge my vow tonight ok " * 8
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    # batch 1: 1 admitted, 2 == dup of 1 (within-batch), 3 admitted
+    (data_dir / "a.txt").write_text(
+        f"1|{uniq1}\n2|{uniq1}\n3|{uniq2}\n")
+    # batch 2: 10 == dup of 1 (cross-batch), 11 admitted,
+    # 12 == dup of 11 (within-batch)
+    (data_dir / "b.txt").write_text(
+        f"10|{uniq1}\n11|{uniq3}\n12|{uniq3}\n")
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1)
+               .load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    work = str(tmp_path / "work")
+    run_streaming_minhash_admission(docs_stream(), work, threshold=0.5)
+    admitted = spark.read.parquet(f"{work}/admitted/*")
+    got = sorted(r.doc_id for r in admitted.collect())
+    assert got == [1, 3, 11]
+    # the signature store covers exactly the admitted docs
+    sigs = spark.read.parquet(f"{work}/sigs/*")
+    assert sorted(r.doc_id for r in sigs.collect()) == [1, 3, 11]
+
+    # full replay (fresh checkpoint, same work dir): batch dirs exist,
+    # nothing is admitted twice
+    import shutil
+
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_minhash_admission(docs_stream(), work, threshold=0.5)
+    again = sorted(r.doc_id for r in
+                   spark.read.parquet(f"{work}/admitted/*").collect())
+    assert again == [1, 3, 11]
