@@ -166,6 +166,8 @@ from flink_skyline_qos_spark.operators.kmeans import (  # noqa: E402
     kmeans_assign_sql,
     kmeans_balanced_sample,
     kmeans_balanced_sample_sql,
+    pq_adc_rerank,
+    pq_adc_rerank_sql,
     pq_adc_topk,
     pq_adc_topk_sql,
     pq_encode,
@@ -1058,6 +1060,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            iterations=2, dp=4, topk=10)
     q["pq_adc_topk_embeddings"] = _pq_adc
 
+    # two-stage search (the production PQ pattern): ADC shortlist over
+    # codes, exact cosine re-rank over shortlist x queries only
+    def _pq_rerank(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return pq_adc_rerank(emb, qs, dim=64, m=4, k=16, iterations=2,
+                             dp=4, shortlist=50, topk=10)
+    q["pq_adc_rerank_embeddings"] = _pq_rerank
+
     # --- ANN quality evaluation: recall@10 of the compressed ADC
     # search against the exact cosine top-k — the metric that decides
     # whether a PQ configuration is shippable.  Pure composition of
@@ -1556,6 +1568,12 @@ WHERE list_dot_product(a.v, b.v)
         "SELECT vec_id AS query_id, embedding FROM embeddings "
         "WHERE vec_id < 5",
         dim=64, m=4, k=16, iterations=2, dp=4, topk=10)
+
+    o["pq_adc_rerank_embeddings"] = pq_adc_rerank_sql(
+        "SELECT * FROM embeddings",
+        "SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id < 5",
+        dim=64, m=4, k=16, iterations=2, dp=4, shortlist=50, topk=10)
 
     o["ann_recall_adc_embeddings"] = f"""
 WITH __ex AS ({o["ann_topk_embeddings"]}),

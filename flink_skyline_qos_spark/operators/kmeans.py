@@ -42,7 +42,8 @@ from .caching import release_on_gc
 __all__ = ["kmeans_assign", "kmeans_assign_sql",
            "kmeans_balanced_sample", "kmeans_balanced_sample_sql",
            "pq_encode", "pq_encode_sql",
-           "pq_adc_topk", "pq_adc_topk_sql"]
+           "pq_adc_topk", "pq_adc_topk_sql",
+           "pq_adc_rerank", "pq_adc_rerank_sql"]
 
 
 def _quantize(vec_col: str, dp: int) -> Column:
@@ -533,4 +534,87 @@ SELECT a.{id_col}, a.cluster
 FROM __asg a JOIN __sz s USING (cluster)
 WHERE {b} < CAST(floor(LEAST(1.0, {float(target)!r} /
       CAST(s.n AS DOUBLE)) * {float(_BUCKETS)!r}) AS BIGINT)
+""".strip()
+
+
+def pq_adc_rerank(corpus: DataFrame, queries: DataFrame, *,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  query_id_col: str = "query_id", dim: int, m: int = 4,
+                  k: int = 16, iterations: int = 2, dp: int = 4,
+                  shortlist: int = 50, topk: int = 10) -> DataFrame:
+    """Two-stage ANN search — the production PQ pattern: the cheap ADC
+    scan produces a `shortlist` per query (codes only, never floats),
+    then ONLY those shortlist rows fetch their true vectors for an
+    exact cosine re-rank to `topk`.  Recall is set by the shortlist
+    depth; the expensive exact math touches queries×shortlist rows
+    instead of the corpus.
+
+    Returns ``(query_id_col, id_col, cos_sim, rank)`` like
+    `cosine_topk` (cos_sim rounded to 6 dp — the repo's cross-engine
+    float convention), so re-ranked quality can be compared
+    directly against the exact and single-stage ADC forms.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import cosine_similarity
+
+    if shortlist < topk:
+        raise ValueError("shortlist must be >= topk")
+    short = pq_adc_topk(
+        corpus, queries, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, dim=dim, m=m, k=k,
+        iterations=iterations, dp=dp, topk=shortlist
+    ).select(query_id_col, id_col)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec = corpus.select(F.col(id_col), dbl.alias("__cv"))
+    qvec = queries.select(F.col(query_id_col), dbl.alias("__qv2"))
+    joined = (short.join(cvec, on=id_col)
+              .join(F.broadcast(qvec), on=query_id_col))
+    cos = F.round(cosine_similarity(F.col("__qv2"), F.col("__cv")), 6)
+    w = Window.partitionBy(query_id_col) \
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (joined.select(query_id_col, id_col, cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk))
+
+
+def pq_adc_rerank_sql(corpus_sql: str, queries_sql: str, *,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      query_id_col: str = "query_id", dim: int,
+                      m: int = 4, k: int = 16, iterations: int = 2,
+                      dp: int = 4, shortlist: int = 50,
+                      topk: int = 10) -> str:
+    """DuckDB twin of :func:`pq_adc_rerank` — the ADC twin at
+    `shortlist` wrapped by the exact-cosine re-rank (list_dot_product
+    arithmetic identical to the ann_topk oracle)."""
+    if shortlist < topk:
+        raise ValueError("shortlist must be >= topk")
+    adc = pq_adc_topk_sql(
+        corpus_sql, queries_sql, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, dim=dim, m=m, k=k,
+        iterations=iterations, dp=dp, topk=shortlist)
+    cos = ("list_dot_product(q.__qv2, c.__cv) / "
+           "(sqrt(list_dot_product(q.__qv2, q.__qv2)) * "
+           "sqrt(list_dot_product(c.__cv, c.__cv)))")
+    return f"""
+WITH __short AS ({adc}),
+__cv AS (SELECT {id_col},
+                CAST({vec_col} AS DOUBLE[]) AS __cv
+         FROM ({corpus_sql})),
+__qv AS (SELECT {query_id_col},
+                CAST({vec_col} AS DOUBLE[]) AS __qv2
+         FROM ({queries_sql})),
+__scored AS (
+  SELECT s.{query_id_col}, s.{id_col},
+         round({cos}, 6) AS cos_sim
+  FROM __short s
+  JOIN __cv c ON c.{id_col} = s.{id_col}
+  JOIN __qv q ON q.{query_id_col} = s.{query_id_col}
+)
+SELECT {query_id_col}, {id_col}, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY {query_id_col}
+                               ORDER BY cos_sim DESC, {id_col}) AS rank
+  FROM __scored
+) WHERE rank <= {topk}
 """.strip()

@@ -274,3 +274,45 @@ def test_pq_sql_builders_validate_args():
         pq_encode_sql("t", dim=64, m=5)  # m does not divide dim
     with pytest.raises(ValueError):
         pq_adc_topk_sql("t", "q", dim=64, m=4, topk=0)
+
+
+def test_pq_adc_rerank_improves_recall(spark, embeddings, sf_dir):
+    """The two-stage pattern's whole point: re-ranked recall@10 must
+    dominate the single-stage ADC recall@10 (the shortlist contains
+    the ADC top-10 by construction, and the exact re-rank can only
+    promote true neighbors into the final 10)."""
+    from flink_skyline_qos_spark.operators.kmeans import (
+        pq_adc_rerank,
+        pq_adc_topk,
+    )
+    from flink_skyline_qos_spark.operators.similarity import cosine_topk
+
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in
+             cosine_topk(embeddings, qs, k=10).collect()}
+
+    def recall(df):
+        hits = {(r.query_id, r.vec_id) for r in df.collect()} & exact
+        return len(hits) / len(exact)
+
+    adc = pq_adc_topk(embeddings, qs, dim=64, m=4, k=16, iterations=2,
+                      dp=4, topk=10)
+    rer = pq_adc_rerank(embeddings, qs, dim=64, m=4, k=16,
+                        iterations=2, dp=4, shortlist=50, topk=10)
+    r_adc, r_rer = recall(adc), recall(rer)
+    assert r_rer >= r_adc
+    assert r_rer > 0.3  # 5x shortlist recovers a solid share at 16 bits
+
+
+def test_pq_adc_rerank_validates_shortlist(spark, embeddings):
+    from flink_skyline_qos_spark.operators.kmeans import (
+        pq_adc_rerank,
+        pq_adc_rerank_sql,
+    )
+
+    with pytest.raises(ValueError):
+        pq_adc_rerank(embeddings, embeddings, dim=64, shortlist=5,
+                      topk=10)
+    with pytest.raises(ValueError):
+        pq_adc_rerank_sql("t", "q", dim=64, shortlist=1, topk=10)
