@@ -57,6 +57,12 @@ HEADLINE = [
     "pq_codes_embeddings",
     "triangles_suppliers",
     "count_min_tokens_documents",
+    # round-4 (cont.): incremental dedup + event analytics + gates
+    "incremental_dedup_documents",
+    "funnel_events",
+    "retention_events",
+    "mad_outliers_events",
+    "quantile_bins_events",
 ]
 
 
