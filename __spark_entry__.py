@@ -542,6 +542,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_events"] = lambda s, d: funnel(
         load_table(s, d, "events"), ["view", "click", "purchase"])
 
+    # JSON schema-on-read (P1's companion wire format): extract the
+    # typed payload field from the props JSON column scan-side and
+    # aggregate -- get_json_object stays inside codegen, no Python
+    def _json_props(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
+        return (ev.select("event_type", k.alias("__k"))
+                .where(F.col("__k").isNotNull())
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("__k").alias("sum_k"),
+                     F.round(F.avg("__k"), 6).alias("mean_k")))
+    q["json_props_events"] = _json_props
+
     # cohort retention: first-active-day cohorts x day offsets —
     # shuffles bounded by user x period cardinality, never event volume
     q["retention_events"] = lambda s, d: retention(
@@ -1594,6 +1608,14 @@ FROM __q q LEFT JOIN __hit h USING (query_id)
     o["funnel_events"] = funnel_sql(
         "SELECT user_id, ts, event_type FROM events",
         ["view", "click", "purchase"])
+
+    o["json_props_events"] = (
+        "SELECT event_type, count(*)::BIGINT AS n, "
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) "
+        "AS mean_k FROM events "
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL "
+        "GROUP BY event_type")
 
     o["retention_events"] = retention_sql(
         "SELECT user_id, ts FROM events", granularity="day")
