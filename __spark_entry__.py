@@ -1054,6 +1054,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"), dim=64, k=8, iterations=2,
             dp=4, target=20)
 
+    # --- embedding-curation capstone: the full vector-side pipeline in
+    # ONE query — SemDeDup-style dedup (LSH pairs → components →
+    # canonical) → exact-integer k-means over the survivors →
+    # cluster-balanced sample: the diversity-preserving curated subset
+    # a training mix starts from.  Every stage is a registered op.
+    def _curation_capstone(s: SparkSession, d: str) -> DataFrame:
+        emb = load_table(s, d, "embeddings")
+        pairs = embedding_near_dup_lsh(
+            emb, threshold=0.35, n_planes=32, bands=8)
+        labeled = dedup_clusters(
+            emb, pairs.select("id_a", "id_b"), id_col="vec_id")
+        canon = labeled.filter(F.col("is_canonical")).select("vec_id")
+        kept = emb.join(canon, on="vec_id")
+        return kmeans_balanced_sample(
+            kept, dim=64, k=8, iterations=2, dp=4, target=20)
+    q["curation_capstone_embeddings"] = _curation_capstone
+
     # --- product quantization: per-subspace exact-integer codebooks,
     # one packed BIGINT code per vector (m·log2(k) bits) — the ANN
     # compression step that fits a billion-vector index in memory.
@@ -1553,6 +1570,14 @@ reach(node, comp) AS (
 SELECT node AS vec_id, min(comp) AS cluster_id
 FROM reach GROUP BY node HAVING min(comp) = node
 """.strip()
+
+    # capstone: canonical set (the recursive dedup oracle) joined back
+    # to the vectors, then the composed kmeans + balanced-sample twin
+    o["curation_capstone_embeddings"] = kmeans_balanced_sample_sql(
+        "SELECT e.* FROM embeddings e JOIN ("
+        + o["embedding_dedup_corpus"]
+        + ") c ON c.vec_id = e.vec_id",
+        dim=64, k=8, iterations=2, dp=4, target=20)
 
     o["embedding_near_dup"] = """
 WITH d AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings)

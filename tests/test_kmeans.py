@@ -316,3 +316,18 @@ def test_pq_adc_rerank_validates_shortlist(spark, embeddings):
                       topk=10)
     with pytest.raises(ValueError):
         pq_adc_rerank_sql("t", "q", dim=64, shortlist=1, topk=10)
+
+
+def test_curation_capstone_invariants(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    capstone = q["curation_capstone_embeddings"](spark, sf_dir)
+    dedup = q["embedding_dedup_corpus"](spark, sf_dir)
+    rows = capstone.collect()
+    canon = {r.vec_id for r in dedup.collect()}
+    # every sampled row is a canonical (deduped) vector
+    assert {r.vec_id for r in rows} <= canon
+    # the sample is a strict, non-empty, multi-cluster subset
+    assert 0 < len(rows) < len(canon)
+    assert len({r.cluster for r in rows}) > 1
