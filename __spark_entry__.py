@@ -133,6 +133,8 @@ from flink_skyline_qos_spark.operators.funnel import (  # noqa: E402
     funnel_sql,
     retention,
     retention_sql,
+    user_growth,
+    user_growth_sql,
 )
 from flink_skyline_qos_spark.operators.stats import (  # noqa: E402
     corr_matrix,
@@ -560,6 +562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shuffles bounded by user x period cardinality, never event volume
     q["retention_events"] = lambda s, d: retention(
         load_table(s, d, "events"), granularity="day")
+
+    # daily growth report: dau / first-seen / cumulative distinct
+    # users; the running sum's window is over O(days) rows, not events
+    q["user_growth_events"] = lambda s, d: user_growth(
+        load_table(s, d, "events"))
 
     # robust anomaly flagging: |x - median| > 3.5 MAD per event type
     # (heavy-tail-safe, unlike mean/stddev z-scores); two broadcast
@@ -1644,6 +1651,9 @@ FROM __q q LEFT JOIN __hit h USING (query_id)
 
     o["retention_events"] = retention_sql(
         "SELECT user_id, ts FROM events", granularity="day")
+
+    o["user_growth_events"] = user_growth_sql(
+        "SELECT user_id, ts FROM events")
 
     o["mad_outliers_events"] = mad_outliers_sql(
         "SELECT event_id, event_type, value FROM events",

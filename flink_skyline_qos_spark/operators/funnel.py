@@ -26,7 +26,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_sql", "retention", "retention_sql"]
+__all__ = ["funnel", "funnel_sql", "retention", "retention_sql",
+           "user_growth", "user_growth_sql"]
 
 
 def funnel(df: DataFrame, steps: Sequence[str], *,
@@ -152,4 +153,59 @@ SELECT c AS cohort,
        count(*)::BIGINT AS n_users
 FROM __active a JOIN __cohort USING (u)
 GROUP BY 1, 2
+""".strip()
+
+
+def user_growth(df: DataFrame, *, user_col: str = "user_id",
+                ts_col: str = "ts") -> DataFrame:
+    """Daily growth report: ``day, dau, new_users, cum_users`` — daily
+    active users, first-seen users, and the running total of distinct
+    users ever seen (the growth curve).
+
+    The cumulative count needs NO giant window: cum_users(d) = Σ
+    new_users(d') for d' ≤ d, a running sum over one row per DAY
+    (≤ a few thousand rows at any horizon), while dau/new_users are
+    map-side-combined aggregates over distinct (user, day) — shuffles
+    bounded by user×day cardinality, never event volume.
+    """
+    from pyspark.sql.window import Window
+
+    per = F.date_trunc("day", F.col(ts_col)).cast("date")
+    active = (df.where(F.col(user_col).isNotNull()
+                       & F.col(ts_col).isNotNull())
+              .select(F.col(user_col).alias("__u"), per.alias("day"))
+              .distinct())
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    first = active.groupBy("__u").agg(F.min("day").alias("day"))
+    new = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    # the day-level frame is tiny: the running sum's single-partition
+    # window is over O(days) rows, not events
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (dau.join(new, on="day", how="left")
+            .select("day", "dau",
+                    F.coalesce(F.col("new_users"),
+                               F.lit(0).cast("long")).alias("new_users"))
+            .withColumn("cum_users", F.sum("new_users").over(w)))
+
+
+def user_growth_sql(table_sql: str, *, user_col: str = "user_id",
+                    ts_col: str = "ts") -> str:
+    """DuckDB twin of :func:`user_growth`."""
+    return f"""
+WITH __active AS (
+  SELECT DISTINCT {user_col} AS u,
+         CAST(date_trunc('day', {ts_col}) AS DATE) AS day
+  FROM ({table_sql})
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+__dau AS (SELECT day, count(*)::BIGINT AS dau FROM __active GROUP BY day),
+__first AS (SELECT u, min(day) AS day FROM __active GROUP BY u),
+__new AS (SELECT day, count(*)::BIGINT AS new_users
+          FROM __first GROUP BY day)
+SELECT d.day, d.dau,
+       COALESCE(n.new_users, 0)::BIGINT AS new_users,
+       sum(COALESCE(n.new_users, 0))
+         OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_users
+FROM __dau d LEFT JOIN __new n USING (day)
 """.strip()

@@ -334,3 +334,36 @@ def test_mad_outliers_ungrouped_and_bad_threshold(spark):
         mad_outliers(df, "value", threshold=0)
     with pytest.raises(ValueError):
         mad_outliers_sql("t", "value", threshold=-1)
+
+
+def test_user_growth_crafted_and_oracle(spark, events, sf_dir):
+    from datetime import datetime
+
+    from flink_skyline_qos_spark.operators.funnel import (
+        user_growth,
+        user_growth_sql,
+    )
+
+    D = lambda d: datetime(2024, 1, d)
+    rows = [(1, D(1)), (2, D(1)), (1, D(2)), (3, D(2)), (1, D(4))]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {r.day.isoformat(): (r.dau, r.new_users, r.cum_users)
+           for r in user_growth(df).collect()}
+    assert got == {
+        "2024-01-01": (2, 2, 2),
+        "2024-01-02": (2, 1, 3),   # u1 returning + u3 new
+        "2024-01-04": (1, 0, 3),   # returning only; cum flat
+    }
+    # oracle parity on the real table
+    real = sorted(tuple(r) for r in user_growth(events).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW raw AS SELECT * FROM '{sf_dir}/events.parquet'")
+    con.sql("CREATE VIEW events AS SELECT * REPLACE "
+            "(CAST(ts AS TIMESTAMP) AS ts) FROM raw")
+    want = sorted(tuple(r) for r in con.sql(user_growth_sql(
+        "SELECT user_id, ts FROM events")).fetchall())
+    assert real == want
+    # growth-curve invariants
+    by_day = sorted(real)
+    assert all(b[3] >= a[3] for a, b in zip(by_day, by_day[1:]))
+    assert by_day[-1][3] == sum(r[2] for r in by_day)
