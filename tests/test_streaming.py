@@ -1041,6 +1041,15 @@ def test_streaming_minhash_admission_end_to_end(spark, tmp_path):
     # 12 == dup of 11 (within-batch)
     (data_dir / "b.txt").write_text(
         f"10|{uniq1}\n11|{uniq3}\n12|{uniq3}\n")
+    # the file source orders batches by modification time: equal
+    # mtimes (same-tick writes) would make batch order — and hence
+    # which duplicate wins admission — nondeterministic
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(data_dir / "a.txt", (now - 10, now - 10))
+    _os.utime(data_dir / "b.txt", (now, now))
 
     def docs_stream():
         raw = (spark.readStream.format("text")
