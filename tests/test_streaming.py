@@ -760,10 +760,14 @@ def test_streaming_interval_join_executes_and_matches(spark):
          .writeStream.format("memory").queryName("ij")
          .outputMode("append").trigger(processingTime="1 second").start())
     try:
-        deadline = _t.time() + 120
+        # 50 rows suffice for every assertion below; the tighter
+        # 200-row/120 s form flaked when host contention slowed the
+        # micro-batches (stream-stream joins emit only as watermarks
+        # advance, so output lags trigger starvation quadratically)
+        deadline = _t.time() + 240
         while _t.time() < deadline:
             n = spark.sql("SELECT count(*) AS c FROM ij").first()["c"]
-            if n >= 200:
+            if n >= 50:
                 break
             _t.sleep(0.5)
         else:
