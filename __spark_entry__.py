@@ -1643,7 +1643,8 @@ FROM __q q LEFT JOIN __hit h USING (query_id)
 
     o["json_props_events"] = (
         "SELECT event_type, count(*)::BIGINT AS n, "
-        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT "
+        "AS sum_k, "
         "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) "
         "AS mean_k FROM events "
         "WHERE json_extract_string(props, '$.k') IS NOT NULL "

@@ -361,7 +361,7 @@ def link_rank_sql(edges_sql: str, *, iterations: int = 3,
             f"ON nd.node = s.node)")
         prev = cur
     return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT node, r AS rank_int, "
+            + f"\nSELECT node, CAST(r AS BIGINT) AS rank_int, "
               f"CAST(r AS DOUBLE) / {float(scale)!r} AS rank FROM {prev}")
 
 
