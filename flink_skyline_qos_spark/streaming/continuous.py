@@ -326,9 +326,17 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         rejected = self_pairs.select(F.col("id_b").alias(id_col))
         survivors = batch.join(rejected.distinct(), on=id_col,
                                how="left_anti").persist()
-        have_sigs = bool(glob.glob(os.path.join(sig_dir, "*", "*.parquet")))
-        if have_sigs:
-            old_sigs = spark.read.parquet(os.path.join(sig_dir, "*"))
+        # Only signatures of COMMITTED batches (those whose admitted-docs
+        # commit marker exists) join the cross-check.  A sig dir without
+        # its docs dir is an orphan from a crash between the two writes;
+        # reading it here would match this replay's survivors against
+        # themselves (est_jaccard=1.0) and silently drop the batch.  The
+        # replay overwrites the orphan below, so skipping it is safe.
+        committed = [d for d in glob.glob(os.path.join(sig_dir, "batch=*"))
+                     if os.path.isdir(os.path.join(
+                         adm_dir, os.path.basename(d)))]
+        if committed:
+            old_sigs = spark.read.parquet(*committed)
             cross = minhash_lsh_pairs_cross(
                 survivors, old_signatures=old_sigs, id_col=id_col,
                 text_col=text_col, num_hashes=num_hashes, bands=bands,

@@ -1083,3 +1083,16 @@ def test_streaming_minhash_admission_end_to_end(spark, tmp_path):
     again = sorted(r.doc_id for r in
                    spark.read.parquet(f"{work}/admitted/*").collect())
     assert again == [1, 3, 11]
+
+    # crash replay: a crash between the sigs write and the docs commit
+    # marker leaves an ORPHAN sigs/batch=1 with no admitted/batch=1.
+    # The replay must not cross-check batch 1's survivors against their
+    # own orphaned signatures (self-match would drop doc 11 forever).
+    shutil.rmtree(f"{work}/admitted/batch=1")
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_minhash_admission(docs_stream(), work, threshold=0.5)
+    after_crash = sorted(r.doc_id for r in
+                         spark.read.parquet(f"{work}/admitted/*").collect())
+    assert after_crash == [1, 3, 11]
+    sigs2 = spark.read.parquet(f"{work}/sigs/*")
+    assert sorted(r.doc_id for r in sigs2.collect()) == [1, 3, 11]
