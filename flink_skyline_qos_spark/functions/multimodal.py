@@ -6,13 +6,19 @@ frame-sample are Arrow-batched ``mapInPandas`` stages so a 100 TB corpus
 streams through Python in columnar batches without ever materializing
 rows on the driver.
 
-This container has no image/audio libraries, so the *codec* is a
-deterministic fake (`FIMG`/`FAUD`/`FVID` packets whose geometry derives
-from md5(doc_id)); the real-library path is stubbed behind
-``decode_image_real`` (NotImplementedError, clearly marked).  Everything
-Spark-side — schema, batch iteration, UDF signatures, partition safety —
-is real and tested.  The fake geometry is reproducible from the id alone,
-which is what lets the DuckDB oracle check the full pack→decode loop.
+Two codec tiers:
+
+* the deterministic FAKE containers (`FIMG`/`FAUD`/`FVID` packets whose
+  geometry derives from md5(doc_id)) — cheap, fully oracle-checkable;
+* REAL public formats, dependency-free: uncompressed 24-bit BMP and
+  16-bit PCM WAV encode/decode in pure NumPy (:func:`encode_bmp` /
+  :func:`decode_bmp` / :func:`encode_wav` / :func:`decode_wav`), wired
+  through the same mapInPandas plumbing (:func:`pack_real_media` /
+  :func:`decode_media_real`).  Video stays on the fake container (no
+  dependency-free public video container is practical).
+
+Geometry in both tiers is reproducible from the id alone, which is what
+lets the DuckDB oracle check the full pack→decode loop.
 """
 
 from __future__ import annotations
@@ -32,6 +38,13 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "audio_features",
+    "encode_bmp",
+    "decode_bmp",
+    "encode_wav",
+    "decode_wav",
+    "pack_real_media",
+    "decode_media_real",
+    "decode_media_real_sql",
     "decode_image_real",
 ]
 
@@ -258,15 +271,225 @@ def audio_features(media: DataFrame) -> DataFrame:
                      "duration_s double, rms double")
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs — dependency-free NumPy implementations of two public
+# container formats: BMP (Windows DIB, uncompressed 24-bit BI_RGB,
+# bottom-up, 4-byte row stride) and WAV (RIFF/WAVE, 16-bit little-endian
+# PCM).  Format layout is public knowledge (BITMAPFILEHEADER +
+# BITMAPINFOHEADER; RIFF 'fmt '/'data' chunks).  These close the stub the
+# fake `FIMG`/`FAUD` codec stood in for: the Spark plumbing is identical,
+# only the bytes are now a format any external tool can read.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an uncompressed 24-bit
+    BMP (BI_RGB, bottom-up rows, BGR byte order, 4-byte-aligned stride)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp wants an (h, w, 3) uint8 array")
+    h, w, _ = px.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    body = rows.tobytes()
+    file_size = 14 + 40 + len(body)
+    header = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def decode_bmp(data: bytes) -> "tuple[int, int, 'np.ndarray']":
+    """Decode an uncompressed 24-bit BMP → ``(width, height, (h, w, 3)
+    uint8 RGB array)``.  Handles both bottom-up (positive height) and
+    top-down (negative height) DIBs; rejects compressed / non-24-bit."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size, w, h_signed, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", data, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    h = abs(h_signed)
+    stride = (3 * w + 3) // 4 * 4
+    raw = np.frombuffer(data, dtype=np.uint8,
+                        count=h * stride, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    px = rows[:, :, ::-1]  # BGR → RGB
+    if h_signed > 0:
+        px = px[::-1]  # bottom-up → top-down
+    return w, h, np.ascontiguousarray(px)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a mono 16-bit PCM RIFF/WAVE file."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    body = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> "tuple[int, int, 'np.ndarray']":
+    """Decode a PCM RIFF/WAVE file → ``(sample_rate, channels, int16
+    array)``.  Walks the chunk list (so extra chunks like LIST are
+    skipped); rejects non-PCM or non-16-bit encodings."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, sr, ch, bits, body = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, clen = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        payload = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH",
+                                                               payload, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            body = payload
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or body is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    return sr, ch, np.frombuffer(body, dtype="<i2").copy()
+
+
+def _real_pack_one(doc_id: int) -> tuple[str, bytes, int, int, int, int]:
+    """Deterministic REAL-format blob per id: same md5 geometry as the
+    fake codec (so the DuckDB oracle recomputes it from the id), but the
+    bytes are genuine BMP/WAV that any external decoder reads.  Video
+    stays on the fake `FVID` container (no dependency-free public
+    container is practical); images cap at 64×64 and audio at 4096
+    samples to bound blob size, mirroring the fake codec's 4096 cap."""
+    import numpy as np
+
+    kind, w, h, sr, nf = _geometry(doc_id)
+    if kind == "image":
+        w, h = 8 + w % 57, 8 + h % 57  # 8..64: real pixels, bounded bytes
+        raw = _payload(doc_id, w * h * 3)
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return kind, encode_bmp(px), w, h, 0, 0
+    if kind == "audio":
+        n_samples = min(sr // 4, 4096)
+        raw = _payload(doc_id, n_samples * 2)
+        samples = np.frombuffer(raw, dtype="<i2")
+        return kind, encode_wav(samples, sr), 0, 0, sr, 0
+    body = _payload(doc_id, min(nf * 16, 4096))
+    return kind, _MAGIC["video"] + struct.pack(">I", nf) + body, 0, 0, 0, nf
+
+
+def pack_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Like :func:`pack_fake_media` but the blobs are REAL BMP/WAV bytes
+    (video remains the fake container).  Geometry is still a pure md5
+    function of the id, keeping the decode oracle-checkable."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            packed = [_real_pack_one(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "media_type": [p[0] for p in packed],
+                "media": [p[1] for p in packed],
+                "width": pd.Series([p[2] for p in packed], dtype="int32"),
+                "height": pd.Series([p[3] for p in packed], dtype="int32"),
+                "sample_rate": pd.Series([p[4] for p in packed],
+                                         dtype="int32"),
+                "n_frames": pd.Series([p[5] for p in packed], dtype="int32"),
+            })
+
+    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_DECODE_REAL_SCHEMA = ("doc_id long, media_type string, width int, "
+                       "height int, sample_rate int, n_samples int, "
+                       "n_frames int, n_bytes long, mean_px double")
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """REAL decode: sniff each blob's container magic (``BM`` → BMP,
+    ``RIFF`` → WAV, ``FVID`` → fake video) and parse it with the NumPy
+    codecs above — metadata comes only from the BYTES, never from the
+    sidecar columns.  `mean_px` is the mean decoded pixel value / the
+    mean |sample| (true content statistics, not header fields).
+    Undecodable blobs are dropped (the malformed-filter P2 analogue)."""
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                blob = bytes(blob)
+                try:
+                    if blob[:2] == b"BM":
+                        w, h, px = decode_bmp(blob)
+                        rows.append((int(doc_id), "image", w, h, None, None,
+                                     None, len(blob), float(px.mean())))
+                    elif blob[:4] == b"RIFF":
+                        sr, _ch, s = decode_wav(blob)
+                        rows.append((int(doc_id), "audio", None, None, sr,
+                                     len(s), None, len(blob),
+                                     float(np.abs(s.astype(np.int64)).mean())))
+                    elif blob[:4] == b"FVID":
+                        (nf,) = struct.unpack(">I", blob[4:8])
+                        rows.append((int(doc_id), "video", None, None, None,
+                                     None, nf, len(blob), None))
+                except (ValueError, struct.error):
+                    continue
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "sample_rate",
+                "n_samples", "n_frames", "n_bytes", "mean_px"])
+
+    return media.select("doc_id", "media").mapInPandas(
+        dec, schema=_DECODE_REAL_SCHEMA)
+
+
+def decode_media_real_sql(ids_table: str, id_col: str = "doc_id") -> str:
+    """DuckDB oracle for the REAL pack→decode loop: recompute the
+    md5-derived geometry AND the exact container byte length (BMP:
+    14+40+h·stride with 4-byte-aligned stride; WAV: 44+2·n_samples;
+    fake video: 8+body) from the id alone.  Content stats (`mean_px`)
+    are not SQL-reproducible and stay pytest-covered bit-exactly."""
+    def h(salt: str) -> str:
+        return (f"(('0x' || substr(md5({id_col}::VARCHAR || ':{salt}'), "
+                f"1, 8))::BIGINT)")
+
+    kind = (f"(['image', 'audio', 'video'])[({h('kind')} % 3) + 1]")
+    w = f"(8 + (16 + {h('w')} % 240) % 57)"
+    hh = f"(8 + (16 + {h('h')} % 240) % 57)"
+    sr = f"(8000 + ({h('sr')} % 5) * 8000)"
+    nf = f"(1 + {h('f')} % 300)"
+    ns = f"least({sr} // 4, 4096)"
+    stride = f"((3 * {w} + 3) // 4 * 4)"
+    nbytes = (f"CASE WHEN {kind} = 'image' THEN 54 + {hh} * {stride} "
+              f"WHEN {kind} = 'audio' THEN 44 + 2 * {ns} "
+              f"ELSE 8 + least({nf} * 16, 4096) END")
+    return (
+        f"SELECT {id_col} AS doc_id, {kind} AS media_type, "
+        f"cast(CASE WHEN {kind} = 'image' THEN {w} END as int) AS width, "
+        f"cast(CASE WHEN {kind} = 'image' THEN {hh} END as int) AS height, "
+        f"cast(CASE WHEN {kind} = 'audio' THEN {sr} END as int) "
+        f"AS sample_rate, "
+        f"cast(CASE WHEN {kind} = 'audio' THEN {ns} END as int) "
+        f"AS n_samples, "
+        f"cast(CASE WHEN {kind} = 'video' THEN {nf} END as int) AS n_frames, "
+        f"cast({nbytes} as bigint) AS n_bytes "
+        f"FROM {ids_table}"
+    )
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
-    """REAL image decode via PIL — STUB: the container ships no imaging
-    libraries.  Swap `_MAGIC`-fake parsing for `PIL.Image.open` here when
-    deploying somewhere with `pillow`; the mapInPandas contract is
-    identical to :func:`decode_media`."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode needs pillow; use decode_media (fake codec) "
-            "in this environment") from exc
-    raise NotImplementedError("real decode path not implemented yet")
+    """REAL image decode — resolved: BMP blobs are decoded by the
+    dependency-free NumPy codec (:func:`decode_bmp`) via
+    :func:`decode_media_real`; no imaging library needed.  Kept as the
+    image-only projection of the mixed-modality decode."""
+    return decode_media_real(media).where("media_type = 'image'")

@@ -6,9 +6,15 @@ from pyspark.sql import functions as F
 
 from flink_skyline_qos_spark.functions.multimodal import (
     audio_features,
+    decode_bmp,
     decode_image_real,
     decode_media,
+    decode_media_real,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     pack_fake_media,
+    pack_real_media,
     resize_images,
     sample_frames,
 )
@@ -90,6 +96,132 @@ def test_audio_features(media):
     assert row["rms"] > 0
 
 
-def test_real_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_image_real(media)
+# --- REAL codecs: dependency-free NumPy BMP / WAV -----------------------
+
+
+def test_bmp_round_trip_bit_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (2, 3), (33, 17), (64, 64)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        w2, h2, px2 = decode_bmp(blob)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(px, px2)
+        assert len(blob) == 54 + h * ((3 * w + 3) // 4 * 4)
+
+
+def test_bmp_golden_bytes():
+    """Decode (and re-encode) a hand-built spec-conformant BMP: 1×1 red
+    pixel, 54-byte header, BGR byte order, 4-byte row pad."""
+    import struct
+
+    import numpy as np
+
+    gold = (b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4,
+                          2835, 2835, 0, 0)
+            + bytes([0, 0, 255, 0]))
+    w, h, px = decode_bmp(gold)
+    assert (w, h) == (1, 1) and px.tolist() == [[[255, 0, 0]]]
+    assert encode_bmp(np.array([[[255, 0, 0]]], dtype=np.uint8)) == gold
+
+
+def test_bmp_top_down_and_rejects():
+    import struct
+
+    td = (b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+          + struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, 8,
+                        0, 0, 0, 0)
+          + bytes([1, 2, 3, 0, 4, 5, 6, 0]))
+    w, h, px = decode_bmp(td)
+    assert (w, h) == (1, 2)
+    assert px.tolist() == [[[3, 2, 1]], [[6, 5, 4]]]  # row 0 is TOP row
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG\x00garbage")
+    rle = (b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 1, 4, 0, 0, 0, 0)
+           + b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        decode_bmp(rle)  # 8-bit RLE: unsupported, must not mis-decode
+
+
+def test_wav_round_trip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for n in [1, 7, 4096]:
+        s = rng.integers(-32768, 32768, n, dtype=np.int16)
+        blob = encode_wav(s, 16000)
+        sr, ch, s2 = decode_wav(blob)
+        assert (sr, ch) == (16000, 1) and np.array_equal(s, s2)
+        assert len(blob) == 44 + 2 * n
+    # extra odd-length LIST chunk before data: the walk must skip it
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = np.array([100, -100, 7], dtype="<i2").tobytes()
+    inner = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+             + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+             + b"data" + struct.pack("<I", len(body)) + body)
+    sr, ch, s = decode_wav(b"RIFF" + struct.pack("<I", len(inner)) + inner)
+    assert sr == 8000 and s.tolist() == [100, -100, 7]
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+@pytest.fixture(scope="module")
+def real_media(spark, documents):
+    return pack_real_media(documents.limit(200)).cache()
+
+
+def test_pack_real_blobs_are_genuine_formats(real_media):
+    """Every packed blob opens with the public container magic and is
+    decodable by the standalone codec — no sidecar metadata needed."""
+    rows = real_media.select("media_type", "media").collect()
+    kinds = {r["media_type"] for r in rows}
+    assert kinds <= {"image", "audio", "video"} and len(kinds) >= 2
+    for r in rows:
+        blob = bytes(r["media"])
+        if r["media_type"] == "image":
+            assert blob[:2] == b"BM"
+            decode_bmp(blob)
+        elif r["media_type"] == "audio":
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+            decode_wav(blob)
+        else:
+            assert blob[:4] == b"FVID"
+
+
+def test_decode_media_real_bit_exact(real_media):
+    """Spark-side decode must reproduce, bit-exactly, what the local
+    NumPy decode of the same blobs yields — including the content stat
+    (mean pixel / mean |sample|) the oracle can't check."""
+    import numpy as np
+
+    dec = {r["doc_id"]: r for r in decode_media_real(real_media).collect()}
+    src = real_media.select("doc_id", "media_type", "media").collect()
+    assert len(dec) == len(src)
+    for r in src:
+        got = dec[r["doc_id"]]
+        blob = bytes(r["media"])
+        assert got["n_bytes"] == len(blob)
+        assert got["media_type"] == r["media_type"]
+        if r["media_type"] == "image":
+            w, h, px = decode_bmp(blob)
+            assert (got["width"], got["height"]) == (w, h)
+            assert got["mean_px"] == float(px.mean())
+        elif r["media_type"] == "audio":
+            sr, _, s = decode_wav(blob)
+            assert got["sample_rate"] == sr
+            assert got["n_samples"] == len(s)
+            assert got["mean_px"] == float(
+                np.abs(s.astype(np.int64)).mean())
+
+
+def test_decode_image_real_projects_images(real_media):
+    out = decode_image_real(real_media)
+    n_img = real_media.filter(F.col("media_type") == "image").count()
+    assert out.count() == n_img
+    assert {r["media_type"] for r in out.collect()} == {"image"}
