@@ -52,6 +52,7 @@ __all__ = [
     "skyline_auto",
     "grouped_skyline",
     "skyline_delta",
+    "skyline_delta_delete",
     "skyline_layers",
     "skyline_layers_sql",
 ]
@@ -564,14 +565,61 @@ def skyline_delta(base_skyline: DataFrame, inserts: DataFrame,
 
     `base_skyline` must be a (previously computed) skyline over the
     base set — e.g. yesterday's materialized view; `inserts` is the new
-    data.  DELETES are not expressible this way (a removed skyline
-    point may un-dominate arbitrary base rows; that requires a rescan
-    or dominance-count bookkeeping) and are intentionally unsupported.
+    data.  DELETES need :func:`skyline_delta_delete` (a removed skyline
+    point may expose rows it was hiding, which requires a bounded
+    re-peel of its dominated region).
 
     Cost: |skyline(A)| + |B| input rows — independent of |A|.
     """
     merged = base_skyline.select(*base_skyline.columns).unionByName(
         inserts.select(*base_skyline.columns))
+    return skyline(merged, cols, **skyline_kwargs)
+
+
+def skyline_delta_delete(base: DataFrame, base_skyline: DataFrame,
+                         deletes: DataFrame, cols: Sequence[str], *,
+                         keys: "Sequence[str] | None" = None,
+                         **skyline_kwargs) -> DataFrame:
+    """Incrementally maintain a materialized skyline under DELETES —
+    the half :func:`skyline_delta` can't express.
+
+    Identity: with ``S = skyline(A)``, ``surv = S ∖ D`` and ``dead =
+    S ∩ D`` (delete matching on `keys`, default all of `base`'s
+    columns), ::
+
+        skyline(A ∖ D) = skyline(surv ∪ C)
+        C = { x ∈ A ∖ D : ∃ d ∈ dead, d dominates x }
+
+    Every row of ``A ∖ D`` is either in S (→ surv) or dominated by some
+    skyline member; if ALL its skyline dominators died it is dominated
+    by one of them (→ C), else a surviving member still hides it.  So
+    ``surv ∪ C`` is a dominating subset of ``A ∖ D`` and shares its
+    skyline.  Deleting non-skyline rows alone leaves ``dead = ∅`` and
+    the view unchanged — no base touch beyond the candidate scan.
+
+    Scale shape: `dead` is a subset of the (small, broadcastable)
+    materialized skyline, so the candidate scan is ONE pass over the
+    base with a broadcast nested-loop semi-join (a scan-side predicate
+    — never a shuffle of A), and the final re-peel runs on
+    ``|surv| + |C|`` rows: the deleted members' dominated region only,
+    not the 100 TB corpus.  (Delete-side analogue of the reference's
+    incremental keyed-state merge, `FlinkSkyline.java:546-568`.)
+    """
+    keys = list(keys) if keys is not None else list(base.columns)
+    dels = deletes.select(*keys).distinct()
+    surv = base_skyline.join(F.broadcast(dels), on=keys, how="left_anti")
+    dead = base_skyline.join(F.broadcast(dels), on=keys, how="left_semi")
+    remaining = _complete(base, cols).join(
+        F.broadcast(dels), on=keys, how="left_anti")
+    dead_pts = dead.select(
+        *[F.col(c).alias(f"__dead_{c}") for c in cols]).distinct()
+    exposed = remaining.join(
+        F.broadcast(dead_pts),
+        on=dominates([F.col(f"__dead_{c}") for c in cols],
+                     [F.col(c) for c in cols]),
+        how="left_semi")
+    merged = surv.select(*base.columns).unionByName(
+        exposed.select(*base.columns))
     return skyline(merged, cols, **skyline_kwargs)
 
 

@@ -338,6 +338,55 @@ def test_skyline_delta_equals_full_recompute(spark, lineitem):
     assert got == want
 
 
+def test_skyline_delta_delete_equals_full_recompute(spark, lineitem):
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline, skyline_delta_delete)
+    dims = ["l_extendedprice", "l_discount"]
+    sel = ["l_orderkey", "l_linenumber"] + dims
+    base = lineitem.select(*sel)
+    # deletes include the min-price row — a guaranteed skyline member —
+    # so the exposure re-peel path actually runs
+    dels = base.where("l_extendedprice < 2000")
+    got = sorted(tuple(r) for r in skyline_delta_delete(
+        base, skyline(base, dims), dels, dims,
+        keys=["l_orderkey", "l_linenumber"]).collect())
+    want = sorted(tuple(r) for r in skyline(
+        base.where("l_extendedprice >= 2000"), dims).collect())
+    assert got == want
+    assert got  # non-degenerate: the shrunken view is non-empty
+
+
+def test_skyline_delta_delete_nonmember_is_noop(spark):
+    """Deleting only dominated rows must leave the view unchanged, and
+    the dead set is empty so no exposure candidates are generated."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline, skyline_delta_delete)
+    rows = [(1, 1.0, 5.0), (2, 5.0, 1.0), (3, 4.0, 6.0), (4, 6.0, 6.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    view = skyline(df, ["x", "y"])
+    dels = df.where("id = 4")
+    got = sorted(r["id"] for r in skyline_delta_delete(
+        df, view, dels, ["x", "y"], keys=["id"]).collect())
+    assert got == [1, 2]
+
+
+def test_skyline_delta_delete_exposes_hidden_region(spark):
+    """Deleting a skyline member promotes exactly the rows only IT was
+    dominating — including ties with the surviving frontier."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline, skyline_delta_delete)
+    rows = [(1, 1.0, 5.0), (2, 5.0, 1.0),       # frontier
+            (3, 2.0, 6.0), (4, 1.5, 5.5),        # hidden only by 1
+            (5, 6.0, 6.0)]                       # hidden by everyone
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    view = skyline(df, ["x", "y"])
+    got = sorted(r["id"] for r in skyline_delta_delete(
+        df, view, df.where("id = 1"), ["x", "y"], keys=["id"]).collect())
+    # 4 dominates 3; 5 still dominated by 2? no — (6,6) vs (5,1): 2
+    # dominates 5.  New frontier: {2, 4}
+    assert got == [2, 4]
+
+
 def test_skyline_layers_structure(spark):
     from flink_skyline_qos_spark.operators.skyline import skyline_layers
     # diagonal chain + a tie on layer 1
