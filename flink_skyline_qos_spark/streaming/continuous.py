@@ -39,7 +39,9 @@ __all__ = ["continuous_local_skylines", "run_streaming_minhash_admission",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
            "streaming_windowed_count_min", "streaming_windowed_hll",
-           "streaming_windowed_quantiles", "streaming_windowed_skyline"]
+           "streaming_windowed_quantiles", "streaming_windowed_skyline",
+           "streaming_windowed_count_min_sql", "streaming_windowed_hll_sql",
+           "streaming_windowed_quantiles_sql"]
 
 
 def streaming_windowed_hll(stream: DataFrame, key_col: str, *,
@@ -767,3 +769,160 @@ def start_continuous_global(local_updates: DataFrame, dims: int, *,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins for the windowed streaming sketches.  Append-mode
+# emission semantics reduce to SQL exactly: a tumbling window emits iff
+# it CLOSED — win_end ≤ max(event time) − watermark delay — and a closed
+# window's sketch state equals the batch aggregation over exactly that
+# window's rows (the property the executed pytest suite asserts).  The
+# builders below state that batch aggregation with the same md5/bin
+# arithmetic as the Spark forms, windowed by epoch-floor tumbling and
+# filtered to closed windows.
+# ---------------------------------------------------------------------------
+
+
+def _win_sql(ts_col: str, window_seconds: int) -> "tuple[str, str]":
+    # epoch-seconds BIGINT bounds (not timestamps): the Spark side emits
+    # the same cast, sidestepping naive-vs-aware datetime comparison
+    w = int(window_seconds)
+    start = f"CAST(floor(epoch({ts_col}) / {w}) * {w} AS BIGINT)"
+    end = f"CAST(floor(epoch({ts_col}) / {w}) * {w} + {w} AS BIGINT)"
+    return start, end
+
+
+def _closed_sql(table: str, ts_col: str, window_seconds: int,
+                delay_seconds: int) -> str:
+    w = int(window_seconds)
+    return (f"floor(epoch({ts_col}) / {w}) * {w} + {w} <= "
+            f"(SELECT epoch(max({ts_col})) FROM {table}) "
+            f"- {int(delay_seconds)}")
+
+
+def streaming_windowed_hll_sql(table: str, key_col: str, *,
+                               ts_col: str = "ts",
+                               window_seconds: int = 86400,
+                               delay_seconds: int = 3600,
+                               bucket_bits: int = 6) -> str:
+    """DuckDB twin of :func:`streaming_windowed_hll` under availableNow
+    replay: per closed tumbling window, the bit-identical HLL estimate
+    (:func:`~..operators.sketches.hll_distinct_sql` grouped by the
+    window bounds)."""
+    from ..operators.sketches import hll_distinct_sql
+
+    ws, we = _win_sql(ts_col, window_seconds)
+    closed = _closed_sql(table, ts_col, window_seconds, delay_seconds)
+    sub = (f"(SELECT {key_col}, {ws} AS win_start, {we} AS win_end "
+           f"FROM {table} WHERE {ts_col} IS NOT NULL AND {closed})")
+    return hll_distinct_sql(sub, key_col,
+                            group_cols=("win_start", "win_end"),
+                            bucket_bits=bucket_bits)
+
+
+def streaming_windowed_count_min_sql(table: str, item_col: str,
+                                     candidates: "Sequence[str]", *,
+                                     ts_col: str = "ts",
+                                     window_seconds: int = 86400,
+                                     delay_seconds: int = 3600,
+                                     depth: int = 4,
+                                     width: int = 256) -> str:
+    """DuckDB twin of :func:`streaming_windowed_count_min`: per closed
+    window, the candidate-projected count-min estimate with the same
+    md5 bucket arithmetic as the batch sketch."""
+    ws, we = _win_sql(ts_col, window_seconds)
+    closed = _closed_sql(table, ts_col, window_seconds, delay_seconds)
+    cands = ", ".join("'" + str(c).replace("'", "''") + "'"
+                      for c in candidates)
+
+    def bucket(item: str) -> str:
+        return (f"(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || "
+                f"CAST({item} AS VARCHAR)), 1, 15))::BIGINT "
+                f"% {int(width)})")
+
+    return f"""
+WITH __rows AS (SELECT unnest(range({int(depth)})) AS row),
+__e AS (
+  SELECT {item_col} AS item, {ws} AS win_start, {we} AS win_end
+  FROM {table} WHERE {ts_col} IS NOT NULL AND {closed}
+),
+__sk AS (
+  SELECT i.win_start, i.win_end, r.row AS row,
+         {bucket('i.item')} AS bucket, count(*)::BIGINT AS cnt
+  FROM __e i CROSS JOIN __rows r
+  WHERE i.item IS NOT NULL
+  GROUP BY ALL
+),
+__wins AS (SELECT DISTINCT win_start, win_end FROM __e),
+__cand AS (SELECT unnest([{cands}]) AS item)
+SELECT w.win_start, w.win_end, c.item,
+       min(COALESCE(s.cnt, 0))::BIGINT AS cm_est
+FROM __wins w CROSS JOIN __cand c CROSS JOIN __rows r
+LEFT JOIN __sk s
+  ON s.win_start = w.win_start AND s.win_end = w.win_end
+ AND s.row = r.row AND s.bucket = {bucket('c.item')}
+GROUP BY ALL
+""".strip()
+
+
+def streaming_windowed_quantiles_sql(table: str, value_col: str, *,
+                                     lo: float, hi: float,
+                                     nbins: int = 32,
+                                     quantiles: "Sequence[float]" = (0.5,
+                                                                     0.95),
+                                     ts_col: str = "ts",
+                                     window_seconds: int = 86400,
+                                     delay_seconds: int = 3600) -> str:
+    """DuckDB twin of :func:`streaming_windowed_quantiles`: per closed
+    window, the fixed-domain histogram quantile with the identical
+    clamp-bin and interpolation arithmetic (the first nonzero bin whose
+    cumulative count reaches q·n — provably the same bin the Spark
+    CASE-cascade picks, since a zero-count bin can never be first)."""
+    w = (float(hi) - float(lo)) / int(nbins)
+    ws, we = _win_sql(ts_col, window_seconds)
+    closed = _closed_sql(table, ts_col, window_seconds, delay_seconds)
+    qs = [float(q) for q in quantiles]
+    names = [f"q_{int(round(q * 100))}" for q in qs]
+    q_ctes, q_sel, q_join = [], [], []
+    for q, name in zip(qs, names):
+        est = (f"{float(lo)!r} + {w!r} * (CAST(bin AS DOUBLE) + "
+               f"({q!r} * CAST(n AS DOUBLE) "
+               f"- CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))")
+        q_ctes.append(
+            f"__{name} AS (SELECT win_start, win_end, n::BIGINT AS n, "
+            f"{est} AS {name} FROM __cum "
+            f"WHERE CAST(cum AS DOUBLE) >= {q!r} * CAST(n AS DOUBLE) "
+            f"QUALIFY row_number() OVER (PARTITION BY win_start, win_end "
+            f"ORDER BY bin) = 1)")
+        q_sel.append(f"__{name}.{name}")
+        q_join.append(f"__{name}")
+    joins = q_join[0]
+    for j in q_join[1:]:
+        joins += f" JOIN {j} USING (win_start, win_end)"
+    return f"""
+WITH __v AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v,
+         {ws} AS win_start, {we} AS win_end
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+    AND NOT isnan(CAST({value_col} AS DOUBLE))
+    AND {ts_col} IS NOT NULL AND {closed}
+),
+__c AS (
+  SELECT win_start, win_end,
+         greatest(0, least({int(nbins) - 1},
+                 floor((v - {float(lo)!r}) / {w!r})))::BIGINT AS bin,
+         count(*)::BIGINT AS cnt
+  FROM __v GROUP BY ALL
+),
+__cum AS (
+  SELECT win_start, win_end, bin, cnt,
+         sum(cnt) OVER (PARTITION BY win_start, win_end
+                        ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY win_start, win_end) AS n
+  FROM __c
+),
+{", ".join(q_ctes)}
+SELECT win_start, win_end, __{names[0]}.n, {", ".join(q_sel)}
+FROM {joins}
+""".strip()
