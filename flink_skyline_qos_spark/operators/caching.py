@@ -22,7 +22,7 @@ import weakref
 
 from pyspark.sql import DataFrame
 
-__all__ = ["release_on_gc"]
+__all__ = ["release_checkpoints_on_gc", "release_on_gc"]
 
 
 def release_on_gc(result: DataFrame, *pinned: DataFrame) -> DataFrame:
@@ -37,6 +37,35 @@ def release_on_gc(result: DataFrame, *pinned: DataFrame) -> DataFrame:
         for f in frames:
             try:
                 f.unpersist(False)
+            except Exception:
+                pass
+
+    weakref.finalize(result, _cleanup)
+    return result
+
+
+def release_checkpoints_on_gc(result: DataFrame,
+                              *sources: DataFrame) -> DataFrame:
+    """Release localCheckpoint RDD blocks when `result` is collected.
+
+    :func:`~.clustering.connected_components` pins its final round's
+    localCheckpoint at the RDD level (``DataFrame.unpersist`` cannot
+    touch it) and exposes the ids as ``_checkpoint_rdd_ids`` on its
+    output — a pin that must outlive every derived plan.  Composed
+    queries (dedup corpus, capstone) know their OWN result is the last
+    derived plan, so they tie the RDD-id release to its lifetime here,
+    the checkpoint analogue of :func:`release_on_gc`.
+    """
+    ids = tuple(i for s in sources
+                for i in getattr(s, "_checkpoint_rdd_ids", ()))
+    if not ids:
+        return result
+    sc = result.sparkSession.sparkContext
+
+    def _cleanup(jsc=sc._jsc, rdd_ids=ids):
+        for rid in rdd_ids:
+            try:
+                jsc.sc().unpersistRDD(rid, False)
             except Exception:
                 pass
 

@@ -101,3 +101,21 @@ def test_ngram_releases_index_caches(spark, docs):
     gc.collect()
     assert _n_persistent(spark) == base
     assert n > 0  # the corpus above genuinely contains near-dups
+
+
+def test_capstone_composition_releases_all_caches(spark):
+    """VERDICT r4 #8: the capstone (dedup → components → k-means →
+    balanced sample) composes several pinning operators in one query —
+    after its action completes and the result is dropped, ZERO cached
+    RDDs may remain (the r3 cache-lifetime fix must hold under
+    composition, not just per-operator)."""
+    import __spark_entry__ as entrymod
+
+    base = _n_persistent(spark)
+    out = entrymod.queries()["curation_capstone_embeddings"](
+        spark, "/root/testdata/sf0.001")
+    n = out.count()
+    assert n > 0
+    del out
+    gc.collect()
+    assert _n_persistent(spark) == base
