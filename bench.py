@@ -102,14 +102,24 @@ def main() -> None:
             continue
         # best of two: first run pays codegen/JIT + page-cache warmup and
         # is dominated by machine noise (observed 4× run-to-run swings);
-        # steady-state is what a long-lived cluster job sees.
+        # steady-state is what a long-lived cluster job sees.  When the
+        # two runs disagree by >1.5× the sample is contention-polluted
+        # (the text-dedup trio swings 2-4× on this shared host with
+        # unchanged code — BENCHMARKS.md probes), so keep sampling up to
+        # 5 runs until two agree within 20%; min of the set is the
+        # steady-state.  Cheap queries only — a >30 s floor is already
+        # long enough to average the noise out.
         runs = []
-        for _ in range(2):
+        for _ in range(5):
             spark.catalog.clearCache()  # drop persists leaked by operators
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
+            if len(runs) >= 2:
+                lo, lo2 = sorted(runs)[:2]
+                if lo2 <= 1.2 * lo or lo >= 30.0:
+                    break
         timings[name] = min(runs)
         print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs})",
               file=sys.stderr)
@@ -158,13 +168,17 @@ def main() -> None:
         # cache manager would otherwise serve run 2 from run 1's plan
         # cache, making it a no-op), so each run re-pins its own input.
         runs = []
-        for _ in range(2):
+        for _ in range(4):
             pts = base.persist()
             pts.count()  # materialize generation outside the timed skyline
             t0 = time.perf_counter()
             n = run(pts).count()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+            if len(runs) >= 2:
+                lo, lo2 = sorted(runs)[:2]
+                if lo2 <= 1.2 * lo or lo >= 30.0:
+                    break
         timings[name] = min(runs)
         print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs})",
               file=sys.stderr)
