@@ -34,6 +34,8 @@ brief-mandated training-data suite (SURVEY.md "beyond the reference").
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,6 +46,24 @@ __all__ = ["kmeans_assign", "kmeans_assign_sql",
            "pq_encode", "pq_encode_sql",
            "pq_adc_topk", "pq_adc_topk_sql",
            "pq_adc_rerank", "pq_adc_rerank_sql"]
+
+
+def _bigint_array_sql(vals: "Sequence[int]") -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _bigint_array_lit(vals: "Sequence[int]") -> Column:
+    """BIGINT array literal via ONE SQL parse.  ``F.lit(list)`` routes
+    every element through its own py4j call (~0.35 s per 256-element
+    nested literal, ×8 literals per Lloyd's round — it dominated the
+    whole pq/capstone family); the parser builds the same folded
+    literal in ~1 ms."""
+    return F.expr(_bigint_array_sql(vals))
+
+
+def _bigint_matrix_lit(rows: "Sequence[Sequence[int]]") -> Column:
+    return F.expr(
+        "array(" + ",".join(_bigint_array_sql(r) for r in rows) + ")")
 
 
 def _quantize(vec_col: str, dp: int) -> Column:
@@ -63,8 +83,7 @@ def _best(centroids: list[list[int]], qv: Column | str = "__qv") -> Column:
     (k per-centroid distance expressions over d per-element literals)
     made Catalyst analysis + codegen dominate wall time: ~20 s for
     2000 rows at k=16, d=64 before this shape."""
-    cb = F.lit([[int(v) for v in c] for c in centroids]) \
-        .cast("array<array<bigint>>")
+    cb = _bigint_matrix_lit(centroids)
     return F.array_min(F.transform(cb, lambda c, i: F.struct(
         F.aggregate(F.zip_with(qv, c, lambda x, cc: (x - cc) * (x - cc)),
                     F.lit(0).cast("long"),
@@ -397,8 +416,7 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, *,
             lut = [sum((qv[s * sub + i] - c[i]) ** 2 for i in range(sub))
                    for c in cb]
             term = F.element_at(
-                F.lit([int(v) for v in lut]).cast("array<bigint>"),
-                (F.col(f"__c{s}") + 1).cast("int"))
+                _bigint_array_lit(lut), (F.col(f"__c{s}") + 1).cast("int"))
             score = term if score is None else score + term
         qid = r[query_id_col]
         qid_lit = F.lit(qid).cast("long") if isinstance(qid, int) \

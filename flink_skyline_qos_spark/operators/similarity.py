@@ -198,10 +198,15 @@ def _nearest_cells_expr(vec_col: str, centroids: np.ndarray,
     """Array of the `n` nearest centroid ids, as a literal-folded expression."""
     dists = []
     for ci, c in enumerate(centroids):
+        # ONE parsed literal per centroid — per-element F.lit costs a
+        # py4j round-trip each (~0.35 s per 1024 terms); the `D` suffix
+        # keeps every element a DOUBLE literal (repr round-trips)
+        arr = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")")
         d = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
+                arr,
                 lambda x, y: (x - y) * (x - y),
             ),
             F.lit(0.0), lambda acc, v: acc + v,
@@ -350,8 +355,11 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
 
     sig_schema = (f"id long, {vec_col} array<float>, "
                   + ", ".join(f"b{i} long" for i in range(bands)))
+    # pin the signature pass: the bucket-size aggregate and BOTH sides
+    # of the self-join read it — unpinned, the Arrow projection pass
+    # runs three times over the corpus (3 full scans at 100 TB)
     sig = df.select(F.col(id_col), F.col(vec_col)) \
-        .mapInPandas(signs, schema=sig_schema)
+        .mapInPandas(signs, schema=sig_schema).persist()
     banded = sig.select(
         "id", vec_col,
         F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
@@ -375,9 +383,11 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     )
     va = F.transform("va", lambda x: x.cast("double"))
     vb = F.transform("vb", lambda x: x.cast("double"))
-    out = cand.select(
+    from .caching import release_on_gc
+
+    out = release_on_gc(cand.select(
         "id_a", "id_b", cosine_similarity(va, vb).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    ).filter(F.col("cos_sim") >= threshold), sig)
     out.lsh_dropped = dropped
     return out
 
