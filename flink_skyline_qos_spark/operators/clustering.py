@@ -134,15 +134,20 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         subdirs = [f"{checkpoint_dir.rstrip('/')}/cc-{i}" for i in (0, 1)]
         rnd = 0
 
-        def ckpt(df: DataFrame) -> DataFrame:
-            nonlocal rnd
+        def ckpt_begin(df: DataFrame) -> DataFrame:
+            # LAZY checkpoint: the caller's next action (the round's
+            # convergence aggregate) materializes it — checkpoint write
+            # and checksum share ONE pass over the edges instead of an
+            # eager-write job plus a read-back job per round
             sc.setCheckpointDir(subdirs[rnd % 2])
-            out = df.checkpoint(eager=True)  # materialized HERE, so the
+            return df.checkpoint(eager=False)
+
+        def ckpt_end(df: DataFrame) -> None:
+            nonlocal rnd
             _rm(subdirs[(rnd + 1) % 2])      # other subdir is now dead
             cleanup_dirs.clear()
             cleanup_dirs.append(subdirs[rnd % 2])
             rnd += 1
-            return out
     else:
         # localCheckpoint pins blocks at the RDD level, which
         # DataFrame.unpersist() does NOT release (it only touches the
@@ -159,29 +164,40 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             return ids
 
         round_ids: "dict[int, set[int]]" = {}
+        pending: "dict[int, set[int]]" = {}
 
-        def ckpt(df: DataFrame) -> DataFrame:
+        def ckpt_begin(df: DataFrame) -> DataFrame:
+            # lazy: the ids this checkpoint pins only exist once the
+            # caller's next action materializes it — snapshot now,
+            # diff in ckpt_end
             before = _pinned_ids()
-            out = df.localCheckpoint(eager=True)
-            round_ids[id(out)] = _pinned_ids() - before
+            out = df.localCheckpoint(eager=False)
+            pending[id(out)] = before
             return out
+
+        def ckpt_end(df: DataFrame) -> None:
+            round_ids[id(df)] = _pinned_ids() - pending.pop(id(df))
 
         def _drop_blocks(df: DataFrame) -> None:
             for rid in round_ids.pop(id(df), ()):
                 sc._jsc.sc().unpersistRDD(rid, False)
 
-    e = ckpt(_canon(edges, src, dst))
+    _chk_agg = [F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")]
+    e = ckpt_begin(_canon(edges, src, dst))
+    e.agg(*_chk_agg).first()  # materialize the base checkpoint
+    ckpt_end(e)
     prev = None
     for _ in range(max_iter):
-        nxt = ckpt(_small_star(_large_star(e)))
+        nxt = ckpt_begin(_small_star(_large_star(e)))
+        # ONE job: computes the round, writes its checkpoint, and
+        # returns the convergence checksum
+        chk = nxt.agg(*_chk_agg).first()
+        ckpt_end(nxt)
         e.unpersist()
         if checkpoint_dir is None:
             _drop_blocks(e)
         e = nxt
-        chk = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
         cur = (chk["n"], chk["h"])
         if cur == prev:
             break
