@@ -1047,11 +1047,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .option("checkpointLocation", os.path.join(work, "ckpt"))
                  .trigger(availableNow=True).start())
         query.awaitTermination()
-        # window bounds as epoch seconds: engine-portable values (a
+        # timestamps as epoch seconds: engine-portable values (a
         # naive-vs-tz-aware datetime would never hash-compare equal)
-        return (s.table(name)
-                .withColumn("win_start", F.col("win_start").cast("long"))
-                .withColumn("win_end", F.col("win_end").cast("long")))
+        out = s.table(name)
+        for fname, ftype in out.dtypes:
+            if ftype.startswith("timestamp"):
+                out = out.withColumn(fname, F.col(fname).cast("long"))
+        return out
 
     def _streaming_hll_windows(s: SparkSession, d: str) -> DataFrame:
         from flink_skyline_qos_spark.streaming.continuous import (
@@ -1083,6 +1085,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 quantiles=(0.5, 0.95), window_duration="1 day",
                 watermark_delay="1 hour")))
     q["streaming_quantiles_windows_events"] = _streaming_quantiles_windows
+
+    # stream-stream interval join EXECUTED: view→purchase attribution
+    # (views of the same user within the day before a purchase).  With
+    # chronological replay nothing arrives late and no matchable row is
+    # ever state-evicted (right rows are dropped only once the left
+    # watermark passes right_ts + band), and INNER matches emit in the
+    # batch they are found — so the oracle is the plain batch interval
+    # join over all events.
+    def _streaming_interval_join(s: SparkSession, d: str) -> DataFrame:
+        from flink_skyline_qos_spark.streaming.continuous import (
+            streaming_interval_join,
+        )
+
+        def build(st):
+            left = (st.where(F.col("event_type") == "purchase")
+                    .select(F.col("user_id"),
+                            F.col("value").alias("purchase_value"),
+                            F.col("ts").alias("purchase_ts")))
+            right = (st.where(F.col("event_type") == "view")
+                     .select(F.col("user_id"),
+                             F.col("ts").alias("view_ts")))
+            return streaming_interval_join(
+                left, right, key="user_id", left_ts="purchase_ts",
+                right_ts="view_ts", band_seconds=86400,
+                watermark_delay="1 hour").select(
+                    "l.user_id", "purchase_value", "purchase_ts",
+                    "view_ts")
+        return _streaming_sketch_replay(s, d, build)
+    q["streaming_interval_join_events"] = _streaming_interval_join
 
     # --- multimodal: pack → decode round-trip over binary columns ---
     # mean_byte (content stat, not SQL-reproducible) stays pytest-only.
@@ -1703,6 +1734,17 @@ FROM ranked WHERE rn <= 10
             "events", "value", lo=0.0, hi=600.0, nbins=16,
             quantiles=(0.5, 0.95), window_seconds=86400,
             delay_seconds=3600)
+
+    o["streaming_interval_join_events"] = """
+SELECT l.user_id, l.value AS purchase_value,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_ts,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS view_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 86400 SECOND
+ AND r.ts <= l.ts
+WHERE l.event_type = 'purchase' AND r.event_type = 'view'
+""".strip()
 
     o["media_decode_documents"] = decode_media_sql(
         "(SELECT doc_id FROM documents)")
