@@ -167,6 +167,8 @@ from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
     hash_split_sql,
     stratified_sample,
     stratified_sample_sql,
+    temperature_sample,
+    temperature_sample_sql,
     weighted_sample,
     weighted_sample_sql,
 )
@@ -894,6 +896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", (F.col("n_chars") / F.lit(4000.0))
                 .alias("weight")),
         1.0, "weight", ["doc_id"])
+    # temperature-scaled language rebalancing (T=2, the classic
+    # multilingual-pretraining flattening): keep rate of the largest
+    # language is base_rate, smaller languages keep proportionally more
+    # -- expected kept per language ~ sqrt(count)
+    q["temperature_sample_documents"] = lambda s, d: temperature_sample(
+        load_table(s, d, "documents").select("doc_id", "lang"),
+        ["lang"], ["doc_id"], base_rate=0.5, temperature=2.0)
 
     # --- streaming pipeline (ST1-ST7): foreachBatch ingest, record-ID
     # barrier, incremental local-skyline state, trigger-released answer.
@@ -1679,6 +1688,9 @@ red AS (
         "(SELECT doc_id, CAST(n_chars AS DOUBLE) / 4000.0 AS weight "
         "FROM documents)",
         1.0, "weight", ["doc_id"])
+    o["temperature_sample_documents"] = temperature_sample_sql(
+        "(SELECT doc_id, lang FROM documents)", ["lang"], ["doc_id"],
+        base_rate=0.5, temperature=2.0)
 
     _ann_oracle = """
 WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -33,6 +33,8 @@ __all__ = [
     "stratified_sample_sql",
     "weighted_sample",
     "weighted_sample_sql",
+    "temperature_sample",
+    "temperature_sample_sql",
 ]
 
 _BUCKETS = 1 << 32
@@ -189,3 +191,89 @@ def weighted_sample_sql(table_sql: str, rate: float, weight_expr: str,
     return (f"SELECT * FROM {table_sql} "
             f"WHERE {w} IS NOT NULL AND NOT isnan({w}) "
             f"AND {_bucket_sql(key_cols, seed)} < {thr}")
+
+
+def _temp_factor(ratio, temperature: float):
+    """(c_max/c_g)^(1-1/T) for T ∈ {1, 2, ∞} — the exponents whose
+    float evaluation is IEEE-exact on every engine (identity, sqrt,
+    division are correctly rounded; libm pow is NOT, so general T
+    would break the bit-exact oracle and is rejected)."""
+    if temperature == 1.0:
+        return None  # factor 1: plain proportional sampling
+    if temperature == 2.0:
+        return F.sqrt(ratio)
+    if temperature == float("inf"):
+        return ratio
+    raise ValueError(
+        "temperature must be 1, 2, or inf for engine-exact sampling")
+
+
+def temperature_sample(df: DataFrame, group_cols: Sequence[str],
+                       key_cols: Sequence[str], *, base_rate: float,
+                       temperature: float = 2.0,
+                       seed: int = 42) -> DataFrame:
+    """Temperature-scaled mix rebalancing — the standard multilingual
+    training-mix op (sampling languages ∝ c^(1/T) flattens the natural
+    distribution so low-resource groups aren't drowned; T=2 is the
+    classic multilingual-pretraining setting).
+
+    Keep probability for group g with count c_g:
+    ``min(1, base_rate · (c_max/c_g)^(1−1/T))`` — `base_rate` is the
+    keep rate of the LARGEST group; expected kept rows per group are
+    then ∝ c_g^(1/T).  T=1 reduces to uniform `base_rate`, T=∞ to full
+    balance (every group ≈ the largest group's kept size).  Max-
+    normalization (not sum): the only cross-group statistic is an
+    integer max, so there is no order-dependent float summation and
+    the per-row decision is bit-identical across engines, reruns and
+    partitionings (the md5 bucket of :func:`hash_bucket`).
+
+    Scale shape: one map-side-combined count aggregate (k rows),
+    broadcast back; the keep decision is a scan-side filter.
+    """
+    if base_rate < 0.0:
+        raise ValueError("base_rate must be >= 0")
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__c"))
+    cmax = counts.agg(F.max("__c").alias("__cmax"))
+    ratio = F.col("__cmax").cast("double") / F.col("__c").cast("double")
+    factor = _temp_factor(ratio, temperature)
+    p = F.lit(float(base_rate)) if factor is None \
+        else F.lit(float(base_rate)) * factor
+    thr = F.floor(F.least(F.lit(1.0), p) * F.lit(float(_BUCKETS))) \
+        .cast("long")
+    gates = counts.crossJoin(F.broadcast(cmax)) \
+        .select(*gcols, thr.alias("__thr"))
+    return (df.join(F.broadcast(gates), on=gcols)
+            .filter(hash_bucket(key_cols, seed) < F.col("__thr"))
+            .drop("__thr"))
+
+
+def temperature_sample_sql(table_sql: str, group_cols: Sequence[str],
+                           key_cols: Sequence[str], *, base_rate: float,
+                           temperature: float = 2.0,
+                           seed: int = 42) -> str:
+    """DuckDB twin of :func:`temperature_sample` (bit-identical rows)."""
+    if base_rate < 0.0:
+        raise ValueError("base_rate must be >= 0")
+    g = ", ".join(group_cols)
+    ratio = "(CAST(m.__cmax AS DOUBLE) / CAST(c.__c AS DOUBLE))"
+    if temperature == 1.0:
+        p = f"{float(base_rate)!r}"
+    elif temperature == 2.0:
+        p = f"{float(base_rate)!r} * sqrt({ratio})"
+    elif temperature == float("inf"):
+        p = f"{float(base_rate)!r} * {ratio}"
+    else:
+        raise ValueError(
+            "temperature must be 1, 2, or inf for engine-exact sampling")
+    thr = f"CAST(floor(LEAST(1.0, {p}) * {float(_BUCKETS)!r}) AS BIGINT)"
+    on = " AND ".join(f"t.{c} = __g.{c}" for c in group_cols)
+    keys = [f"t.{c}" for c in key_cols]
+    return f"""
+WITH __c AS (SELECT {g}, count(*) AS __c FROM ({table_sql}) GROUP BY {g}),
+__m AS (SELECT max(__c) AS __cmax FROM __c),
+__g AS (SELECT {', '.join(f'c.{c}' for c in group_cols)}, {thr} AS __thr
+        FROM __c c CROSS JOIN __m m)
+SELECT t.* FROM ({table_sql}) t JOIN __g ON {on}
+WHERE {_bucket_sql(keys, seed)} < __g.__thr
+""".strip()

@@ -149,3 +149,55 @@ def test_weighted_sample_bad_rate(spark):
         weighted_sample(df, -0.1, "w", ["id"])
     with pytest.raises(ValueError):
         weighted_sample_sql("t", -1.0, "w", ["id"])
+
+
+def test_temperature_sample_flattens_distribution(spark):
+    from flink_skyline_qos_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # 2000 'big' rows vs 125 'small' rows: with T=2 expected keeps are
+    # base*2000 (capped rate on the max group) and base*sqrt(2000*125)
+    rows = [(i, "big" if i < 2000 else "small") for i in range(2125)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = temperature_sample(df, ["g"], ["id"], base_rate=0.5,
+                             temperature=2.0)
+    by = {r["g"]: r["n"] for r in
+          out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # big keeps ~0.5 of 2000; small keeps ~0.5*sqrt(2000/125)=2.0 -> all
+    assert abs(by["big"] - 1000) < 120
+    assert by["small"] == 125  # rate capped at 1: every row kept
+    # T=1 degenerates to uniform base_rate
+    out1 = temperature_sample(df, ["g"], ["id"], base_rate=0.5,
+                              temperature=1.0)
+    by1 = {r["g"]: r["n"] for r in
+           out1.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert abs(by1["small"] - 62) < 30
+    # T=inf balances: small keeps everything, big ~ base*max == 1000
+    outi = temperature_sample(df, ["g"], ["id"], base_rate=0.5,
+                              temperature=float("inf"))
+    byi = {r["g"]: r["n"] for r in
+           outi.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert byi["small"] == 125
+    # membership is content-stable under repartitioning
+    again = {r["id"] for r in temperature_sample(
+        df.repartition(7), ["g"], ["id"], base_rate=0.5,
+        temperature=2.0).collect()}
+    assert again == {r["id"] for r in out.collect()}
+
+
+def test_temperature_sample_rejects_inexact_temperature(spark):
+    from flink_skyline_qos_spark.operators.sampling import (
+        temperature_sample,
+        temperature_sample_sql,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError):
+        temperature_sample(df, ["g"], ["id"], base_rate=0.5,
+                           temperature=3.0)
+    with pytest.raises(ValueError):
+        temperature_sample_sql("t", ["g"], ["id"], base_rate=0.5,
+                               temperature=0.7)
+    with pytest.raises(ValueError):
+        temperature_sample(df, ["g"], ["id"], base_rate=-0.1)
