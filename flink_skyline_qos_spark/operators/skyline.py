@@ -606,11 +606,14 @@ def skyline_delta_delete(base: DataFrame, base_skyline: DataFrame,
     incremental keyed-state merge, `FlinkSkyline.java:546-568`.)
     """
     keys = list(keys) if keys is not None else list(base.columns)
+    # no forced broadcast on the delete keys: a delete batch can be
+    # arbitrarily large — AQE broadcasts it when it is actually small.
+    # dead_pts below IS forced: it's a subset of the materialized
+    # skyline, bounded by construction.
     dels = deletes.select(*keys).distinct()
-    surv = base_skyline.join(F.broadcast(dels), on=keys, how="left_anti")
-    dead = base_skyline.join(F.broadcast(dels), on=keys, how="left_semi")
-    remaining = _complete(base, cols).join(
-        F.broadcast(dels), on=keys, how="left_anti")
+    surv = base_skyline.join(dels, on=keys, how="left_anti")
+    dead = base_skyline.join(dels, on=keys, how="left_semi")
+    remaining = _complete(base, cols).join(dels, on=keys, how="left_anti")
     dead_pts = dead.select(
         *[F.col(c).alias(f"__dead_{c}") for c in cols]).distinct()
     exposed = remaining.join(
