@@ -63,6 +63,15 @@ HEADLINE = [
     "retention_events",
     "mad_outliers_events",
     "quantile_bins_events",
+    # round-5 additions: delete absorption, tree merge, real codecs,
+    # composed capstone + two-stage ANN (post literal-parse fix),
+    # temperature mix rebalance
+    "skyline_delta_delete_lineitem",
+    "skyline_3d_tree_merge_lineitem",
+    "media_decode_real_documents",
+    "curation_capstone_embeddings",
+    "pq_adc_rerank_embeddings",
+    "temperature_sample_documents",
 ]
 
 
