@@ -315,7 +315,7 @@ def link_rank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     base = ((d_den - d_num) * scale // d_den) // n
     ranks = nodes.withColumn("__r", F.lit(r0).cast("long"))
     pinned = [e, nodes, e_od]
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contribs = (
             e_od.join(ranks.withColumnRenamed("node", "src"), on="src")
             .select(F.col("dst").alias("node"),
@@ -326,14 +326,21 @@ def link_rank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                  .select("node",
                          (F.lit(base)
                           + F.expr(f"({d_num} * coalesce(__s, 0L)) "
-                                   f"div {d_den}")).alias("__r"))
-                 .persist())
-        ranks.count()  # materialize: bounds plan depth per iteration
-        if pinned and pinned[-1] is prev_ranks:
-            # the previous iteration's frame is fully consumed now —
-            # release it eagerly (ordinary persist, lineage survives)
-            pinned.pop().unpersist(False)
-        pinned.append(ranks)
+                                   f"div {d_den}")).alias("__r")))
+        # Materialize every 4th iteration only: a 4-deep join/agg chain
+        # is well within Catalyst's comfort (materializing EVERY round
+        # paid a driver job each — half the operator's wall time at
+        # small scale), while unbounded chains grow analysis time
+        # exponentially.  The final iteration stays lazy; the caller's
+        # action runs the ≤3 remaining rounds in one job.
+        if it % 4 == 0 and it < iterations:
+            ranks = ranks.persist()
+            ranks.count()
+            if pinned and pinned[-1] is prev_ranks:
+                # the previous pinned frame is fully consumed now —
+                # release eagerly (ordinary persist, lineage survives)
+                pinned.pop().unpersist(False)
+            pinned.append(ranks)
     from .caching import release_on_gc
     out = ranks.select(
         F.col("node"), F.col("__r").alias("rank_int"),
