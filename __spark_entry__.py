@@ -1051,11 +1051,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
         out = build(stream)
         name = f"swk_{uuid.uuid4().hex[:8]}"
-        query = (out.writeStream.format("memory").queryName(name)
-                 .outputMode("append")
-                 .option("checkpointLocation", os.path.join(work, "ckpt"))
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+        # 4 state partitions, not the session's 32: the stateful-op
+        # partition count is fixed by shuffle.partitions at first run,
+        # and each batch pays per-partition state-store file ops — at
+        # ~30 windows of state, 32 partitions is pure commit overhead.
+        # Restored after the run; batch queries read the conf at their
+        # own action time.
+        prev_parts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            query = (out.writeStream.format("memory").queryName(name)
+                     .outputMode("append")
+                     .option("checkpointLocation",
+                             os.path.join(work, "ckpt"))
+                     .trigger(availableNow=True).start())
+            query.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # timestamps as epoch seconds: engine-portable values (a
         # naive-vs-tz-aware datetime would never hash-compare equal)
         out = s.table(name)
