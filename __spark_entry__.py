@@ -1077,13 +1077,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     def _streaming_hll_windows(s: SparkSession, d: str) -> DataFrame:
-        from flink_skyline_qos_spark.streaming.continuous import (
-            streaming_windowed_hll,
+        from flink_skyline_qos_spark.operators.sketches import (
+            hll_estimate_regs,
         )
-        return _streaming_sketch_replay(s, d, lambda st: (
-            streaming_windowed_hll(st, "user_id", window_duration="1 day",
-                                   watermark_delay="1 hour",
-                                   bucket_bits=6)))
+        from flink_skyline_qos_spark.streaming.continuous import (
+            streaming_windowed_hll_grouped,
+        )
+        # register-keyed streaming agg (ONE max column — the wide
+        # 2^b-column form made plan compile scale with m) + the shared
+        # exact-integer batch finisher
+        regs = _streaming_sketch_replay(s, d, lambda st: (
+            streaming_windowed_hll_grouped(
+                st, "user_id", window_duration="1 day",
+                watermark_delay="1 hour", bucket_bits=6)))
+        return hll_estimate_regs(regs, ["win_start", "win_end"],
+                                 bucket_bits=6, rho_col="max_rho")
     q["streaming_hll_windows_events"] = _streaming_hll_windows
 
     def _streaming_count_min_windows(s: SparkSession, d: str) -> DataFrame:

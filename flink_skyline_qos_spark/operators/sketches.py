@@ -57,6 +57,7 @@ __all__ = [
     "hll_estimate_wide",
     "hll_distinct",
     "hll_distinct_sql",
+    "hll_estimate_regs",
     "histogram_quantiles",
     "histogram_quantiles_sql",
     "count_min",
@@ -160,11 +161,25 @@ def hll_distinct(df: DataFrame, key_col: str, *,
             .select(*gcols, bucket.alias("__bucket"), rho.alias("__rho"))
             .groupBy(*group_cols, "__bucket")
             .agg(F.max("__rho").alias("__m")))
+    return hll_estimate_regs(regs, group_cols, bucket_bits=b)
+
+
+def hll_estimate_regs(regs: DataFrame, group_cols: Sequence[str], *,
+                      bucket_bits: int, rho_col: str = "__m") -> DataFrame:
+    """(n_buckets_hit, hll_estimate) per group from a REGISTER frame —
+    one row per (group, bucket) with the per-bucket max rho in
+    `rho_col`.  The shared finisher of :func:`hll_distinct` and the
+    grouped streaming form (whose append-mode sink emits exactly this
+    register layout); all-exact integer/DECIMAL arithmetic, so the
+    estimate is bit-identical to :func:`hll_distinct_sql`."""
+    b = int(bucket_bits)
+    m = 1 << b
+    const = _alpha(m) * m * m * float(_TWO63)
     # Σ 2^(63-M[j]) exactly: 63-M ∈ [b+2, 62] fits a BIGINT shift, the
     # sum fits DECIMAL(38,0) (≤ m·2^63 = 2^{63+b} < 10^38 for b ≤ 16…
     # 2^79 ≈ 6e23 ✓).  Empty buckets contribute 2^63 each.
     pw = F.expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(63 - __m AS INT))"
+        f"shiftleft(CAST(1 AS BIGINT), CAST(63 - {rho_col} AS INT))"
     ).cast("decimal(38,0)")
     agg = (regs.groupBy(*group_cols)
            .agg(F.sum(pw).alias("__sp"),

