@@ -40,7 +40,10 @@ __all__ = ["continuous_local_skylines", "run_streaming_minhash_admission",
            "streaming_session_skyline", "streaming_sliding_skyline",
            "streaming_windowed_count_min", "streaming_windowed_hll",
            "streaming_windowed_hll_grouped",
-           "streaming_windowed_quantiles", "streaming_windowed_skyline",
+           "streaming_windowed_quantiles",
+           "streaming_windowed_quantiles_grouped",
+           "fixed_hist_quantiles_from_bins",
+           "streaming_windowed_skyline",
            "streaming_windowed_count_min_sql", "streaming_windowed_hll_sql",
            "streaming_windowed_quantiles_sql"]
 
@@ -254,6 +257,89 @@ def streaming_windowed_quantiles(stream: DataFrame, value_col: str, *,
         outs.append(fixed_hist_quantile_wide(cols, lo, hi, q)
                     .alias(name))
     return agg.select(*outs)
+
+
+def streaming_windowed_quantiles_grouped(stream: DataFrame,
+                                         value_col: str, *,
+                                         lo: float, hi: float,
+                                         nbins: int = 32,
+                                         window_duration: str = "10 seconds",
+                                         watermark_delay: str = "5 seconds",
+                                         ts_col: str = "ts") -> DataFrame:
+    """Bin-keyed form of :func:`streaming_windowed_quantiles`: one
+    streaming aggregation keyed on (window, bin) with a single count
+    column — constant expression size in nbins (the wide form's
+    CASE-cascade interpolation is O(nbins²) expression nodes, re-
+    planned per micro-batch).  Emits ``win_start, win_end, bin, cnt``
+    per CLOSED window; finish with
+    :func:`fixed_hist_quantiles_from_bins` in batch.  Zero-count bins
+    are absent, which cannot change the interpolation (the first bin
+    whose cumulative count reaches q·n always has cnt > 0).
+    """
+    from ..operators.sketches import fixed_hist_bin
+
+    if not float(lo) < float(hi):
+        raise ValueError("need lo < hi")
+    if not 2 <= int(nbins) <= 4096:
+        raise ValueError("nbins out of range")
+    b = fixed_hist_bin(F.col(value_col), lo, hi, nbins)
+    return (
+        stream.where(F.col(value_col).isNotNull()
+                     & ~F.isnan(F.col(value_col).cast("double")))
+        .withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col),
+                F.window(ts_col, window_duration).alias("__win"),
+                b.alias("bin"))
+        .groupBy("__win", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__win.start").alias("win_start"),
+                F.col("__win.end").alias("win_end"), "bin", "cnt")
+    )
+
+
+def fixed_hist_quantiles_from_bins(bins: DataFrame,
+                                   group_cols: Sequence[str], *,
+                                   lo: float, hi: float, nbins: int,
+                                   quantiles: "Sequence[float]" = (0.5,
+                                                                   0.95),
+                                   bin_col: str = "bin",
+                                   cnt_col: str = "cnt") -> DataFrame:
+    """Batch finisher for the bin-keyed streaming histogram: per group,
+    the same interpolation as ``fixed_hist_quantile_wide`` — at the
+    first bin whose cumulative count reaches q·n,
+    ``lo + w·(bin + (q·n − cum_before)/cnt)`` — with the identical
+    double-operation order as the SQL twin, so values are
+    bit-identical.  Output: ``group_cols…, n, q_<pct>…``.
+    """
+    from pyspark.sql.window import Window
+
+    w = (float(hi) - float(lo)) / int(nbins)
+    qs = [float(q) for q in quantiles]
+    names = [f"q_{int(round(q * 100))}" for q in qs]
+    gcols = list(group_cols)
+    cum_w = (Window.partitionBy(*gcols).orderBy(bin_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    all_w = Window.partitionBy(*gcols)
+    base = (bins
+            .withColumn("__cum", F.sum(cnt_col).over(cum_w))
+            .withColumn("__n", F.sum(cnt_col).over(all_w)))
+    out = None
+    for q, name in zip(qs, names):
+        tgt = F.lit(q) * F.col("__n").cast("double")
+        est = (F.lit(float(lo)) + F.lit(w)
+               * (F.col(bin_col).cast("double")
+                  + (tgt - (F.col("__cum") - F.col(cnt_col))
+                     .cast("double"))
+                  / F.col(cnt_col).cast("double")))
+        rn = F.row_number().over(
+            Window.partitionBy(*gcols).orderBy(bin_col))
+        hit = (base.filter(F.col("__cum").cast("double") >= tgt)
+               .withColumn("__rn", rn).filter(F.col("__rn") == 1)
+               .select(*gcols, F.col("__n").alias("n"),
+                       est.alias(name)))
+        out = hit if out is None else out.join(
+            hit.drop("n"), on=gcols)
+    return out
 
 
 def streaming_interval_join(left: DataFrame, right: DataFrame, *,
