@@ -28,7 +28,8 @@ import struct
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -46,6 +47,9 @@ __all__ = [
     "decode_media_real",
     "decode_media_real_sql",
     "decode_image_real",
+    "ahash64",
+    "image_ahash",
+    "hamming64",
 ]
 
 _MAGIC = {"image": b"FIMG", "audio": b"FAUD", "video": b"FVID"}
@@ -493,3 +497,62 @@ def decode_image_real(media: DataFrame) -> DataFrame:
     :func:`decode_media_real`; no imaging library needed.  Kept as the
     image-only projection of the mixed-modality decode."""
     return decode_media_real(media).where("media_type = 'image'")
+
+
+def ahash64(pixels: "np.ndarray") -> int:
+    """64-bit average-hash (aHash) of an ``(h, w, 3)`` uint8 RGB array
+    — the classic perceptual image fingerprint: 8×8 nearest-neighbour
+    downsample of the integer grayscale ``(r+g+b)//3``, each cell's
+    bit set iff its value ≥ the floor-mean of the 64 cells.  All
+    integer arithmetic → bit-identical on any platform.  Bit (row r,
+    col c) is ``63 − (8r + c)``; returned as a non-negative int
+    (callers store it in a BIGINT via the signed wrap)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(8) * w) // 8
+    cells = gray[np.ix_(ri, ci)]
+    mean = int(cells.sum()) // 64
+    bits = (cells >= mean).astype(np.uint64).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_ahash(media: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual fingerprints for the image rows of a real-format
+    media frame: decode each BMP and emit its :func:`ahash64` — the
+    near-dup blocking key for image dedup (equal hashes ⇒ candidate
+    pair; Hamming distance ranks near-misses).  Non-image and
+    undecodable rows are dropped.  Output: ``(id_col, ahash)`` with
+    the hash as a signed BIGINT (the unsigned 64-bit value wrapped).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["media"]):
+                blob = bytes(blob)
+                if blob[:2] != b"BM":
+                    continue
+                try:
+                    _w, _h, px = decode_bmp(blob)
+                except (ValueError, struct.error):
+                    continue
+                ids.append(int(doc_id))
+                h = ahash64(px)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "ahash": pd.Series(hashes, dtype="int64")})
+
+    return media.select(id_col, "media").mapInPandas(
+        fn, schema=f"{id_col} long, ahash long")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Column expr: Hamming distance between two 64-bit hashes stored
+    as signed BIGINTs (XOR then popcount via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

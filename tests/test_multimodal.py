@@ -225,3 +225,73 @@ def test_decode_image_real_projects_images(real_media):
     n_img = real_media.filter(F.col("media_type") == "image").count()
     assert out.count() == n_img
     assert {r["media_type"] for r in out.collect()} == {"image"}
+
+
+def test_ahash64_pure_python_reference():
+    """The NumPy aHash must equal a straightforward per-pixel reference
+    implementation, and behave like a perceptual hash: identical images
+    hash equal, a tiny perturbation moves few bits, an inverted image
+    is (near-)complementary."""
+    import numpy as np
+
+    from flink_skyline_qos_spark.functions.multimodal import ahash64
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (33, 17, 3), dtype=np.uint8)
+
+    def reference(p):
+        h, w, _ = p.shape
+        gray = [[(int(p[r, c, 0]) + int(p[r, c, 1]) + int(p[r, c, 2])) // 3
+                 for c in range(w)] for r in range(h)]
+        cells = [gray[(r * h) // 8][(c * w) // 8]
+                 for r in range(8) for c in range(8)]
+        mean = sum(cells) // 64
+        out = 0
+        for v in cells:
+            out = (out << 1) | (1 if v >= mean else 0)
+        return out
+
+    assert ahash64(px) == reference(px)
+    assert ahash64(px.copy()) == ahash64(px)
+    # gradient image: perturb one sampled cell -> few bits flip
+    grad = np.tile(np.linspace(0, 255, 16, dtype=np.uint8)[None, :, None],
+                   (16, 1, 3))
+    h0 = ahash64(grad)
+    tweaked = grad.copy()
+    tweaked[0, 0] = 255  # cell (0,0) flips relative to the mean
+    diff = bin(h0 ^ ahash64(tweaked)).count("1")
+    assert 1 <= diff <= 4
+    # inversion flips (almost) every bit of a gradient hash
+    inv = (255 - grad).astype(np.uint8)
+    assert bin(h0 ^ ahash64(inv)).count("1") >= 56
+
+
+def test_image_ahash_spark_and_hamming(spark):
+    import numpy as np
+
+    from flink_skyline_qos_spark.functions.multimodal import (
+        ahash64,
+        encode_bmp,
+        hamming64,
+        image_ahash,
+    )
+
+    rng = np.random.default_rng(9)
+    imgs = {i: rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+            for i in range(4)}
+    imgs[5] = imgs[0].copy()  # exact duplicate of image 0
+    rows = [(i, bytearray(encode_bmp(px))) for i, px in imgs.items()]
+    rows.append((99, bytearray(b"RIFFnotanimage")))  # non-image: dropped
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 5}
+    for i, px in imgs.items():
+        h = ahash64(px)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert got[i] == signed
+    assert got[5] == got[0]  # duplicate blocking key
+    # hamming64 column expr agrees with python popcount
+    pairs = spark.createDataFrame(
+        [(got[0], got[1])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d")).first()
+    assert pairs["d"] == bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
