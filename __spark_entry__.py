@@ -1122,6 +1122,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quantiles=(0.5, 0.95))
     q["streaming_quantiles_windows_events"] = _streaming_quantiles_windows
 
+    # ST6 late data EXECUTED under the oracle gate: the second file
+    # replays rows from Jan 1-5 for user_id%3==0 AFTER the watermark
+    # has advanced past their (long-closed) daily windows — Spark drops
+    # them, so the emitted closed windows equal the batch aggregation
+    # over the NON-late rows only.  Deterministic: the late set is
+    # defined by data, not arrival race (every on-time file spans the
+    # full month, so the watermark is already at Jan 30 - 1h when the
+    # late file arrives in batch 2).
+    def _streaming_late_data(s: SparkSession, d: str) -> DataFrame:
+        import glob
+        import shutil
+        import tempfile
+        import time
+        import uuid
+
+        work = tempfile.mkdtemp(prefix="swlate_")
+        data_dir = os.path.join(work, "data")
+        os.makedirs(data_dir)
+        ev = (load_table(s, d, "events")
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .select("ts", "user_id"))
+        late = (F.col("ts") < F.lit("2024-01-06").cast("timestamp")) \
+            & (F.col("user_id") % 3 == 0)
+        ontime = ev.where(~late)
+        jan30 = F.col("ts") >= F.lit("2024-01-30").cast("timestamp")
+        now = time.time()
+        # THREE chronological files: the middle (Jan 30) file advances
+        # the watermark so the Jan 1-5 windows are EVICTED at the end
+        # of batch 1 — only then does Spark guarantee dropping the late
+        # file's rows (rows later than the watermark are admitted while
+        # their window's state is still live; eviction is lazy)
+        for i, sl in enumerate([ontime.where(~jan30),
+                                ontime.where(jan30), ev.where(late)]):
+            tmpd = os.path.join(work, f"tmp{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(tmpd)
+            dst = os.path.join(data_dir, f"part-{i}.parquet")
+            shutil.move(
+                glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
+            os.utime(dst, (now - 40 + 10 * i,) * 2)
+        stream = (s.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 day").alias("__win"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select(F.col("__win.start").cast("long")
+                       .alias("win_start"),
+                       F.col("__win.end").cast("long").alias("win_end"),
+                       "n_events"))
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        prev_parts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            query = (agg.writeStream.format("memory").queryName(name)
+                     .outputMode("append")
+                     .option("checkpointLocation",
+                             os.path.join(work, "ckpt"))
+                     .trigger(availableNow=True).start())
+            query.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return s.table(name)
+    q["streaming_late_data_events"] = _streaming_late_data
+
     # stream-stream interval join EXECUTED: view→purchase attribution
     # (views of the same user within the day before a purchase).  With
     # chronological replay nothing arrives late and no matchable row is
@@ -1773,6 +1836,18 @@ FROM ranked WHERE rn <= 10
             "events", "value", lo=0.0, hi=600.0, nbins=32,
             quantiles=(0.5, 0.95), window_seconds=86400,
             delay_seconds=3600)
+
+    o["streaming_late_data_events"] = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_start,
+       CAST(floor(epoch(ts) / 86400) * 86400 + 86400 AS BIGINT)
+         AS win_end,
+       count(*)::BIGINT AS n_events
+FROM events
+WHERE NOT (ts < TIMESTAMP '2024-01-06' AND user_id % 3 = 0)
+  AND floor(epoch(ts) / 86400) * 86400 + 86400 <=
+      (SELECT epoch(max(ts)) FROM events) - 3600
+GROUP BY 1, 2
+""".strip()
 
     o["streaming_interval_join_events"] = """
 SELECT l.user_id, l.value AS purchase_value,
