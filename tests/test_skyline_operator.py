@@ -387,6 +387,27 @@ def test_skyline_delta_delete_exposes_hidden_region(spark):
     assert got == [2, 4]
 
 
+def test_skyline_delta_delete_mass_delete_anticorr_3d(spark):
+    """A big delete batch (every 3rd id of a 3-D anti-correlated set —
+    kills a third of the skyline, exposing a large hidden region) must
+    still equal the full recompute; exercises the AQE-decided delete
+    join and a non-trivial re-peel."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline, skyline_delta_delete)
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_points_hash)
+
+    pts = generate_points_hash(spark, 20_000, 3, dist="anti_correlated")
+    dims = ["d0", "d1", "d2"]
+    dels = pts.where("id % 3 = 0")
+    got = sorted(tuple(r) for r in skyline_delta_delete(
+        pts, skyline(pts, dims), dels, dims, keys=["id"]).collect())
+    want = sorted(tuple(r) for r in skyline(
+        pts.where("id % 3 != 0"), dims).collect())
+    assert got == want
+    assert len(got) > 100  # non-degenerate frontier
+
+
 def test_skyline_layers_structure(spark):
     from flink_skyline_qos_spark.operators.skyline import skyline_layers
     # diagonal chain + a tie on layer 1
