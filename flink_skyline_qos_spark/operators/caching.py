@@ -36,7 +36,11 @@ def release_on_gc(result: DataFrame, *pinned: DataFrame) -> DataFrame:
     def _cleanup(frames=pinned):
         for f in frames:
             try:
-                f.unpersist(False)
+                # BLOCKING: a finalizer-time async unpersist races any
+                # observer polling the pin count (tests, memory probes)
+                # — blocking on the driver is sub-second in local mode
+                # and removes the race class
+                f.unpersist(True)
             except Exception:
                 pass
 
@@ -65,7 +69,7 @@ def release_checkpoints_on_gc(result: DataFrame,
     def _cleanup(jsc=sc._jsc, rdd_ids=ids):
         for rid in rdd_ids:
             try:
-                jsc.sc().unpersistRDD(rid, False)
+                jsc.sc().unpersistRDD(rid, True)  # blocking, as above
             except Exception:
                 pass
 

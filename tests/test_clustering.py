@@ -106,7 +106,8 @@ def test_reliable_checkpoint_variant(spark, tmp_path):
     ck = tmp_path / "ck"
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
-    out = connected_components(edges, checkpoint_dir=str(ck))
+    out = connected_components(edges, checkpoint_dir=str(ck),
+                               driver_threshold=0)
     got = {(r["node"], r["component"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     # while the result is alive: only the LAST round's subdir has data
@@ -189,7 +190,7 @@ def test_connected_components_drops_intermediate_round_blocks(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(64)],
                                   "id_a bigint, id_b bigint")
     before = n_pinned()
-    out = connected_components(edges)
+    out = connected_components(edges, driver_threshold=0)
     assert out.count() == 65
     grown = n_pinned() - before
     assert grown <= 1, f"intermediate rounds leaked ({grown} pins)"
@@ -302,3 +303,25 @@ def test_triangle_count_plan_all_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The small-graph union-find fast path must produce exactly the
+    distributed star-contraction's labeling, and the threshold must
+    dispatch correctly on either side."""
+    import random
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    iso = spark.createDataFrame([(999,), (1000,)], "doc_id long")
+    fast = {(r["node"], r["component"]) for r in connected_components(
+        df, nodes=iso, node_col="doc_id").collect()}
+    slow = {(r["node"], r["component"]) for r in connected_components(
+        df, nodes=iso, node_col="doc_id", driver_threshold=0).collect()}
+    assert fast == slow
+    assert (999, 999) in fast and (1000, 1000) in fast
+    # threshold below |E| falls through to the distributed path
+    over = {(r["node"], r["component"]) for r in connected_components(
+        df, nodes=iso, node_col="doc_id", driver_threshold=10).collect()}
+    assert over == slow
