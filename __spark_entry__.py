@@ -951,11 +951,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream, dims=2, algo="mr-dim", num_partitions=NUM_PARTS,
             domain_max=10000.0)
         name = f"cont_{uuid.uuid4().hex[:8]}"
-        query = (out.writeStream.format("memory").queryName(name)
-                 .outputMode("update")
-                 .option("checkpointLocation", os.path.join(work, "ckpt"))
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+        # NUM_PARTS state partitions, not the session's 32 — the keyed
+        # state has NUM_PARTS keys and each micro-batch pays
+        # per-partition state-store file ops (same fix as the sketch
+        # replays)
+        prev_parts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", str(NUM_PARTS))
+        try:
+            query = (out.writeStream.format("memory").queryName(name)
+                     .outputMode("update")
+                     .option("checkpointLocation",
+                             os.path.join(work, "ckpt"))
+                     .trigger(availableNow=True).start())
+            query.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_parts)
         emitted = s.table(name).select("id", "d0", "d1").distinct()
         return skyline(emitted, ["d0", "d1"])
 
