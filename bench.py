@@ -75,6 +75,31 @@ HEADLINE = [
 ]
 
 
+def _steady_floor(sf: float) -> dict[str, float]:
+    """Best (min) recorded per-query seconds across prior driver rounds
+    at this SF — the steady-state table that conditions the 30 s
+    sampling early-exit.  Host contention only ever inflates a sample,
+    so the cross-round minimum is the best steady-state estimate; a
+    query is "genuinely slow" only if even its best round is >= 30 s.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if abs(float(rec.get("sf", -1.0)) - sf) > 1e-9:
+            continue
+        for q, t in (rec.get("queries") or {}).items():
+            if isinstance(t, (int, float)):
+                best[q] = min(best.get(q, float("inf")), float(t))
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -105,6 +130,24 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
+    unconverged: list[str] = []
+    steady = _steady_floor(sf)
+
+    def _converged(name: str, runs: list[float]) -> bool:
+        """Two samples within 20% = converged.  The 30 s floor (skip
+        re-sampling genuinely long queries) applies ONLY when the
+        query's best prior-round record at this SF is also >= 30 s —
+        otherwise host contention pushing a normally-10 s query past
+        30 s would lock in the polluted sample after two runs (that is
+        exactly how r5 recorded dedup_corpus_documents at 87.1 s vs a
+        10-20 s steady band; VERDICT r5 #1).  Unknown-to-prior-rounds
+        queries get no floor and sample to the cap."""
+        lo, lo2 = sorted(runs)[:2]
+        if lo2 <= 1.2 * lo:
+            return True
+        return lo >= 30.0 and steady.get(name, 0.0) >= 30.0
+
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -112,26 +155,29 @@ def main() -> None:
         # best of two: first run pays codegen/JIT + page-cache warmup and
         # is dominated by machine noise (observed 4× run-to-run swings);
         # steady-state is what a long-lived cluster job sees.  When the
-        # two runs disagree by >1.5× the sample is contention-polluted
-        # (the text-dedup trio swings 2-4× on this shared host with
-        # unchanged code — BENCHMARKS.md probes), so keep sampling up to
-        # 5 runs until two agree within 20%; min of the set is the
-        # steady-state.  Cheap queries only — a >30 s floor is already
-        # long enough to average the noise out.
+        # two runs disagree the sample is contention-polluted (the
+        # text-dedup trio swings 2-4× on this shared host with unchanged
+        # code — BENCHMARKS.md probes), so keep sampling up to 5 runs
+        # until two agree within 20%; min of the set is the steady-state.
+        # Queries that never converge are flagged in the output JSON
+        # instead of silently recording the min of polluted samples.
         runs = []
+        load_pre = os.getloadavg()[0]
         for _ in range(5):
             spark.catalog.clearCache()  # drop persists leaked by operators
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
-            if len(runs) >= 2:
-                lo, lo2 = sorted(runs)[:2]
-                if lo2 <= 1.2 * lo or lo >= 30.0:
-                    break
+            if len(runs) >= 2 and _converged(name, runs):
+                break
+        else:
+            if len(runs) >= 2 and not _converged(name, runs):
+                unconverged.append(name)
         timings[name] = min(runs)
-        print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs})",
-              file=sys.stderr)
+        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
+        print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs}, "
+              f"load: {loads[name]})", file=sys.stderr)
 
     # Reference-comparable synthetic workloads (BASELINE.md): 1M
     # anti-correlated points at 2-D / 3-D / 4-D.  Reference totals:
@@ -144,6 +190,9 @@ def main() -> None:
 
     # 10M rows (VERDICT r3 #4): the BASELINE.md scale envelope ("linear
     # to 10M, < 400 s") re-measured every round, not just in prose.
+    # 100M rows (VERDICT r5 #5): one decade PAST the reference's ceiling
+    # (its envelope stops at 10M) — proves the linear claim at 10× the
+    # reference's largest published workload.
     for dims, n_rows, name, run in (
         (2, 1_000_000, "anticorr_1m_2d",
          lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
@@ -167,16 +216,23 @@ def main() -> None:
         (4, 10_000_000, "anticorr_10m_4d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
                                             pre_merge_partitions=cpus)),
+        (2, 100_000_000, "anticorr_100m_2d",
+         lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
+                                     num_partitions=4 * cpus,
+                                     domain_max=10000.0)),
     ):
         base = generate_points(spark, n_rows, dims,
                                dist="anti_correlated",
-                               num_partitions=2 * cpus)
+                               num_partitions=(4 * cpus
+                                               if n_rows >= 100_000_000
+                                               else 2 * cpus))
         # best of two, like the headline queries: single runs on this host
         # swing 2-4× under contention.  clearCache between runs drops both
         # the input persist and any operator-internal persists (Spark's
         # cache manager would otherwise serve run 2 from run 1's plan
         # cache, making it a no-op), so each run re-pins its own input.
         runs = []
+        load_pre = os.getloadavg()[0]
         for _ in range(4):
             pts = base.persist()
             pts.count()  # materialize generation outside the timed skyline
@@ -184,23 +240,37 @@ def main() -> None:
             n = run(pts).count()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
-            if len(runs) >= 2:
-                lo, lo2 = sorted(runs)[:2]
-                if lo2 <= 1.2 * lo or lo >= 30.0:
-                    break
+            if len(runs) >= 2 and _converged(name, runs):
+                break
+        else:
+            if len(runs) >= 2 and not _converged(name, runs):
+                unconverged.append(name)
         timings[name] = min(runs)
-        print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs})",
-              file=sys.stderr)
+        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
+        print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs}, "
+              f"load: {loads[name]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query 1-min load average [before-first-run, after-last-run]:
+        # local[32] alone should read ~<=32 during a query; substantially
+        # higher means another evaluator shared the host and the sample is
+        # contention-polluted (VERDICT r5 #8 — lets the judge separate code
+        # regressions from host contention mechanically)
+        "load": loads,
         "cold_start_sec": cold_start,
         "sf": sf,
-    }))
+    }
+    if unconverged:
+        # no two of the max samples agreed within 20% — the recorded min
+        # is still the best steady-state estimate, but flag it rather
+        # than passing contention off as a measurement (VERDICT r5 #1)
+        out["unconverged"] = sorted(unconverged)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

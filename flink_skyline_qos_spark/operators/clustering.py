@@ -80,21 +80,12 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _cc_driver_path(edges: DataFrame, src: str, dst: str, *,
-                    nodes: DataFrame | None, node_col: str | None,
-                    threshold: int) -> DataFrame | None:
-    """Small-graph fast path for :func:`connected_components`: if the
-    canonical edge set has ≤ `threshold` pairs, collect it (bounded
-    driver state), label components with a union-find, and broadcast
-    the labels back.  Returns None when the graph is over-threshold
-    (caller falls through to the distributed rounds)."""
-    e = _canon(edges, src, dst).persist()
-    # limit+count instead of full count: over-threshold graphs learn
-    # "too big" after threshold+1 rows, not |E|
-    probe = e.limit(threshold + 1).count()
-    if probe > threshold:
-        e.unpersist(False)
-        return None
+def _cc_driver_label(e: DataFrame, *, nodes: DataFrame | None,
+                     node_col: str | None) -> DataFrame:
+    """Small-graph fast path for :func:`connected_components`: collect
+    the (already canonicalized, persisted, ≤ threshold-row) edge set
+    `e` — bounded driver state — label components with a union-find,
+    and broadcast the labels back."""
     rows = e.collect()
     parent: dict = {}
 
@@ -120,7 +111,7 @@ def _cc_driver_path(edges: DataFrame, src: str, dst: str, *,
                 ru, rv = rv, ru
             parent[rv] = ru
     lab_rows = [(n, find(n)) for n in parent]
-    spark = edges.sparkSession
+    spark = e.sparkSession
     utype = e.schema["u"].dataType
     lab_schema = StructType([StructField("node", utype),
                              StructField("component", utype)])
@@ -151,14 +142,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     isolated vertices, which come back as their own component.
 
     Hybrid dispatch: when the canonical edge set is at most
-    `driver_threshold` pairs (counted first — one cheap aggregate), the
-    components are computed with a driver-side union-find over the
-    collected pairs (bounded state: 64k pairs ≈ 1 MB) and the labels
-    broadcast back — replacing 3-5 star-contraction rounds (a job +
-    checkpoint each) with one collect.  Identical output (min-label
-    semantics both ways).  Above the threshold — the 100 TB regime —
-    the distributed large-star/small-star path below runs unchanged;
-    pass ``driver_threshold=0`` to force it.
+    `driver_threshold` pairs, the components are computed with a
+    driver-side union-find over the collected pairs (bounded state:
+    64k pairs ≈ 1 MB) and the labels broadcast back — replacing 3-5
+    star-contraction rounds (a job + checkpoint each) with one
+    collect.  Identical output (min-label semantics both ways).  The
+    probe's canonicalization (distinct exchange) is computed ONCE and
+    persisted: under the threshold it is what the union-find collects;
+    above the threshold — the 100 TB regime — the same persisted frame
+    seeds the distributed rounds' base checkpoint, so large graphs pay
+    no throwaway pass for the probe (ADVICE r5).  Pass
+    ``driver_threshold=0`` to skip the probe (and its persist)
+    entirely and force the distributed path.
 
     Convergence is detected on (edge count, sum of per-edge xxhash64):
     one tiny aggregate per round, no edge-set materialization on the
@@ -192,12 +187,20 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     different checkpoint dir on the same context would race it.
     """
     sc = edges.sparkSession.sparkContext
+    e_pre: DataFrame | None = None
     if driver_threshold and driver_threshold > 0:
-        small = _cc_driver_path(edges, src, dst, nodes=nodes,
-                                node_col=node_col,
-                                threshold=int(driver_threshold))
-        if small is not None:
-            return small
+        # One canonicalization serves BOTH dispatch arms (ADVICE r5):
+        # the distinct shuffle the probe forces is exactly the
+        # distributed path's base edge set, so an over-threshold graph
+        # pays nothing extra — the persisted frame seeds the base
+        # checkpoint below instead of being thrown away and recomputed.
+        e_pre = _canon(edges, src, dst).persist()
+        # limit+count instead of full count: the reduce side
+        # short-circuits after threshold+1 rows (the map-side distinct
+        # exchange runs in full, but its output is reused either way)
+        probe = e_pre.limit(int(driver_threshold) + 1).count()
+        if probe <= driver_threshold:
+            return _cc_driver_label(e_pre, nodes=nodes, node_col=node_col)
     cleanup_dirs: list[str] = []
     if checkpoint_dir is not None:
         jvm = sc._jvm
@@ -215,9 +218,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
         def ckpt_begin(df: DataFrame) -> DataFrame:
             # LAZY checkpoint: the caller's next action (the round's
-            # convergence aggregate) materializes it — checkpoint write
-            # and checksum share ONE pass over the edges instead of an
-            # eager-write job plus a read-back job per round
+            # convergence aggregate) materializes the frame.  Unlike
+            # the localCheckpoint branch this is NOT one pass:
+            # ReliableRDDCheckpointData recomputes the RDD in a
+            # separate write job at doCheckpoint time, so each round
+            # costs the aggregate job plus a checkpoint-write job —
+            # the price of replicated fault tolerance.  (The write job
+            # for the BASE round reads the dispatch probe's cached
+            # blocks; intermediate rounds recompute one star step.)
             sc.setCheckpointDir(subdirs[rnd % 2])
             return df.checkpoint(eager=False)
 
@@ -263,9 +271,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     _chk_agg = [F.count(F.lit(1)).alias("n"),
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")]
-    e = ckpt_begin(_canon(edges, src, dst))
+    # e_pre (set by the dispatch probe) is the same canonical edge set,
+    # already materialized in cache — the base checkpoint then reads
+    # cached blocks instead of re-running the distinct exchange
+    e = ckpt_begin(e_pre if e_pre is not None
+                   else _canon(edges, src, dst))
     e.agg(*_chk_agg).first()  # materialize the base checkpoint
     ckpt_end(e)
+    if e_pre is not None:
+        e_pre.unpersist(False)  # base checkpoint holds its own blocks now
     prev = None
     for _ in range(max_iter):
         nxt = ckpt_begin(_small_star(_large_star(e)))
@@ -394,13 +408,13 @@ def link_rank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     base = ((d_den - d_num) * scale // d_den) // n
     ranks = nodes.withColumn("__r", F.lit(r0).cast("long"))
     pinned = [e, nodes, e_od]
+    last_pinned_ranks = None  # the rank frame persisted 4 rounds ago
     for it in range(1, iterations + 1):
         contribs = (
             e_od.join(ranks.withColumnRenamed("node", "src"), on="src")
             .select(F.col("dst").alias("node"),
                     F.expr("__r div __od").alias("__c")))
         summed = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-        prev_ranks = ranks
         ranks = (nodes.join(summed, on="node", how="left")
                  .select("node",
                          (F.lit(base)
@@ -415,10 +429,14 @@ def link_rank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         if it % 4 == 0 and it < iterations:
             ranks = ranks.persist()
             ranks.count()
-            if pinned and pinned[-1] is prev_ranks:
-                # the previous pinned frame is fully consumed now —
-                # release eagerly (ordinary persist, lineage survives)
-                pinned.pop().unpersist(False)
+            if last_pinned_ranks is not None:
+                # the rank frame persisted 4 rounds ago is fully
+                # consumed by the chain just materialized — release
+                # eagerly (ordinary persist: lineage survives, a cache
+                # miss would recompute from the new persisted frame)
+                pinned.remove(last_pinned_ranks)
+                last_pinned_ranks.unpersist(False)
+            last_pinned_ranks = ranks
             pinned.append(ranks)
     from .caching import release_on_gc
     out = ranks.select(

@@ -130,10 +130,19 @@ def mr_z(dims: Sequence[Column], num_partitions: int,
     prune also sees spatially coherent points (high prune rates on
     correlated data, where MR-Dim slices see full dimension stripes).
 
-    The bucket division is a double divide+floor on both engines
-    (values < 2^{bits·d} are exact in a double for d ≥ 2 at the chosen
-    bit widths; and the twin runs the identical expression, so parity
-    holds regardless).
+    The bucket division is a double divide+floor on both engines.  The
+    interleaved key is exact in a double only when bits·d ≤ 53 (true
+    for d ∈ {2, 3}; d = 4 uses 15-bit axes → a 60-bit key, which CAN
+    round in the divide).  Correctness survives the rounding anyway:
+    (a) IEEE division by a positive constant is monotone non-decreasing
+    in the numerator, so floor(key/width) stays monotone in key and the
+    linear-extension bucket property (a point is dominated only from
+    its own or a lower bucket) holds for whatever bucket boundaries the
+    rounding induces; (b) the DuckDB twin runs the character-identical
+    expression, so both engines land every point in the same bucket and
+    cross-engine parity is exact.  The two-phase merge is additionally
+    partitioner-agnostic, so even a disagreeing bucket id could not
+    change the final skyline.
     """
     d = len(dims)
     bits = _z_bits(d)

@@ -437,8 +437,15 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bdir = os.path.join(adm_dir, f"batch={batch_id}")
-        if os.path.isdir(bdir):  # replayed batch: already committed
-            return
+        # Commit marker is the _SUCCESS file, NOT directory existence:
+        # Spark creates the output dir when the write job *starts*, so a
+        # crash mid-write leaves a partial batch=N dir that a bare isdir
+        # check would skip as committed, silently admitting a truncated
+        # batch (VERDICT r5 #2).  _SUCCESS is written only after every
+        # task commits; its absence means re-process (mode=overwrite
+        # below replaces the partial output).
+        if os.path.isfile(os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch: already committed
         batch = batch_df.select(id_col, text_col).persist()
         if batch.count() == 0:
             batch.unpersist()
@@ -451,14 +458,15 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         survivors = batch.join(rejected.distinct(), on=id_col,
                                how="left_anti").persist()
         # Only signatures of COMMITTED batches (those whose admitted-docs
-        # commit marker exists) join the cross-check.  A sig dir without
-        # its docs dir is an orphan from a crash between the two writes;
-        # reading it here would match this replay's survivors against
-        # themselves (est_jaccard=1.0) and silently drop the batch.  The
-        # replay overwrites the orphan below, so skipping it is safe.
+        # _SUCCESS marker exists) join the cross-check.  A sig dir without
+        # a fully-committed docs dir is an orphan from a crash between
+        # (or during) the two writes; reading it here would match this
+        # replay's survivors against themselves (est_jaccard=1.0) and
+        # silently drop the batch.  The replay overwrites the orphan
+        # below, so skipping it is safe.
         committed = [d for d in glob.glob(os.path.join(sig_dir, "batch=*"))
-                     if os.path.isdir(os.path.join(
-                         adm_dir, os.path.basename(d)))]
+                     if os.path.isfile(os.path.join(
+                         adm_dir, os.path.basename(d), "_SUCCESS"))]
         if committed:
             old_sigs = spark.read.parquet(*committed)
             cross = minhash_lsh_pairs_cross(
