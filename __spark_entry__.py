@@ -30,7 +30,9 @@ from flink_skyline_qos_spark import (  # noqa: E402
     skyline_two_phase,
 )
 from flink_skyline_qos_spark.operators.caching import (  # noqa: E402
+    pinned_local_checkpoint,
     release_checkpoints_on_gc,
+    release_on_gc,
 )
 from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
     skyline_auto,
@@ -92,6 +94,7 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs_cross_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_near_dup_pairs_sql,
@@ -693,11 +696,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are precomputed once and reused per batch)
     def _incremental_dedup(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
-        new = docs.filter(F.col("doc_id") % 3 == 0)
-        old = docs.filter(F.col("doc_id") % 3 != 0)
-        return minhash_lsh_pairs_cross(
-            new, old, num_hashes=64, bands=16, shingle_k=5,
-            threshold=0.5)
+        # derive BOTH sides from one standing signature table — the
+        # production shape (the corpus's signatures are precomputed
+        # once; VERDICT r6 #2): the shingle+minhash-fold pass runs
+        # exactly once over the union instead of once per side
+        sigs = minhash_signatures(docs, num_hashes=64,
+                                  shingle_k=5).persist()
+        new_sig = sigs.filter(F.col("doc_id") % 3 == 0)
+        old_sig = sigs.filter(F.col("doc_id") % 3 != 0)
+        out = minhash_lsh_pairs_cross(
+            new_signatures=new_sig, old_signatures=old_sig,
+            num_hashes=64, bands=16, shingle_k=5, threshold=0.5)
+        return release_on_gc(out, sigs)
     q["incremental_dedup_documents"] = _incremental_dedup
 
     q["minhash_word_dedup_documents"] = lambda s, d: minhash_lsh_pairs(
@@ -835,17 +845,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _llm_corpus(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
         qual = docs.filter(quality_score(F.col("text")) >= 0.5)
+        # word-3 shingles: the published standard for LLM-corpus
+        # MinHash dedup (word n-grams, not char shingles) and ~5× fewer
+        # md5 base hashes per document
         pairs = minhash_lsh_pairs(qual, num_hashes=64, bands=16,
-                                  shingle_k=5, threshold=0.5)
+                                  shingle_k=3, shingle_unit="word",
+                                  threshold=0.5)
         labeled = dedup_clusters(qual, pairs)
         canon = qual.join(
             labeled.filter(F.col("is_canonical")).select("doc_id"),
             "doc_id")
-        red = redact_text(canon).select("doc_id", "redacted")
-        out = red.join(canon.select("doc_id", "lang"), "doc_id")
+        # redaction passes lang through the same narrow projection —
+        # the redact-then-rejoin form was a needless shuffle
+        out = redact_text(canon, keep=["lang"]) \
+            .select("doc_id", "lang", "redacted")
         return release_checkpoints_on_gc(
-            hash_split(out.select("doc_id", "lang", "redacted"),
-                       {"train": 0.9, "val": 0.05, "test": 0.05},
+            hash_split(out, {"train": 0.9, "val": 0.05, "test": 0.05},
                        ["doc_id"]), labeled)
     q["llm_corpus_documents"] = _llm_corpus
 
@@ -857,24 +872,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _llm_corpus_v2(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
         qual = docs.filter(quality_score(F.col("text")) >= 0.5)
+        # word-3 shingles — see _llm_corpus
         pairs = minhash_lsh_pairs(qual, num_hashes=64, bands=16,
-                                  shingle_k=5, threshold=0.5)
+                                  shingle_k=3, shingle_unit="word",
+                                  threshold=0.5)
         labeled = dedup_clusters(qual, pairs)
+        # canon feeds BOTH the contamination scan and the clean join;
+        # chunks feed pack_sequences' three passes (bounds agg, bucket
+        # totals, final join).  Unpinned, every pass lazily re-derives
+        # the whole quality→dedup→decontaminate→redact pipeline — the
+        # r6 sf0.01 cost outlier (VERDICT r6 #2).  Pin both; released
+        # on result GC.
         canon = qual.join(
             labeled.filter(F.col("is_canonical")).select("doc_id"),
-            "doc_id")
+            "doc_id").persist()
         bench = docs.filter((F.col("doc_id") % 10) == 7)
         contam = contamination_check(canon, bench, n=3)
         clean = canon.join(
             contam.filter(F.col("contaminated_frac") < 0.8)
             .select("doc_id"), "doc_id")
-        red = redact_text(clean).select(
-            "doc_id", F.col("redacted").alias("text"))
-        chunks = chunk_documents(red, size=32, stride=32)
+        # eager checkpoint truncates the composed lineage before the
+        # chunk→pack tail: pack scans its input three times (bounds,
+        # bucket totals, final join) and each scan otherwise re-plans
+        # the entire upstream pipeline (measured ~4 s of the r6 cost
+        # outlier); blocks released with the checkpoints below
+        red = pinned_local_checkpoint(
+            redact_text(clean).select(
+                "doc_id", F.col("redacted").alias("text")))
+        chunks = chunk_documents(red, size=32, stride=32).persist()
         return release_checkpoints_on_gc(
-            pack_sequences(chunks, seq_len=64).select(
-                "doc_id", "chunk_idx", "chunk_text", "n_tokens",
-                "start_offset", "seq_id", "seq_offset"), labeled)
+            release_on_gc(
+                pack_sequences(chunks, seq_len=64).select(
+                    "doc_id", "chunk_idx", "chunk_text", "n_tokens",
+                    "start_offset", "seq_id", "seq_offset"),
+                canon, chunks), labeled, red)
     q["llm_corpus_v2_documents"] = _llm_corpus_v2
 
     # --- deterministic sampling / splitting (content-stable md5
@@ -1714,7 +1745,7 @@ WITH RECURSIVE qual AS (
 ),
 mp AS (
 {minhash_lsh_pairs_sql("qual", num_hashes=64, bands=16,
-                       shingle_k=5, threshold=0.5)}
+                       shingle_k=3, shingle_unit="word", threshold=0.5)}
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM mp
@@ -1746,7 +1777,7 @@ WITH RECURSIVE qual AS (
 ),
 mp AS (
 {minhash_lsh_pairs_sql("qual", num_hashes=64, bands=16,
-                       shingle_k=5, threshold=0.5)}
+                       shingle_k=3, shingle_unit="word", threshold=0.5)}
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM mp

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from functools import reduce
 from operator import add
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -326,7 +327,8 @@ _LONG_DIGITS_RE = r"[0-9]{9,}"  # SSN/phone/card-shaped digit runs
 
 
 def redact_text(df: DataFrame, *, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                keep: Sequence[str] = ()) -> DataFrame:
     """PII/URL scrubbing — the standard pre-training redaction pass.
 
     Returns (id, redacted text, per-category match counts).  Emails →
@@ -335,6 +337,9 @@ def redact_text(df: DataFrame, *, id_col: str = "doc_id",
     ``<URL>``).  Pure `regexp_replace`/`regexp_count` Column exprs —
     whole-stage codegen, no UDF, no shuffle; patterns kept to the
     Java-regex ∩ RE2 common subset so the DuckDB twin is exact.
+    `keep` names extra input columns to pass through unchanged — a
+    redact-then-rejoin-for-metadata composition is a needless shuffle
+    when the redaction itself is a narrow projection.
     """
     t = F.col(text_col)
     red = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
@@ -342,6 +347,7 @@ def redact_text(df: DataFrame, *, id_col: str = "doc_id",
     red = F.regexp_replace(red, _LONG_DIGITS_RE, "<NUM>")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         red.alias("redacted"),
         F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(_URL_RE)).cast("long").alias("n_urls"),

@@ -22,7 +22,8 @@ import weakref
 
 from pyspark.sql import DataFrame
 
-__all__ = ["release_checkpoints_on_gc", "release_on_gc"]
+__all__ = ["pinned_local_checkpoint", "release_checkpoints_on_gc",
+           "release_on_gc"]
 
 
 def release_on_gc(result: DataFrame, *pinned: DataFrame) -> DataFrame:
@@ -75,3 +76,30 @@ def release_checkpoints_on_gc(result: DataFrame,
 
     weakref.finalize(result, _cleanup)
     return result
+
+
+def pinned_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` that records the RDD blocks it pins.
+
+    Materializes `df` and truncates its lineage — the lever for long
+    composed pipelines whose tail operators scan their input several
+    times (each scan otherwise re-plans/re-derives the whole upstream
+    DAG).  localCheckpoint pins blocks at the RDD level, which
+    ``DataFrame.unpersist`` cannot release; the ids pinned here are
+    snapshot-diffed (assumes no concurrent persist on the same context,
+    as in :mod:`.clustering`) and exposed as ``_checkpoint_rdd_ids`` so
+    callers can tie the release to their result's lifetime via
+    :func:`release_checkpoints_on_gc`.
+    """
+    sc = df.sparkSession.sparkContext
+
+    def _pinned() -> "set[int]":
+        ids, it = set(), sc._jsc.getPersistentRDDs().keySet().iterator()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = _pinned()
+    out = df.localCheckpoint(eager=True)
+    out._checkpoint_rdd_ids = tuple(_pinned() - before)
+    return out

@@ -271,9 +271,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     _chk_agg = [F.count(F.lit(1)).alias("n"),
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")]
-    # e_pre (set by the dispatch probe) is the same canonical edge set,
-    # already materialized in cache — the base checkpoint then reads
-    # cached blocks instead of re-running the distinct exchange
+    # e_pre (set by the dispatch probe) is the same canonical edge set.
+    # The probe's limit(threshold+1).count() only computes — and hence
+    # only caches — the partitions the global limit scanned, so the
+    # base checkpoint reads cached blocks where they exist and replays
+    # the remaining partitions' reduce side from the distinct's already-
+    # written shuffle files (ADVICE r6): the map-side exchange never
+    # re-runs either way, which is the cost that matters at scale.
     e = ckpt_begin(e_pre if e_pre is not None
                    else _canon(edges, src, dst))
     e.agg(*_chk_agg).first()  # materialize the base checkpoint

@@ -647,7 +647,8 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
         .withColumnRenamed("id", id_col)
 
 
-def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame = None, *,
+def minhash_lsh_pairs_cross(new_df: DataFrame = None,
+                            old_df: DataFrame = None, *,
                             id_col: str = "doc_id",
                             text_col: str = "text",
                             num_hashes: int = 64, bands: int = 16,
@@ -655,7 +656,8 @@ def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame = None, *,
                             shingle_unit: str = "char", seed: int = 42,
                             max_bucket: int = 1000,
                             threshold: float | None = None,
-                            old_signatures: DataFrame | None = None
+                            old_signatures: DataFrame | None = None,
+                            new_signatures: DataFrame | None = None
                             ) -> DataFrame:
     """Incremental (cross-corpus) near-dup detection: candidate pairs
     BETWEEN a new batch and the existing corpus — ``(new_id, old_id,
@@ -674,11 +676,17 @@ def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame = None, *,
     :func:`minhash_signatures` and passed via ``old_signatures``
     (columns ``(id_col, sig)``): each batch then bands the standing
     corpus's compact signature table instead of re-shingling its text
-    (`old_df` may be None in that case).
+    (`old_df` may be None in that case).  The NEW side accepts the same
+    precomputed form via ``new_signatures`` — a caller that derives both
+    sides from one standing :func:`minhash_signatures` table (e.g. the
+    registered incremental-dedup query splitting one corpus scan into
+    batch/corpus halves) then pays the shingle+fold pass exactly once.
     """
     assert num_hashes % bands == 0
     if old_df is None and old_signatures is None:
         raise ValueError("need old_df or old_signatures")
+    if new_df is None and new_signatures is None:
+        raise ValueError("need new_df or new_signatures")
     rows_per_band = num_hashes // bands
 
     def banded_side(df: DataFrame | None,
@@ -718,7 +726,7 @@ def minhash_lsh_pairs_cross(new_df: DataFrame, old_df: DataFrame = None, *,
                  F.col("bb.bucket").alias("bucket"))
         return sig, banded
 
-    n_sig, n_banded = banded_side(new_df)
+    n_sig, n_banded = banded_side(new_df, pre_sig=new_signatures)
     o_sig, o_banded = banded_side(old_df, pre_sig=old_signatures)
     sizes = (n_banded.select("band", "bucket")
              .unionByName(o_banded.select("band", "bucket"))

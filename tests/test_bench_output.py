@@ -1,0 +1,78 @@
+"""bench.py output-contract tests (no Spark needed).
+
+The driver captures only a 2000-char tail of bench.py's stdout and
+parses the last line as JSON; round 6's line grew to ~3.7 KB (per-query
+load pairs) and the driver recorded ``parsed: null``, losing the
+round's timings (VERDICT r6 #1).  These tests pin the contract: the
+final JSON line stays comfortably under the capture window even with
+every registered workload present and worst-case-width timing values.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _synthetic_names() -> list[str]:
+    # the generated anti-correlated workloads bench.py appends after the
+    # HEADLINE queries (kept in sync with bench.main's workload table)
+    return [
+        "anticorr_1m_2d", "anticorr_1m_3d", "anticorr_1m_4d",
+        "anticorr_10m_2d", "anticorr_10m_3d", "anticorr_10m_4d",
+        "anticorr_100m_2d", "anticorr_100m_3d",
+    ]
+
+
+def test_bench_json_line_fits_driver_capture():
+    names = bench.HEADLINE + _synthetic_names()
+    assert len(names) >= 49
+    # realistic-worst widths: every value in the 4-char 1-dp tier (no
+    # real run has all ~50 queries >=10 s; r6's clean sweep had 7), the
+    # unconverged/floor_exited lists populated with the longest names
+    # at their observed-worst sizes (r6 flagged 3)
+    timings = {n: bench.bench_fmt(99.94) for n in names}
+    long_names = sorted(names, key=len, reverse=True)
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "cold_start_sec": 99.99,
+        "sf": 0.1,
+        "unconverged": long_names[:3],
+        "floor_exited": long_names[3:5],
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1800, len(line)
+
+
+def test_bench_coarsening_fallback_fits_even_pathological_widths():
+    # the in-bench safety valve: if every query somehow hit the 9999 s
+    # tier AND every flag list filled up, coarsening (whole seconds +
+    # dropping floor_exited) must land the line back under 1800
+    names = bench.HEADLINE + _synthetic_names()
+    timings = {n: 9999.4 for n in names}
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {n: (int(round(v)) if v >= 10 else round(v, 1))
+                    for n, v in timings.items()},
+        "cold_start_sec": 99.99,
+        "sf": 0.1,
+        "unconverged": sorted(names, key=len, reverse=True)[:4],
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1800, len(line)
+
+
+def test_bench_fmt_adaptive_precision():
+    assert bench.bench_fmt(1.23456) == 1.23
+    assert bench.bench_fmt(9.999) == 10.0  # rounding may cross the tier
+    assert bench.bench_fmt(42.048) == 42.0
+    assert bench.bench_fmt(123.456) == 123
+    # every tier's JSON rendering is at most 4 chars up to 9999 s
+    for v in (0.01, 9.99, 99.9, 42.0, 9999.4):
+        assert len(json.dumps(bench.bench_fmt(v))) <= 6

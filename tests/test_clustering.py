@@ -325,3 +325,40 @@ def test_connected_components_driver_path_matches_distributed(spark):
     over = {(r["node"], r["component"]) for r in connected_components(
         df, nodes=iso, node_col="doc_id", driver_threshold=10).collect()}
     assert over == slow
+
+
+def test_connected_components_probe_canon_computed_once(spark, monkeypatch):
+    """Plan-shape guard for the probe-reuse fix (VERDICT r6 #5 /
+    ADVICE r5): an over-threshold graph must canonicalize its edge set
+    exactly ONCE — the dispatch probe's `_canon` frame is the same
+    frame the distributed rounds checkpoint as their base.  A revert to
+    re-canonicalizing (probe pass thrown away, base recomputed from
+    `edges`) calls `_canon` twice and fails here."""
+    import random
+
+    from flink_skyline_qos_spark.operators import clustering as mod
+
+    calls = []
+    real_canon = mod._canon
+
+    def counting_canon(edges, src, dst):
+        calls.append(1)
+        return real_canon(edges, src, dst)
+
+    monkeypatch.setattr(mod, "_canon", counting_canon)
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    # over-threshold -> distributed path; one _canon serves probe + base
+    out = mod.connected_components(df, driver_threshold=10)
+    n = out.count()
+    assert n > 0
+    assert len(calls) == 1, f"_canon ran {len(calls)}x on over-threshold"
+
+    # under-threshold -> driver union-find; still exactly one _canon
+    calls.clear()
+    small = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    mod.connected_components(small, driver_threshold=1000).count()
+    assert len(calls) == 1, f"_canon ran {len(calls)}x on under-threshold"

@@ -158,6 +158,11 @@ def test_kafka_round_trip(spark, tmp_path):
         .load()
         .select(F.col("value").cast("string").alias("value"))
     )
-    sent = sorted(r["value"] for r in payload.collect())
-    rcvd = sorted(r["value"] for r in back.collect())
-    assert rcvd == sent
+    sent = [r["value"] for r in payload.collect()]
+    rcvd = [r["value"] for r in back.collect()]
+    # Spark's Kafka sink is AT-LEAST-once: a producer/task retry may
+    # duplicate records in out_topic even when the pipeline behaved
+    # correctly (ADVICE r6), so compare deduplicated payload SETS and
+    # assert no loss separately — never exactly-once delivery.
+    assert sorted(set(rcvd)) == sorted(set(sent))
+    assert len(rcvd) >= len(sent)
