@@ -207,7 +207,17 @@ def test_cross_corpus_precomputed_signatures_identical(spark, documents):
     pre = sorted(tuple(r) for r in minhash_lsh_pairs_cross(
         new, old_signatures=sigs, threshold=0.5).collect())
     assert direct == pre and len(pre) > 0
+    # BOTH sides from one standing signature table (the registered
+    # incremental-dedup shape, VERDICT r6 #2) — still identical pairs
+    all_sigs = minhash_signatures(documents)
+    both = sorted(tuple(r) for r in minhash_lsh_pairs_cross(
+        new_signatures=all_sigs.filter(F.col("doc_id") % 3 == 0),
+        old_signatures=all_sigs.filter(F.col("doc_id") % 3 != 0),
+        threshold=0.5).collect())
+    assert direct == both
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         minhash_lsh_pairs_cross(new)
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs_cross(old_signatures=sigs)
