@@ -64,6 +64,8 @@ from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
     contamination_check_sql,
     pack_sequences,
     pack_sequences_sql,
+    shard_manifest,
+    shard_manifest_sql,
     quality_floor,
     quality_floor_sql,
     rarity_score,
@@ -164,8 +166,12 @@ from flink_skyline_qos_spark.operators.sketches import (  # noqa: E402
     hll_distinct_sql,
 )
 from flink_skyline_qos_spark.operators.sampling import (  # noqa: E402
+    budget_mix,
+    budget_mix_sql,
     deterministic_sample,
     deterministic_sample_sql,
+    group_cap,
+    group_cap_sql,
     hash_split,
     hash_split_sql,
     stratified_sample,
@@ -194,6 +200,8 @@ from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_lsh,
     embedding_near_dup_lsh_sql,
     embedding_near_dup_pairs,
+    knn_graph,
+    knn_graph_sql,
 )
 from flink_skyline_qos_spark.plans.metrics import (  # noqa: E402
     metrics_oracle_sql,
@@ -837,6 +845,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunk_documents(load_table(s, d, "documents"),
                         size=32, stride=32),
         seq_len=64)
+    # shard-writer manifest: whole-document token-budget shards over
+    # the same scale-safe two-level prefix sum (one row per shard:
+    # contiguous id range + doc/token counts — exactly the pruning
+    # predicate a distributed shard writer needs)
+    q["token_shards_documents"] = lambda s, d: shard_manifest(
+        load_table(s, d, "documents").select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")),
+        budget=4096)
 
     # --- the capstone: the COMPLETE LLM data-prep pipeline as one
     # query — quality gate → MinHash near-dup dedup (canonical only) →
@@ -915,6 +931,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_documents"] = lambda s, d: hash_split(
         load_table(s, d, "documents").select("doc_id"),
         {"train": 0.9, "val": 0.05, "test": 0.05}, ["doc_id"])
+    # leakage-safe split: near-dup CLUSTERS (not documents) are the
+    # split unit, so two near-duplicates can never straddle train/test
+    # — the contamination mode a plain per-doc hash split cannot
+    # prevent.  Oracle: the dedup_clusters recursive CTE + the same
+    # md5-threshold CASE.
+    def _cluster_split(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        labeled = dedup_clusters(
+            docs, ngram_jaccard_pairs(docs, k=3, unit="word",
+                                      threshold=0.05))
+        out = hash_split(labeled.select("doc_id", "cluster_id"),
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         ["cluster_id"])
+        return release_checkpoints_on_gc(out, labeled)
+    q["cluster_split_documents"] = _cluster_split
+    # per-source frequency cap (C4/FineWeb-style "at most K docs per
+    # domain"): exact salted two-level top-K by content hash — no
+    # single-task sort of a hot source at scale
+    q["source_cap_documents"] = lambda s, d: group_cap(
+        load_table(s, d, "documents").select("doc_id", "source"),
+        ["source"], 10, ["doc_id"])
+    # token-budget training mix ("N tokens per language"): per-group
+    # keep-rate = min(1, budget/group_tokens), content-stable selection;
+    # one tiny aggregate broadcast back, the corpus never shuffled
+    q["budget_mix_documents"] = lambda s, d: budget_mix(
+        load_table(s, d, "documents").select(
+            "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")),
+        ["lang"], 3000, "n_tokens", ["doc_id"])
     # training-mix rebalance: downsample en, keep zh, drop unlisted
     q["stratified_sample_documents"] = lambda s, d: stratified_sample(
         load_table(s, d, "documents").select("doc_id", "lang"),
@@ -1290,6 +1334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", "vec_id",
                           F.round("cos_sim", 6).alias("cos_sim"), "rank")
     q["ann_topk_gemm_embeddings"] = _ann_gemm
+
+    # exact kNN GRAPH (every vector → its k nearest others): the edge
+    # set graph-based dedup/clustering starts from; GEMM physics,
+    # self-edges excluded by re-rank (a duplicate vector with smaller
+    # id legitimately outranks self, so self≠rank-1 is not assumed)
+    q["knn_graph_embeddings"] = lambda s, d: knn_graph(
+        load_table(s, d, "embeddings"), k=5
+    ).select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
     def _ann_ivf(s: SparkSession, d: str) -> DataFrame:
         emb = load_table(s, d, "embeddings")
@@ -1812,6 +1864,21 @@ red AS (
     o["split_documents"] = hash_split_sql(
         "(SELECT doc_id FROM documents)",
         {"train": 0.9, "val": 0.05, "test": 0.05}, ["doc_id"])
+    # cluster-level split: recursive min-label closure (as in
+    # dedup_clusters) + the same md5-threshold CASE over cluster_id
+    o["cluster_split_documents"] = hash_split_sql(
+        f"(SELECT doc_id, cluster_id FROM "
+        f"({o['dedup_clusters_documents']}))",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, ["cluster_id"])
+    o["source_cap_documents"] = group_cap_sql(
+        "SELECT doc_id, source FROM documents", ["source"], 10,
+        ["doc_id"])
+    o["budget_mix_documents"] = budget_mix_sql(
+        f"SELECT doc_id, lang, {token_count_sql('text')} AS n_tokens "
+        f"FROM documents", ["lang"], 3000, "n_tokens", ["doc_id"])
+    o["token_shards_documents"] = shard_manifest_sql(
+        f"SELECT doc_id, {token_count_sql('text')} AS n_tokens "
+        f"FROM documents", budget=4096)
     o["stratified_sample_documents"] = stratified_sample_sql(
         "(SELECT doc_id, lang FROM documents)",
         {"en": 0.1, "zh": 1.0, "de": 0.5}, "lang", ["doc_id"])
@@ -1845,6 +1912,7 @@ FROM ranked WHERE rn <= 10
     o["ann_topk_embeddings"] = _ann_oracle
     o["ann_topk_gemm_embeddings"] = _ann_oracle
     o["ann_topk_ivf_embeddings"] = _ann_oracle
+    o["knn_graph_embeddings"] = knn_graph_sql("embeddings", k=5)
 
     o["streaming_pipeline_skyline"] = skyline_not_exists_sql(
         f"({generate_points_sql(4000, 2, dist='anti_correlated')})",

@@ -73,6 +73,12 @@ HEADLINE = [
     "curation_capstone_embeddings",
     "pq_adc_rerank_embeddings",
     "temperature_sample_documents",
+    # round-7 additions: per-source cap + kNN graph (token_shards is a
+    # trivially-cheap manifest agg — registered + oracled, not headlined:
+    # the worst-case output-line budget is ~1800 chars and each headline
+    # entry costs ~30; see tests/test_bench_output.py)
+    "source_cap_documents",
+    "knn_graph_embeddings",
 ]
 
 

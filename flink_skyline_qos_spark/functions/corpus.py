@@ -35,6 +35,8 @@ __all__ = [
     "contamination_check",
     "contamination_check_sql",
     "pack_sequences",
+    "shard_manifest",
+    "shard_manifest_sql",
     "pack_sequences_sql",
     "quality_floor",
     "quality_floor_sql",
@@ -638,3 +640,50 @@ def quality_floor_sql(table_sql: str, score_col: str, *,
         f"SELECT t.* FROM {ok} t CROSS JOIN "
         f"(SELECT {cut} AS __cut FROM {ok}) c "
         f"WHERE t.{score_col} >= c.__cut")
+
+
+def shard_manifest(df: DataFrame, budget: int, *,
+                   id_col: str = "doc_id",
+                   count_col: str = "n_tokens",
+                   n_parts: int | None = None) -> DataFrame:
+    """Token-budget shard assignment manifest — the "write the corpus
+    as ~budget-token training shards" planning pass.  Documents are
+    laid end-to-end in `id_col` order and a document belongs wholly to
+    the shard its FIRST token lands in (real shard writers keep
+    documents intact, so shard sizes wobble around the budget by at
+    most one document).
+
+    Returns one row per shard: `shard_id`, `n_docs`, `n_tokens`,
+    `min_{id}` / `max_{id}` (each shard is a contiguous id range, so
+    the manifest row is exactly the predicate a writer needs to
+    extract its shard with partition pruning).
+
+    Scale shape: the global running sum reuses
+    :func:`pack_sequences`'s two-level prefix sum over deterministic
+    fixed-width id buckets — every stage parallel, no global-sort
+    window, no driver state; the manifest itself is |shards| rows.
+    """
+    packed = pack_sequences(df, seq_len=budget, order_cols=(id_col,),
+                            count_col=count_col, n_parts=n_parts)
+    return (packed
+            .groupBy(F.col("seq_id").alias("shard_id"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(count_col).cast("long").alias("n_tokens"),
+                 F.min(id_col).alias(f"min_{id_col}"),
+                 F.max(id_col).alias(f"max_{id_col}")))
+
+
+def shard_manifest_sql(docs_sql: str, budget: int, *,
+                       id_col: str = "doc_id",
+                       count_col: str = "n_tokens") -> str:
+    """DuckDB twin of :func:`shard_manifest` (plain global window)."""
+    packed = pack_sequences_sql(docs_sql, seq_len=budget,
+                                order_cols=(id_col,),
+                                count_col=count_col)
+    return f"""
+SELECT seq_id AS shard_id, count(*) AS n_docs,
+       sum({count_col})::BIGINT AS n_tokens,
+       min({id_col}) AS min_{id_col}, max({id_col}) AS max_{id_col}
+FROM ({packed})
+GROUP BY seq_id
+""".strip()

@@ -22,9 +22,14 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "hash_bucket",
+    "budget_mix",
+    "budget_mix_sql",
+    "group_cap",
+    "group_cap_sql",
     "deterministic_sample",
     "deterministic_sample_sql",
     "hash_split",
@@ -274,6 +279,117 @@ WITH __c AS (SELECT {g}, count(*) AS __c FROM ({table_sql}) GROUP BY {g}),
 __m AS (SELECT max(__c) AS __cmax FROM __c),
 __g AS (SELECT {', '.join(f'c.{c}' for c in group_cols)}, {thr} AS __thr
         FROM __c c CROSS JOIN __m m)
+SELECT t.* FROM ({table_sql}) t JOIN __g ON {on}
+WHERE {_bucket_sql(keys, seed)} < __g.__thr
+""".strip()
+
+
+def group_cap(df: DataFrame, group_cols: Sequence[str], cap: int,
+              key_cols: Sequence[str], *, seed: int = 42,
+              n_salts: int = 64) -> DataFrame:
+    """Frequency cap: keep at most `cap` rows per group, chosen by
+    content-stable hash order — the "at most K documents per domain /
+    source" pass that stops over-represented hosts from dominating a
+    training mix (C4/FineWeb-style URL- and domain-level caps).
+
+    Selection is the `cap` smallest `(hash_bucket, *key_cols)` rows of
+    each group: deterministic (a pure function of row content, like
+    every sampler here), uniform (md5 buckets), and stable under
+    corpus growth — a kept row is only ever evicted by a new row
+    hashing below it, never by re-partitioning or row order.
+
+    Scale shape: the naive plan is one `row_number()` window
+    partitioned by group — at 100 TB a single hot domain becomes one
+    task sorting billions of rows.  Instead, exact salted two-level
+    top-K: level 1 ranks within (group, salt) — `n_salts`
+    content-derived sub-partitions bound the per-task sort to
+    |group|/n_salts — and keeps `cap` per sub-partition; level 2 ranks
+    the ≤ cap·n_salts survivors per group.  Any global top-`cap` row
+    is in its salt's top-`cap`, so the composition is exact.  Both
+    windows are bounded; no group ever sorts in one task.  (Same
+    two-level selection as the reference-free samplers; the reference
+    engine has no sampling surface — SURVEY.md §2.6.)
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    g = list(group_cols)
+    b = hash_bucket(key_cols, seed).alias("__b")
+    salted = df.select("*", b).withColumn(
+        "__salt", hash_bucket(key_cols, seed + 1) % n_salts)
+    order = [F.col("__b"), *[F.col(c) for c in key_cols]]
+    w1 = Window.partitionBy(*g, "__salt").orderBy(*order)
+    lvl1 = (salted
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= cap))
+    w2 = Window.partitionBy(*g).orderBy(*order)
+    return (lvl1
+            .withColumn("__r2", F.row_number().over(w2))
+            .filter(F.col("__r2") <= cap)
+            .drop("__b", "__salt", "__r1", "__r2"))
+
+
+def group_cap_sql(table_sql: str, group_cols: Sequence[str], cap: int,
+                  key_cols: Sequence[str], *, seed: int = 42) -> str:
+    """DuckDB twin of :func:`group_cap` — the single global window the
+    Spark side deliberately avoids (fine for an oracle, wrong at scale)."""
+    g = ", ".join(group_cols)
+    order = f"{_bucket_sql(key_cols, seed)}, " + ", ".join(key_cols)
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (PARTITION BY {g} ORDER BY {order}) AS __rn
+  FROM ({table_sql})
+) WHERE __rn <= {cap}
+""".strip()
+
+
+def budget_mix(df: DataFrame, group_cols: Sequence[str], budget: int,
+               count_col: str, key_cols: Sequence[str], *,
+               seed: int = 42) -> DataFrame:
+    """Token-budget training mix: downsample each group (language,
+    source, …) to ≈ `budget` total `count_col` units — "2B tokens of
+    code, 1B of wiki" as one deterministic filter.  Keep probability
+    per group is min(1, budget / group_total); rows are selected by
+    the same content-stable md5 bucket as every sampler here, so the
+    kept set is reproducible and grows monotonically as the budget
+    rises.
+
+    Scale shape: one map-side-combined aggregate (|groups| rows),
+    thresholds broadcast back, then a scan-side filter — the corpus is
+    never sorted or shuffled.  Expected kept mass is exactly the
+    budget (hash buckets are uniform); variance is O(√n) like any
+    Bernoulli mix.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    g = list(group_cols)
+    tot = df.groupBy(*g).agg(F.sum(count_col).alias("__tot"))
+    thr = tot.select(
+        *g,
+        F.floor(F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) / F.col("__tot").cast("double"),
+        ) * F.lit(float(_BUCKETS))).cast("long").alias("__thr"))
+    return (df.join(F.broadcast(thr), g)
+            .filter(hash_bucket(key_cols, seed) < F.col("__thr"))
+            .drop("__thr"))
+
+
+def budget_mix_sql(table_sql: str, group_cols: Sequence[str], budget: int,
+                   count_expr: str, key_cols: Sequence[str], *,
+                   seed: int = 42) -> str:
+    """DuckDB twin of :func:`budget_mix` (bit-identical rows: IEEE
+    double divide + the same floor(min(1, r)·2³²) threshold)."""
+    g = ", ".join(group_cols)
+    on = " AND ".join(f"t.{c} = __g.{c}" for c in group_cols)
+    keys = [f"t.{c}" for c in key_cols]
+    thr = (f"CAST(floor(LEAST(1.0, {float(budget)!r} / "
+           f"CAST(__tot AS DOUBLE)) * {float(_BUCKETS)!r}) AS BIGINT)")
+    return f"""
+WITH __g AS (
+  SELECT {g}, {thr} AS __thr
+  FROM (SELECT {g}, sum({count_expr}) AS __tot
+        FROM ({table_sql}) GROUP BY {g})
+)
 SELECT t.* FROM ({table_sql}) t JOIN __g ON {on}
 WHERE {_bucket_sql(keys, seed)} < __g.__thr
 """.strip()

@@ -34,6 +34,8 @@ __all__ = [
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_sql",
     "embedding_near_dup_pairs",
+    "knn_graph",
+    "knn_graph_sql",
 ]
 
 
@@ -478,3 +480,64 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95, *,
                 cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def knn_graph(vectors: DataFrame, k: int = 5, *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Exact k-nearest-neighbor graph over a vector set: for every
+    vector, its `k` most cosine-similar OTHER vectors — the adjacency
+    list that seeds graph-based dedup, semantic clustering, and
+    diversity-aware curation (SemDeDup/DBSCAN-style passes all start
+    from exactly this edge set).
+
+    Physics: the GEMM top-k kernel (:func:`cosine_topk_gemm`) with the
+    whole set as the query side, fetching k+1 and dropping self-edges.
+    A duplicate vector with a smaller id can legitimately outrank the
+    self-pair, so self is NOT assumed to be rank 1 — the final rank is
+    recomputed over the ≤ k+1 surviving rows per node (a bounded
+    window, never the n² score matrix).
+
+    Scale: exact all-pairs kNN is O(n²·d) GEMM work — right for
+    bounded vector sets (≤ a few hundred thousand rows: the broadcast
+    query matrix is n·d float64).  For corpus-scale n the LSH-bucketed
+    near-dup path (:func:`embedding_near_dup_lsh`) is the same edge
+    set restricted to a similarity floor; use it and rank within
+    buckets instead.
+    """
+    qs = vectors.select(F.col(id_col).alias("query_id"), vec_col)
+    top = cosine_topk_gemm(vectors, qs, k=k + 1,
+                           id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id"))
+    return (top.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("query_id").alias("src"),
+                    F.col("vec_id").alias("dst"),
+                    "cos_sim", "rank"))
+
+
+def knn_graph_sql(table: str, k: int = 5, *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`knn_graph` (full n² cross join — oracle
+    only; 6-dp rounding mirrors the registered query's output)."""
+    return f"""
+WITH c AS (SELECT {id_col} AS id, cast({vec_col} AS DOUBLE[]) AS v
+           FROM {table}),
+scored AS (
+  SELECT a.id AS src, b.id AS dst,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM c a JOIN c b ON a.id <> b.id
+), ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY sim DESC, dst) AS rn
+  FROM scored
+)
+SELECT src, dst, round(sim, 6) AS cos_sim, cast(rn AS int) AS rank
+FROM ranked WHERE rn <= {k}
+""".strip()

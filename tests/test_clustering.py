@@ -362,3 +362,29 @@ def test_connected_components_probe_canon_computed_once(spark, monkeypatch):
     small = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     mod.connected_components(small, driver_threshold=1000).count()
     assert len(calls) == 1, f"_canon ran {len(calls)}x on under-threshold"
+
+
+def test_cluster_split_no_leakage(spark, sf_dir):
+    """Leakage-safe split: two near-duplicate documents (same
+    connected component) NEVER land in different train/val/test
+    splits — the property a per-document hash split cannot give."""
+    from flink_skyline_qos_spark.operators.clustering import dedup_clusters
+    from flink_skyline_qos_spark.operators.dedup import ngram_jaccard_pairs
+    from flink_skyline_qos_spark.operators.sampling import hash_split
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, k=3, unit="word", threshold=0.05)
+    labeled = dedup_clusters(docs, pairs)
+    out = hash_split(labeled.select("doc_id", "cluster_id"),
+                     {"train": 0.8, "val": 0.1, "test": 0.1},
+                     ["cluster_id"])
+    # every cluster maps to exactly one split, and the split assignment
+    # covers every document
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in per_cluster)
+    assert out.count() == docs.count()
+    # and at least one real multi-member cluster exists in the fixture
+    sizes = (out.groupBy("cluster_id").count().filter(F.col("count") > 1))
+    assert sizes.count() > 0

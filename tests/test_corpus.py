@@ -505,3 +505,37 @@ def test_quality_floor_nan_scores_drop_and_engines_agree(spark):
     want = sorted(r[0] for r in con.sql(quality_floor_sql(
         "SELECT * FROM t", "score", q=0.5)).fetchall())
     assert got == want == [5, 6, 7, 8, 9]  # NaN row gone, cut = 5.0
+
+
+# ---------- shard manifest (token-budget shard writer planning) ------
+
+def test_shard_manifest_crafted(spark):
+    from flink_skyline_qos_spark.functions.corpus import shard_manifest
+    rows = [(i, 10) for i in range(1, 11)]  # 10 docs x 10 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    man = {r.shard_id: r for r in
+           shard_manifest(df, budget=25, n_parts=4).collect()}
+    # greedy whole-doc assignment: shard = floor(start_offset / 25);
+    # doc starts at (i-1)*10 -> shards 0:[1,2,3] 1:[4,5] 2:[6,7,8] 3:[9,10]
+    assert {k: (v.n_docs, v.min_doc_id, v.max_doc_id)
+            for k, v in man.items()} == {
+        0: (3, 1, 3), 1: (2, 4, 5), 2: (3, 6, 8), 3: (2, 9, 10)}
+    assert all(v.n_tokens == v.n_docs * 10 for v in man.values())
+
+
+def test_shard_manifest_contiguous_ranges(spark, sf_dir):
+    """Shards partition the corpus into contiguous, non-overlapping
+    id ranges covering every document exactly once."""
+    from flink_skyline_qos_spark.functions.text import token_count
+    from flink_skyline_qos_spark.functions.corpus import shard_manifest
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    man = sorted(shard_manifest(docs, budget=2048).collect(),
+                 key=lambda r: r.shard_id)
+    assert sum(r.n_docs for r in man) == docs.count()
+    for a, b in zip(man, man[1:]):
+        assert a.max_doc_id < b.min_doc_id  # contiguous, ordered
+        assert b.shard_id == a.shard_id + 1 or b.shard_id > a.shard_id
+    # every shard's token mass stays within budget + one document
+    mx = docs.agg(F.max("n_tokens")).first()[0]
+    assert all(r.n_tokens <= 2048 + mx for r in man)

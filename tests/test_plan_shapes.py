@@ -406,3 +406,20 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
                      plan), plan
+
+
+def test_group_cap_no_single_partition_window(spark):
+    """The per-source cap must never collapse to one task: both
+    selection windows partition by keys (group+salt, then group) —
+    no SinglePartition exchange, no global sort, no Python."""
+    from flink_skyline_qos_spark.operators.sampling import group_cap
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source")
+    plan = _plan(group_cap(docs, ["source"], 10, ["doc_id"]))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # level-1 window is salted: its partition spec carries __salt so a
+    # hot source splits across n_salts sub-sorts
+    assert "__salt" in plan, plan

@@ -201,3 +201,106 @@ def test_temperature_sample_rejects_inexact_temperature(spark):
                                temperature=0.7)
     with pytest.raises(ValueError):
         temperature_sample(df, ["g"], ["id"], base_rate=-0.1)
+
+
+# --- group_cap: per-source frequency cap ------------------------------
+
+def test_group_cap_exact_and_stable(docs, spark):
+    from flink_skyline_qos_spark.operators.sampling import (
+        group_cap, group_cap_sql)
+    capped = group_cap(docs.select("doc_id", "source"),
+                       ["source"], 7, ["doc_id"])
+    per = {r.source: r.n for r in
+           capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(7, base[src])  # exact cap, small groups intact
+    # partitioning-independence: the selected SET is content-stable
+    again = group_cap(docs.repartition(13).select("doc_id", "source"),
+                      ["source"], 7, ["doc_id"])
+    assert ({r.doc_id for r in capped.collect()}
+            == {r.doc_id for r in again.collect()})
+    # salted two-level selection == single global window (exactness):
+    # n_salts=1 degenerates to the plain window; any n_salts must agree
+    one = group_cap(docs.select("doc_id", "source"), ["source"], 7,
+                    ["doc_id"], n_salts=1)
+    assert ({r.doc_id for r in one.collect()}
+            == {r.doc_id for r in capped.collect()})
+
+
+def test_group_cap_sql_parity(docs, sf_dir):
+    from flink_skyline_qos_spark.operators.sampling import (
+        group_cap, group_cap_sql)
+    spark_ids = sorted(
+        r.doc_id for r in group_cap(docs.select("doc_id", "source"),
+                                    ["source"], 5, ["doc_id"]).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    duck_ids = sorted(r[0] for r in con.execute(
+        group_cap_sql("SELECT doc_id, source FROM documents",
+                      ["source"], 5, ["doc_id"])).fetchall())
+    assert spark_ids == duck_ids
+
+
+def test_group_cap_growth_stability(docs):
+    """A kept row is only evicted by a new row hashing below it —
+    capping a SUPERSET never admits a row the subset run rejected
+    while keeping the group full."""
+    from flink_skyline_qos_spark.operators.sampling import group_cap
+    half = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    full = docs.select("doc_id", "source")
+    kept_half = {r.doc_id for r in
+                 group_cap(half, ["source"], 5, ["doc_id"]).collect()}
+    kept_full = {r.doc_id for r in
+                 group_cap(full, ["source"], 5, ["doc_id"]).collect()}
+    # rows selected from the superset that were PRESENT in the subset
+    # must also have been selected there (hash order is content-stable)
+    assert {i for i in kept_full if i % 2 == 0} <= kept_half
+
+
+# --- budget_mix: token-budget training mix ----------------------------
+
+def test_budget_mix_hits_budget_and_parity(docs, sf_dir):
+    from flink_skyline_qos_spark.operators.sampling import (
+        budget_mix, budget_mix_sql)
+    from flink_skyline_qos_spark.functions.text import (
+        token_count, token_count_sql)
+    base = docs.select("doc_id", "lang",
+                       token_count(F.col("text")).alias("n_tokens"))
+    out = budget_mix(base, ["lang"], 3000, "n_tokens", ["doc_id"])
+    kept = out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    totals = {r.lang: r.t for r in
+              base.groupBy("lang").agg(F.sum("n_tokens").alias("t"))
+              .collect()}
+    for r in kept:
+        if totals[r.lang] <= 3000:
+            assert r.t == totals[r.lang]  # under-budget groups intact
+        else:
+            # Bernoulli mix around the budget (generous 3x bound —
+            # the point is "about the budget", exactness is the oracle)
+            assert r.t < 3 * 3000
+    # engine parity (bit-identical row set)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    duck = sorted(r[0] for r in con.execute(budget_mix_sql(
+        f"SELECT doc_id, lang, {token_count_sql('text')} AS n_tokens "
+        f"FROM documents", ["lang"], 3000, "n_tokens",
+        ["doc_id"])).fetchall())
+    assert sorted(r.doc_id for r in out.collect()) == duck
+
+
+def test_budget_mix_monotone_in_budget(docs):
+    from flink_skyline_qos_spark.operators.sampling import budget_mix
+    from flink_skyline_qos_spark.functions.text import token_count
+    base = docs.select("doc_id", "lang",
+                       token_count(F.col("text")).alias("n_tokens"))
+    small = {r.doc_id for r in
+             budget_mix(base, ["lang"], 1000, "n_tokens",
+                        ["doc_id"]).collect()}
+    big = {r.doc_id for r in
+           budget_mix(base, ["lang"], 5000, "n_tokens",
+                      ["doc_id"]).collect()}
+    assert small <= big  # raising the budget only adds documents

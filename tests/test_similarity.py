@@ -258,3 +258,37 @@ def test_empty_inputs_do_not_crash(spark):
     pairs = embedding_near_dup_lsh(empty)
     assert pairs.count() == 0
     assert pairs.lsh_dropped.first()["dropped_pairs"] == 0
+
+
+# ---------- kNN graph -------------------------------------------------
+
+def test_knn_graph_matches_numpy(vecs):
+    from flink_skyline_qos_spark.operators.similarity import knn_graph
+    df, m = vecs
+    out = knn_graph(df, k=3).collect()
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for r in out:
+        assert r.src != r.dst  # no self-edges
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.src, r.rank)):
+        by_src.setdefault(r.src, []).append(r.dst)
+    assert set(by_src) == set(range(200))
+    for src, dsts in by_src.items():
+        s = sims[src].copy()
+        s[src] = -np.inf  # exclude self
+        order = np.lexsort((np.arange(200), -s))[:3]
+        assert dsts == list(order)
+
+
+def test_knn_graph_duplicate_vector_self_exclusion(spark):
+    """A duplicate vector outranks self in the raw top-k; the graph
+    must still exclude ONLY the true self-edge and keep the duplicate
+    as the rank-1 neighbor."""
+    from flink_skyline_qos_spark.operators.similarity import knn_graph
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.7, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.src, r.rank): r.dst for r in knn_graph(df, k=2).collect()}
+    assert out[(0, 1)] == 1 and out[(1, 1)] == 0  # duplicates pair up
+    assert out[(2, 1)] == 3  # closest non-self
