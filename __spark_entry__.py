@@ -212,6 +212,8 @@ from flink_skyline_qos_spark.plans.queries import (  # noqa: E402
     run_prefix_queries,
 )
 from flink_skyline_qos_spark.sources.generators import (  # noqa: E402
+    generate_docs_hash,
+    generate_docs_sql,
     generate_points_hash,
     generate_points_sql,
 )
@@ -691,6 +693,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup_documents"] = lambda s, d: exact_dedup(
         load_table(s, d, "documents")
     )
+    # dedup over GENERATED corpora (md5-deterministic text with planted
+    # duplicates — every 10th doc copies its predecessor): the dedup
+    # stack oracle-gated on input sizes decoupled from the shipped
+    # table, and the same generator scales the bench rows to millions
+    q["gen_docs_exact_dedup"] = lambda s, d: exact_dedup(
+        generate_docs_hash(s, 2000, dup="exact"))
+    q["gen_docs_minhash_dedup"] = lambda s, d: minhash_lsh_pairs(
+        generate_docs_hash(s, 800, dup="near"), num_hashes=64, bands=16,
+        shingle_k=3, shingle_unit="word", threshold=0.5)
     q["ngram_jaccard_documents"] = lambda s, d: ngram_jaccard_pairs(
         load_table(s, d, "documents"), k=3, unit="word", threshold=0.05,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1684,6 +1695,13 @@ FROM events GROUP BY event_type
         "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)"
     )
+    o["gen_docs_exact_dedup"] = (
+        f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+        f"FROM ({generate_docs_sql(2000, dup='exact')}) GROUP BY md5(text)"
+    )
+    o["gen_docs_minhash_dedup"] = minhash_lsh_pairs_sql(
+        f"({generate_docs_sql(800, dup='near')})", num_hashes=64,
+        bands=16, shingle_k=3, shingle_unit="word", threshold=0.5)
 
     o["ngram_jaccard_documents"] = f"""
 WITH {_NGRAM_CTES}

@@ -198,3 +198,72 @@ def generate_points_sql(n: int, dims: int = 2, *, dist: str = "uniform",
     cols = ", ".join(f"{sql} AS d{i}" for i, (_, sql) in enumerate(exprs))
     return (f"SELECT id, {cols} FROM "
             f"(SELECT range AS id FROM range(0, {n}))")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic DOCUMENT generator — deterministic text corpora with planted
+# duplicates, for oracle-gating and scale-benching the dedup stack on
+# inputs far larger than the shipped documents table.  Every token is a
+# pure md5 function of (id, position), so Spark and DuckDB produce
+# bit-identical corpora at any n.
+#
+# Duplicate planting: every 10th document copies its predecessor's
+# token seed.  dup="exact" copies every position (an exact duplicate);
+# dup="near" keeps position 0 keyed to the document's own id, so the
+# pair shares doc_len−1 of doc_len tokens — a guaranteed-high-Jaccard
+# near-duplicate with a known ground-truth pair set (id−1, id).
+# ---------------------------------------------------------------------------
+
+
+def _tok_bucket(seed_col, j):
+    h = F.md5(F.concat(seed_col.cast("string"), F.lit(":t"),
+                       j.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def generate_docs_hash(spark: SparkSession, n: int, *,
+                       vocab_size: int = 2000, doc_len: int = 30,
+                       dup: str = "near",
+                       num_partitions: int = 8) -> DataFrame:
+    """Deterministic synthetic corpus: (doc_id, text), text = `doc_len`
+    space-joined tokens drawn from a `vocab_size` vocabulary by md5 of
+    (seed, position); every 10th document is a planted duplicate of its
+    predecessor (`dup="exact"`: identical text; `dup="near"`: all but
+    the first token).  Engine-portable: :func:`generate_docs_sql` emits
+    the same rows from DuckDB, so dedup queries over generated corpora
+    go through the full value-hash oracle gate.  All JVM expressions —
+    scales linearly to any n with zero driver state."""
+    if dup not in ("exact", "near"):
+        raise ValueError("dup must be 'exact' or 'near'")
+    df = spark.range(0, n, 1, num_partitions)
+    seed = (F.when((F.col("id") % 10 == 0) & (F.col("id") > 0),
+                   F.col("id") - 1).otherwise(F.col("id")))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_len - 1)),
+        lambda j: F.concat(
+            F.lit("w"),
+            (_tok_bucket(
+                seed if dup == "exact"
+                else F.when(j == 0, F.col("id")).otherwise(seed), j)
+             % vocab_size).cast("string")))
+    return df.select(F.col("id").alias("doc_id"),
+                     F.concat_ws(" ", toks).alias("text"))
+
+
+def generate_docs_sql(n: int, *, vocab_size: int = 2000,
+                      doc_len: int = 30, dup: str = "near") -> str:
+    """DuckDB twin of :func:`generate_docs_hash` (bit-identical text)."""
+    if dup not in ("exact", "near"):
+        raise ValueError("dup must be 'exact' or 'near'")
+    seed = "CASE WHEN id % 10 = 0 AND id > 0 THEN id - 1 ELSE id END"
+    tok_seed = (seed if dup == "exact"
+                else f"CASE WHEN j = 0 THEN id ELSE {seed} END")
+    bucket = (f"(('0x' || substr(md5(({tok_seed})::VARCHAR || ':t' || "
+              f"j::VARCHAR), 1, 8))::BIGINT % {vocab_size})")
+    return f"""
+SELECT id AS doc_id,
+       string_agg('w' || {bucket}::VARCHAR, ' ' ORDER BY j) AS text
+FROM (SELECT range AS id FROM range(0, {n}))
+CROSS JOIN (SELECT range AS j FROM range(0, {doc_len}))
+GROUP BY id
+""".strip()

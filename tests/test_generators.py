@@ -65,3 +65,31 @@ def test_rand_generator_seeded_stable(spark):
     mean = sum(row_sums) / len(row_sums)
     # constant-row-sum construction: tight concentration around dims·mid
     assert abs(mean - 10000.0) < 300.0
+
+
+def test_generate_docs_planted_duplicates(spark):
+    """Every 10th generated document duplicates its predecessor —
+    exactly (near mode differs in token 0 only), and the minhash
+    pipeline recovers the full planted pair set."""
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_docs_hash)
+    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = generate_docs_hash(spark, 300, doc_len=20, dup="near")
+    by_id = {r.doc_id: r.text for r in docs.collect()}
+    assert len(by_id) == 300
+    for i in range(10, 300, 10):
+        a, b = by_id[i - 1].split(" "), by_id[i].split(" ")
+        assert a[1:] == b[1:] and a[0] != b[0]  # near-dup: token 0 only
+    exact = generate_docs_hash(spark, 100, doc_len=20, dup="exact")
+    by_id = {r.doc_id: r.text for r in exact.collect()}
+    for i in range(10, 100, 10):
+        assert by_id[i - 1] == by_id[i]
+    # recall: LSH candidate pairs over the near corpus contain every
+    # planted (i-1, i) pair — 19/20 shared tokens is far above the
+    # 0.5 Jaccard threshold in every band
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_k=3,
+        shingle_unit="word", threshold=0.5).collect()}
+    planted = {(i - 1, i) for i in range(10, 300, 10)}
+    assert planted <= pairs
