@@ -497,3 +497,34 @@ def test_mr_z_bucket_zero_local_skyline_is_final(spark):
     global_sky = {(r.d0, r.d1) for r in
                   skyline(df, ["d0", "d1"]).collect()}
     assert local0 <= global_sky
+
+
+def test_broadcast_verify_two_round_escalation_exact(spark):
+    """The escalating two-round verify (pre-round against the
+    lowest-sum refs slice) must return exactly the single-round
+    skyline — forced here with a tiny threshold so both paths run on
+    the same data."""
+    import numpy as np
+    from flink_skyline_qos_spark.operators.kernels import skyline_mask
+    from flink_skyline_qos_spark.operators.skyline import (
+        _complete, _verify_against_broadcast)
+
+    rs = np.random.RandomState(11)
+    pts = rs.randint(0, 50, size=(4000, 3)).astype(float)
+    df = _complete(spark.createDataFrame(
+        [(i, *map(float, row)) for i, row in enumerate(pts)],
+        "id long, d0 double, d1 double, d2 double"), ["d0", "d1", "d2"])
+    pinned = df.persist()
+    pinned.count()
+    one = _verify_against_broadcast(
+        pinned, ["d0", "d1", "d2"], escalate_threshold=10**9)
+    two = _verify_against_broadcast(
+        pinned, ["d0", "d1", "d2"], escalate_threshold=8,
+        pre_round_refs=64)
+    rows_one = sorted((r.d0, r.d1, r.d2) for r in one.collect())
+    rows_two = sorted((r.d0, r.d1, r.d2) for r in two.collect())
+    assert rows_one == rows_two
+    expected = pts[skyline_mask(pts)]
+    assert len(rows_two) == len(expected)
+    assert rows_two == sorted(map(tuple, expected))
+    pinned.unpersist()
