@@ -237,6 +237,42 @@ def skyline_mask(values: np.ndarray) -> np.ndarray:
     dtype, exact = _layout((values,), d)
     svT = _transpose(values[order], dtype)
     ssums = sums[order]
+    # The (sum, d0, …, d{k-1}) sort is fully lexicographic, so EXACT
+    # duplicates are globally contiguous — one vectorized neighbor
+    # comparison finds them.  The forward pass then runs over unique
+    # vectors only and duplicates inherit their representative's
+    # verdict (identical vector ⇒ identical dominated-status; ties
+    # never dominate, so a duplicate of a survivor also survives).
+    # Decisive in the reference's optimality-collapse regime (PDF
+    # §5.4): the 4-D anti-correlated generator's clamping makes ~22 %
+    # of all points the same vector, and without dedup every copy of
+    # an accepted point is re-appended to the running skyline matrix
+    # the rest of the scan compares against.
+    if n > 1:
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        np.any(svT[:, 1:] != svT[:, :-1], axis=0, out=first[1:])
+    else:
+        first = np.ones(n, dtype=bool)
+    if not first.all():
+        inv = np.cumsum(first) - 1
+        uT = np.ascontiguousarray(svT[:, first])
+        keep_sorted = _forward_mask_T(uT, ssums[first], exact)[inv]
+    else:
+        keep_sorted = _forward_mask_T(svT, ssums, exact)
+    out = np.zeros(n, dtype=bool)
+    out[order] = keep_sorted
+    return out
+
+
+def _forward_mask_T(svT: np.ndarray, ssums: np.ndarray,
+                    exact: bool) -> np.ndarray:
+    """Single forward pass over sum-sorted columns of `svT` (layout
+    (d, n)): mask of rows not dominated by any earlier-or-same-block
+    survivor.  Dominators sort strictly earlier (a dominator's sum is
+    strictly smaller, lex tie-break covers fp sum collisions), so
+    accepted points are never evicted."""
+    d, n = svT.shape
     keep_sorted = np.zeros(n, dtype=bool)
     skyT = np.empty((d, 0), dtype=svT.dtype)
     sky_sums = np.empty(0, dtype=ssums.dtype)
@@ -255,9 +291,7 @@ def skyline_mask(values: np.ndarray) -> np.ndarray:
         keep_sorted[s + idx] = True
         skyT = np.concatenate([skyT, blkT[:, idx]], axis=1)
         sky_sums = np.concatenate([sky_sums, bsums[idx]])
-    out = np.zeros(n, dtype=bool)
-    out[order] = keep_sorted
-    return out
+    return keep_sorted
 
 
 def merge_skylines(old: np.ndarray, new: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
