@@ -58,8 +58,12 @@ from flink_skyline_qos_spark.functions.text import (  # noqa: E402
     vocab_sql,
 )
 from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
+    c4_rules,
+    c4_rules_sql,
     chunk_documents,
     chunk_documents_sql,
+    dedup_paragraphs,
+    dedup_paragraphs_sql,
     contamination_check,
     contamination_check_sql,
     pack_sequences,
@@ -849,6 +853,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         thr = max(int(docs.count() * 0.78), 2)
         return remove_boilerplate_lines(docs, min_docs=thr, delimiter=" ")
     q["boilerplate_documents"] = _boilerplate
+    # corpus-wide unit-level exact dedup (C4 three-sentence-span /
+    # RefinedWeb paragraph pass): first occurrence of every 8-token
+    # span survives, later repeats are cut and docs reassembled
+    q["paragraph_dedup_documents"] = lambda s, d: dedup_paragraphs(
+        load_table(s, d, "documents"), unit_tokens=8)
+    # C4/Gopher rule-based quality filter: five lexical rules, per-doc
+    # failure reasons kept (the threshold-tuning histogram at scale)
+    q["c4_filter_documents"] = lambda s, d: c4_rules(
+        load_table(s, d, "documents"))
     # sequence packing: chunks laid end-to-end into fixed-length
     # training sequences (two-pass distributed prefix sum — the global
     # running count without a single-task Window.orderBy)
@@ -1803,6 +1816,9 @@ FROM t GROUP BY lang, source
         min_docs=("greatest(cast(floor(0.78 * "
                   "(SELECT count(*) FROM documents)) as bigint), 2)"),
         delimiter=" ")
+    o["paragraph_dedup_documents"] = dedup_paragraphs_sql(
+        "documents", unit_tokens=8)
+    o["c4_filter_documents"] = c4_rules_sql("documents")
     o["pack_sequences_documents"] = pack_sequences_sql(
         chunk_documents_sql("documents", size=32, stride=32), seq_len=64)
 

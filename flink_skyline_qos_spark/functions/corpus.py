@@ -30,8 +30,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "c4_rules",
+    "c4_rules_sql",
     "chunk_documents",
     "chunk_documents_sql",
+    "dedup_paragraphs",
+    "dedup_paragraphs_sql",
     "contamination_check",
     "contamination_check_sql",
     "pack_sequences",
@@ -686,4 +690,253 @@ SELECT seq_id AS shard_id, count(*) AS n_docs,
        min({id_col}) AS min_{id_col}, max({id_col}) AS max_{id_col}
 FROM ({packed})
 GROUP BY seq_id
+""".strip()
+
+def dedup_paragraphs(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     unit_tokens: int = 8) -> DataFrame:
+    """Corpus-wide unit-level exact dedup (the C4 "three-sentence span"
+    / RefinedWeb paragraph pass): the text is cut into consecutive
+    non-overlapping `unit_tokens`-token units, and for every distinct
+    unit string only its FIRST occurrence corpus-wide — ordered by
+    (id, position) — survives; each document is reassembled from its
+    surviving units in order.  Unlike :func:`remove_boilerplate_lines`
+    (which deletes ALL occurrences of units crossing a doc-frequency
+    threshold), this keeps exactly one copy of every repeated span, the
+    semantics training pipelines want for intra-corpus repetition.
+
+    Returns (id, clean_text, n_units, n_dupes); documents whose every
+    unit occurred earlier elsewhere keep an empty ``clean_text``.
+
+    Scale shape (100 TB): units explode once (rows ≈ tokens/unit_tokens
+    per doc); the first-occurrence winner per unit is a single
+    map-side-combined ``groupBy(unit).agg(min(struct(id, pos)))`` —
+    no window over a skewed unit partition, so a pathological unit
+    repeated a billion times costs one partial-agg cell per task, not a
+    single-task sort.  The winner set joins back on the unit hash
+    (AQE handles skew), reassembly is one groupBy(id), and the final
+    left join restores empty/all-duplicate docs carrying only
+    (id, clean_text) rows.
+    """
+    u = int(unit_tokens)
+    toks = _clean_tokens(F.col(text_col))
+    n_units = F.ceil(F.size(toks) / F.lit(float(u))).cast("int")
+    units_arr = F.when(F.size(toks) == 0,
+                       F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_units - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * u + 1, u), " "),
+        ))
+    units = df.select(F.col(id_col),
+                      F.posexplode(units_arr).alias("pos", "unit"))
+    first = (units.groupBy("unit")
+             .agg(F.min(F.struct(id_col, "pos")).alias("__first")))
+    marked = units.join(first, "unit").select(
+        id_col, "pos", "unit",
+        ((F.col("__first")[id_col] == F.col(id_col))
+         & (F.col("__first")["pos"] == F.col("pos"))).alias("__keep"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("pos", "unit", "__keep")))
+    agg = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.filter(arr, lambda x: x["__keep"]),
+                        lambda x: x["unit"]), " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum((~F.col("__keep")).cast("long")).alias("n_dupes"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_units", F.lit(0)).cast("long").alias("n_units"),
+        F.coalesce("n_dupes", F.lit(0)).cast("long").alias("n_dupes"),
+    )
+
+
+def dedup_paragraphs_sql(table: str, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         unit_tokens: int = 8) -> str:
+    """DuckDB twin of :func:`dedup_paragraphs` (window row_number
+    emulates the min-struct first-occurrence winner — identical
+    (id, pos) order)."""
+    u = int(unit_tokens)
+    toks = _CLEAN_TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+),
+units AS (
+  SELECT id, i AS pos,
+         array_to_string(toks[(i*{u}+1):((i+1)*{u})], ' ') AS unit
+  FROM (SELECT id, toks,
+               unnest(generate_series(
+                 0, cast(ceil(len(toks) / {u}.0) AS bigint) - 1)) AS i
+        FROM base)
+),
+marked AS (
+  SELECT id, pos, unit,
+         row_number() OVER (PARTITION BY unit ORDER BY id, pos) = 1
+           AS keep
+  FROM units
+),
+agg AS (
+  SELECT id,
+         coalesce(string_agg(unit, ' ' ORDER BY pos)
+                  FILTER (WHERE keep), '') AS clean_text,
+         count(*)::BIGINT AS n_units,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dupes
+  FROM marked GROUP BY id
+)
+SELECT d.{id_col}, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_units, 0)::BIGINT AS n_units,
+       coalesce(a.n_dupes, 0)::BIGINT AS n_dupes
+FROM {table} d LEFT JOIN agg a ON a.id = d.{id_col}
+""".strip()
+
+
+# Rule names in evaluation order (fixed so the `failed` string is
+# deterministic and engine-identical).
+_C4_RULES = ("short", "long", "tok_len", "repeat", "stopword")
+
+
+def c4_rules(df: DataFrame, *, id_col: str = "doc_id",
+             text_col: str = "text", min_tokens: int = 24,
+             max_tokens: int = 112,
+             tok_len_band: "tuple[float, float]" = (4.25, 4.8),
+             max_repeat: float = 0.14, min_stopword: float = 0.02,
+             lang: str = "en") -> DataFrame:
+    """Rule-based quality filter in the C4 / Gopher-rules shape: every
+    document is scored against five cheap lexical rules and returned
+    with the list of rules it failed —
+
+    * ``short``    — fewer than `min_tokens` tokens,
+    * ``long``     — more than `max_tokens` tokens,
+    * ``tok_len``  — mean token length outside `tok_len_band`,
+    * ``repeat``   — most frequent token exceeds `max_repeat` of all
+      tokens (the Gopher repetition gate),
+    * ``stopword`` — stopword density below `min_stopword` (Gopher's
+      "no function words ⇒ not natural language" symbol test).
+
+    Returns one row per input document: (id, n_tokens, mean_tok_len,
+    top_tok_ratio, stop_ratio, failed, kept) where ``failed`` is the
+    comma-joined failing rule names in fixed order ('' when clean) and
+    ``kept`` is the boolean a downstream filter consumes.  Keeping the
+    rejected rows (instead of filtering them out) is deliberate: at
+    crawl scale the rejection-reason histogram IS the observability a
+    pipeline owner tunes thresholds with.
+
+    Scale shape: one explode over tokens, then two hash aggregates —
+    ``groupBy(id, tok)`` (map-side combined) and ``groupBy(id)`` that
+    folds counts, length-weighted sums, the stopword mass and the max
+    token count in a single pass, so the per-doc mode needs no join and
+    no window; the final left join restores empty documents.
+    """
+    from .text import STOPWORDS
+
+    lo, hi = float(tok_len_band[0]), float(tok_len_band[1])
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = df.select(F.col(id_col),
+                     F.explode(_clean_tokens(F.col(text_col))).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.length("tok") * F.col("c")).cast("long").alias("__sum_len"),
+        F.sum(F.when(F.array_contains(sw, F.lower(F.col("tok"))),
+                     F.col("c")).otherwise(F.lit(0)))
+        .cast("long").alias("__stop"),
+        F.max("c").cast("long").alias("__top"),
+    )
+    joined = df.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("__sum_len", F.lit(0)).alias("__sum_len"),
+        F.coalesce("__stop", F.lit(0)).alias("__stop"),
+        F.coalesce("__top", F.lit(0)).alias("__top"),
+    )
+    n = F.col("n_tokens")
+    mean_len = F.when(n == 0, F.lit(0.0)) \
+        .otherwise(F.col("__sum_len").cast("double") / n)
+    top_ratio = F.when(n == 0, F.lit(0.0)) \
+        .otherwise(F.col("__top").cast("double") / n)
+    stop_ratio = F.when(n == 0, F.lit(0.0)) \
+        .otherwise(F.col("__stop").cast("double") / n)
+    fails = {
+        "short": n < min_tokens,
+        "long": n > max_tokens,
+        "tok_len": (mean_len < lo) | (mean_len > hi),
+        "repeat": top_ratio > max_repeat,
+        "stopword": stop_ratio < min_stopword,
+    }
+    failed = F.concat_ws(
+        ",", *[F.when(fails[r], F.lit(r)) for r in _C4_RULES])
+    return joined.select(
+        id_col,
+        "n_tokens",
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        F.round(top_ratio, 6).alias("top_tok_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        failed.alias("failed"),
+        (failed == "").alias("kept"),
+    )
+
+
+def c4_rules_sql(table: str, *, id_col: str = "doc_id",
+                 text_col: str = "text", min_tokens: int = 24,
+                 max_tokens: int = 112,
+                 tok_len_band: "tuple[float, float]" = (4.25, 4.8),
+                 max_repeat: float = 0.14, min_stopword: float = 0.02,
+                 lang: str = "en") -> str:
+    """DuckDB twin of :func:`c4_rules` (same two-aggregate shape; the
+    rule predicates are the same IEEE double comparisons)."""
+    from .text import STOPWORDS
+
+    lo, hi = float(tok_len_band[0]), float(tok_len_band[1])
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = _CLEAN_TOKENS_SQL.format(c=text_col)
+    fails = {
+        "short": f"n < {int(min_tokens)}",
+        "long": f"n > {int(max_tokens)}",
+        "tok_len": f"(mean_len < {lo!r} OR mean_len > {hi!r})",
+        "repeat": f"top_ratio > {float(max_repeat)!r}",
+        "stopword": f"stop_ratio < {float(min_stopword)!r}",
+    }
+    failed = ("concat_ws(',', "
+              + ", ".join(f"CASE WHEN {fails[r]} THEN '{r}' END"
+                          for r in _C4_RULES) + ")")
+    return f"""
+WITH per_tok AS (
+  SELECT id, tok, count(*) AS c
+  FROM (SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table})
+  GROUP BY id, tok
+),
+stats AS (
+  SELECT id, sum(c)::BIGINT AS n_tokens,
+         sum(length(tok) * c)::BIGINT AS sum_len,
+         sum(CASE WHEN list_contains([{lst}], lower(tok)) THEN c
+                  ELSE 0 END)::BIGINT AS stop_cnt,
+         max(c)::BIGINT AS top_cnt
+  FROM per_tok GROUP BY id
+),
+joined AS (
+  SELECT d.{id_col} AS id,
+         coalesce(s.n_tokens, 0)::BIGINT AS n,
+         coalesce(s.sum_len, 0)::BIGINT AS sum_len,
+         coalesce(s.stop_cnt, 0)::BIGINT AS stop_cnt,
+         coalesce(s.top_cnt, 0)::BIGINT AS top_cnt
+  FROM {table} d LEFT JOIN stats s ON s.id = d.{id_col}
+),
+ratios AS (
+  SELECT id, n,
+         CASE WHEN n = 0 THEN 0.0 ELSE sum_len * 1.0 / n END AS mean_len,
+         CASE WHEN n = 0 THEN 0.0 ELSE top_cnt * 1.0 / n END AS top_ratio,
+         CASE WHEN n = 0 THEN 0.0 ELSE stop_cnt * 1.0 / n END AS stop_ratio
+  FROM joined
+)
+SELECT id AS {id_col}, n AS n_tokens,
+       round(mean_len, 6) AS mean_tok_len,
+       round(top_ratio, 6) AS top_tok_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       {failed} AS failed,
+       ({failed} = '') AS kept
+FROM ratios
 """.strip()

@@ -539,3 +539,100 @@ def test_shard_manifest_contiguous_ranges(spark, sf_dir):
     # every shard's token mass stays within budget + one document
     mx = docs.agg(F.max("n_tokens")).first()[0]
     assert all(r.n_tokens <= 2048 + mx for r in man)
+
+
+# ---------- paragraph-level exact dedup ----------
+
+def test_dedup_paragraphs_crafted(spark):
+    from flink_skyline_qos_spark.functions.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # units (u=2): "a b", "c d"
+            (2, "c d a b e"),    # "c d" and "a b" repeat doc 1; "e" new
+            (3, "a b c d"),      # both units repeat -> empty
+            (4, ""),             # empty doc survives with 0 units
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_units, r.n_dupes)
+           for r in dedup_paragraphs(docs, unit_tokens=2).collect()}
+    assert out[1] == ("a b c d", 2, 0)      # first occurrences all kept
+    assert out[2] == ("e", 3, 2)            # only the new tail unit left
+    assert out[3] == ("", 2, 2)             # fully deduped, row kept
+    assert out[4] == ("", 0, 0)             # empty text not dropped
+
+
+def test_dedup_paragraphs_first_occurrence_within_doc(spark):
+    """A unit repeated INSIDE one doc keeps only its first position."""
+    from flink_skyline_qos_spark.functions.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(7, "x y x y z z")], "doc_id long, text string")
+    row = dedup_paragraphs(docs, unit_tokens=2).collect()[0]
+    assert row.clean_text == "x y z z"
+    assert (row.n_units, row.n_dupes) == (3, 1)
+
+
+def test_dedup_paragraphs_duckdb_parity(documents, sf_dir):
+    from flink_skyline_qos_spark.functions.corpus import (
+        dedup_paragraphs,
+        dedup_paragraphs_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.clean_text, r.n_units, r.n_dupes)
+        for r in dedup_paragraphs(documents, unit_tokens=8).collect())
+    dk = sorted(map(tuple, con.sql(
+        dedup_paragraphs_sql("documents", unit_tokens=8)).fetchall()))
+    assert sp == dk
+    assert sum(r[3] for r in sp) > 0  # planted dups actually collapse
+
+
+# ---------- C4/Gopher rule filter ----------
+
+def test_c4_rules_crafted(spark):
+    from flink_skyline_qos_spark.functions.corpus import c4_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["the"] * 5)),     # short + repeat(1.0) + tok_len
+            (2, ""),                        # empty: short only
+            (3, " ".join(
+                f"tok{i % 30:02d}" for i in range(60))),  # healthy lengths
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_rules(docs).collect()}
+    assert out[1].failed == "short,tok_len,repeat"
+    assert out[1].kept is False
+    assert out[2].failed == "short,tok_len,stopword"
+    assert out[2].n_tokens == 0 and out[2].kept is False
+    # doc 3: 60 tokens of 5 chars each, top ratio 2/60, no stopwords
+    assert out[3].n_tokens == 60
+    assert out[3].mean_tok_len == 5.0
+    assert "short" not in out[3].failed and "long" not in out[3].failed
+    assert "repeat" not in out[3].failed
+    assert "stopword" in out[3].failed      # zero function words
+
+
+def test_c4_rules_duckdb_parity(documents, sf_dir):
+    from flink_skyline_qos_spark.functions.corpus import (
+        c4_rules,
+        c4_rules_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.n_tokens, r.mean_tok_len, r.top_tok_ratio,
+         r.stop_ratio, r.failed, r.kept)
+        for r in c4_rules(documents).collect())
+    dk = sorted(map(tuple, con.sql(c4_rules_sql("documents")).fetchall()))
+    assert sp == dk
+    kept = sum(1 for r in sp if r[6])
+    assert 0 < kept < len(sp)  # the rules split the corpus non-trivially
