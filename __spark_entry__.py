@@ -43,6 +43,8 @@ from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
     skyline_layers_sql,
 )
 from flink_skyline_qos_spark.functions.text import (  # noqa: E402
+    langid_confusion,
+    langid_confusion_sql,
     quality_score,
     quality_score_sql,
     redact_expr_sql,
@@ -104,6 +106,8 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_near_dup_pairs_sql,
+    winnow_pairs,
+    winnow_pairs_sql,
 )
 from flink_skyline_qos_spark.operators.joins import (  # noqa: E402
     as_of_join,
@@ -740,6 +744,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dup_documents"] = lambda s, d: simhash_near_dup_pairs(
         load_table(s, d, "documents"), max_hamming=3,
     )
+    # winnowing (MOSS) fingerprint candidates: shared-passage pairs via
+    # window-min shingle hashes — catches partial overlap that global-
+    # similarity MinHash bands under-score
+    q["winnow_pairs_documents"] = lambda s, d: winnow_pairs(
+        load_table(s, d, "documents"), k=4, window=4, threshold=0.5,
+    )
+    # language-ID confusion matrix: labelled lang vs the stopword-
+    # heuristic prediction (the classifier eval before filtering on it)
+    q["langid_confusion_documents"] = lambda s, d: langid_confusion(
+        load_table(s, d, "documents"))
 
     # --- near-dup clustering: transitive closure of the EXACT n-gram
     # pair set (large-star/small-star), every doc labeled. The oracle is
@@ -1765,6 +1779,9 @@ FROM reach GROUP BY node
         "documents", num_hashes=64, bands=16, shingle_k=3,
         shingle_unit="word", threshold=0.5)
     o["simhash_near_dup_documents"] = simhash_near_dup_pairs_sql("documents")
+    o["winnow_pairs_documents"] = winnow_pairs_sql(
+        "documents", k=4, window=4, threshold=0.5)
+    o["langid_confusion_documents"] = langid_confusion_sql("documents")
 
     # Full dedup pipeline: recursive min-label closure over the exact
     # minhash pair SQL, canonical members only.

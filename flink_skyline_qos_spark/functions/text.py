@@ -25,6 +25,8 @@ __all__ = [
     "stopword_count",
     "quality_score",
     "lang_scores",
+    "langid_confusion",
+    "langid_confusion_sql",
     "doc_fingerprint",
     "rolling_fingerprint",
     "text_stats",
@@ -437,3 +439,28 @@ FROM agg
 QUALIFY rank <= {top_v}
 ORDER BY rank
 """.strip()
+
+def langid_confusion(df: DataFrame, *, lang_col: str = "lang",
+                     text_col: str = "text") -> DataFrame:
+    """Language-ID confusion matrix: the corpus's labelled language
+    against :func:`lang_scores`' stopword-heuristic prediction, with
+    document counts — the evaluation artifact a pipeline owner reads
+    before trusting the classifier as a filter.
+
+    Returns (actual, predicted, n_docs).  One projection + one
+    map-side-combined groupBy on a ≤ |langs|² key space — at 100 TB the
+    shuffle is a few dozen rows.
+    """
+    return (df.select(F.col(lang_col).alias("actual"),
+                      lang_scores(F.col(text_col)).alias("predicted"))
+            .groupBy("actual", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def langid_confusion_sql(table: str, *, lang_col: str = "lang",
+                         text_col: str = "text") -> str:
+    """DuckDB twin of :func:`langid_confusion`."""
+    return (f"SELECT {lang_col} AS actual, "
+            f"{lang_scores_sql(text_col)} AS predicted, "
+            f"count(*)::BIGINT AS n_docs "
+            f"FROM {table} GROUP BY 1, 2")

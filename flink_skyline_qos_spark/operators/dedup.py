@@ -39,6 +39,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "winnow_pairs_sql",
 ]
 
 # 31-bit Mersenne prime: with h,a,b < 2³¹, a·h+b < 2⁶³ — no 64-bit overflow
@@ -838,4 +841,153 @@ cand AS (
 SELECT new_id, old_id, {est} AS est_jaccard
 FROM cand
 {where}
+""".strip()
+
+def winnow_fingerprints(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 4,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-word shingle, slide
+    a `window`-hash window over the sequence and select each window's
+    minimum; the per-document set of selected hashes is a position-
+    robust fingerprint with guaranteed detection of shared runs of
+    length ≥ k + window − 1 words (the winnowing guarantee), at density
+    ~2/(window+1) of the shingle count.
+
+    Returns exploded (id, fp) rows — one per distinct selected hash per
+    document.  Unlike :func:`exact_dedup`'s whole-document digest, a
+    single shared passage is enough to produce a common fingerprint, so
+    this catches partial-overlap pairs MinHash's global-similarity
+    bands score too low.
+
+    Scale shape: shingle hashes are exploded ONCE to (id, pos, h) rows
+    and the sliding minimum is a window min over rows [pos, pos+w−1]
+    partitioned by document — per-doc partitions are bounded by
+    document length, so the sort is trivial at any corpus size.  NOT
+    the tempting all-array form (``transform(sequence, i →
+    array_min(slice(h, i+1, w)))``): Catalyst's ProjectCollapse inlines
+    the full hash-array expression into every slice, re-hashing all
+    shingles per window — O(shingles²) md5 calls per document (measured
+    21 s for 500 docs; the exploded form is ~1 s).  Hashes are
+    md5-derived (:func:`shingle_hashes`) so the DuckDB twin is exact.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = int(window)
+    sh = word_shingles(F.col(text_col), int(k), distinct=False)
+    h = shingle_hashes(sh)
+    ex = _scale_out(df, probe=df).select(
+        F.col(id_col).alias("id"), F.posexplode(h).alias("pos", "h"))
+    sliding = W.partitionBy("id").orderBy("pos") \
+        .rowsBetween(W.currentRow, w - 1)
+    whole = W.partitionBy("id")
+    mins = ex.select(
+        "id", "pos",
+        F.min("h").over(sliding).alias("fp"),
+        F.count(F.lit(1)).over(whole).alias("__m"),
+    )
+    # window starts: pos 0 .. max(m-w, 0) — short docs keep one
+    # (clamped) window, matching the SQL twin's generate_series bound.
+    return (mins.filter(F.col("pos") <= F.greatest(F.col("__m") - w,
+                                                   F.lit(0)))
+            .select("id", "fp").distinct())
+
+
+def winnow_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 4, window: int = 4,
+                 max_df: int = 50, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing
+    fingerprints: docs sharing ≥1 selected hash pair up, scored by
+    containment ``n_shared / min(|fp_a|, |fp_b|)`` (the MOSS report
+    metric — containment, not Jaccard, so a small doc fully embedded in
+    a large one still scores 1.0) and kept at `threshold`+.
+
+    Returns (id_a, id_b, n_shared, overlap), id_a < id_b.
+
+    Scale shape: fingerprints with document frequency 1 cannot witness
+    a pair and ones above `max_df` are corpus boilerplate (and the
+    quadratic hot-bucket risk — same cap discipline as the LSH band
+    join); both are dropped by a map-side-combined df aggregate before
+    the self-join, bounding join fan-out at max_df² per fingerprint.
+    Pair scoring is a hash aggregate on the (a, b) key; per-doc
+    fingerprint sizes join back broadcast-eligible (|docs| rows).
+    """
+    tau = float(threshold)
+    fp = winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                             k=k, window=window).persist()
+    fp.count()
+    sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ok = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("fdf"))
+          .filter((F.col("fdf") >= 2) & (F.col("fdf") <= int(max_df)))
+          .select("fp"))
+    live = fp.join(ok, "fp")
+    a = live.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = live.select(F.col("fp"), F.col("id").alias("id_b"))
+    pairs = (a.join(b, ["fp"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    overlap = F.round(
+        F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6)
+    return release_on_gc(
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"),
+                overlap.alias("overlap"))
+        .filter(F.col("overlap") >= tau),
+        fp,
+    )
+
+
+def winnow_pairs_sql(table: str, *, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 4, window: int = 4,
+                     max_df: int = 50, threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`winnow_pairs` (same md5-derived shingle
+    hashes, same window minima, same df gates)."""
+    kk, w = int(k), int(window)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         string_split_regex(trim({text_col}), '\\s+') AS toks
+  FROM {table}
+),
+sh AS (
+  SELECT id,
+         list_transform(
+           generate_series(0, greatest(len(toks) - {kk}, 0)),
+           i -> array_to_string(toks[(i+1):(i+{kk})], ' ')) AS shingles
+  FROM base
+),
+h AS (
+  SELECT id,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE})
+           AS hs
+  FROM sh
+),
+fp AS (
+  SELECT DISTINCT id, unnest(
+           list_transform(
+             generate_series(0, greatest(len(hs) - {w}, 0)),
+             i -> list_min(hs[(i+1):(i+{w})]))) AS fp
+  FROM h
+),
+sizes AS (SELECT id, count(*) AS n FROM fp GROUP BY id),
+ok AS (
+  SELECT fp FROM fp GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= {int(max_df)}
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM fp a JOIN ok USING (fp) JOIN fp b ON b.fp = a.fp
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT p.id_a, p.id_b, p.n_shared::BIGINT AS n_shared,
+       round(p.n_shared * 1.0 / least(sa.n, sb.n), 6) AS overlap
+FROM pairs p
+JOIN sizes sa ON sa.id = p.id_a
+JOIN sizes sb ON sb.id = p.id_b
+WHERE round(p.n_shared * 1.0 / least(sa.n, sb.n), 6) >= {float(threshold)!r}
 """.strip()

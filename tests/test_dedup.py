@@ -221,3 +221,76 @@ def test_cross_corpus_precomputed_signatures_identical(spark, documents):
         minhash_lsh_pairs_cross(new)
     with _pytest.raises(ValueError):
         minhash_lsh_pairs_cross(old_signatures=sigs)
+
+
+# ---------- winnowing (MOSS) fingerprints ----------
+
+def test_winnow_guarantee_shared_run(spark):
+    """Docs sharing a run of >= k + window - 1 words MUST pair up
+    (the winnowing detection guarantee), regardless of position."""
+    from flink_skyline_qos_spark.operators.dedup import winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = 4 + 4 - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with the others at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b)
+           for r in winnow_pairs(docs, k=4, window=4,
+                                 threshold=0.01).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_containment_scores_full_embed(spark):
+    """A doc fully contained in a larger one scores overlap 1.0."""
+    from flink_skyline_qos_spark.operators.dedup import winnow_pairs
+
+    small = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, small),
+         (2, small + " plus a long unrelated continuation of many "
+                      "more words that dilute global similarity a lot")],
+        "doc_id long, text string",
+    )
+    rows = winnow_pairs(docs, k=4, window=4, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0].overlap == 1.0
+
+
+def test_winnow_max_df_drops_hot_fingerprints(spark):
+    """A fingerprint shared by > max_df docs is boilerplate: it may not
+    witness pairs (bounds the self-join fan-out)."""
+    from flink_skyline_qos_spark.operators.dedup import winnow_pairs
+
+    boiler = "same old cookie banner text repeated everywhere verbatim"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string")
+    assert winnow_pairs(docs, k=4, window=4, max_df=4,
+                        threshold=0.01).count() == 0
+    assert winnow_pairs(docs, k=4, window=4, max_df=5,
+                        threshold=0.01).count() == 10  # C(5,2)
+
+
+def test_winnow_pairs_duckdb_parity(documents, sf_dir):
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        winnow_pairs,
+        winnow_pairs_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted((r.id_a, r.id_b, r.n_shared, r.overlap)
+                for r in winnow_pairs(documents, k=4, window=4,
+                                      threshold=0.5).collect())
+    dk = sorted(map(tuple, con.sql(winnow_pairs_sql(
+        "documents", k=4, window=4, threshold=0.5)).fetchall()))
+    assert sp == dk
+    assert len(sp) > 0  # planted duplicates actually pair up

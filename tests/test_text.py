@@ -78,3 +78,42 @@ def test_text_stats_schema(docs):
     ]
     fp = one(out, "fingerprint")
     assert fp[0] != fp[1] and len(fp[0]) == 32
+
+
+def test_langid_confusion_crafted(spark):
+    from flink_skyline_qos_spark.functions.text import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat and the dog ran for it"),
+            (2, "en", "la casa es de el que y en un es por"),  # mislabeled
+            (3, "zh", "xyzzy plugh"),                          # no signal
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {(r.actual, r.predicted): r.n_docs
+           for r in langid_confusion(docs).collect()}
+    assert got[("en", "en")] == 1
+    assert got[("en", "es")] == 1
+    assert got[("zh", "und")] == 1
+
+
+def test_langid_confusion_duckdb_parity(documents, sf_dir):
+    import duckdb
+
+    from flink_skyline_qos_spark.functions.text import (
+        langid_confusion,
+        langid_confusion_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted((r.actual, r.predicted, r.n_docs)
+                for r in langid_confusion(documents).collect())
+    dk = sorted(map(tuple,
+                    con.sql(langid_confusion_sql("documents")).fetchall()))
+    assert sp == dk
+    # the matrix is a real confusion matrix: some mass off-diagonal
+    assert any(a != p for a, p, _ in sp)
+    assert sum(n for *_, n in sp) == documents.count()
