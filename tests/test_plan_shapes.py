@@ -423,3 +423,27 @@ def test_group_cap_no_single_partition_window(spark):
     # level-1 window is salted: its partition spec carries __salt so a
     # hot source splits across n_salts sub-sorts
     assert "__salt" in plan, plan
+
+
+def test_winnow_fingerprints_hashes_once(spark):
+    """The winnowing sliding minimum must run over EXPLODED hash rows,
+    not array slices: in the all-array form ProjectCollapse inlines the
+    md5 shingle-hash expression into every window slice — O(shingles²)
+    hash calls per doc.  Guard: the md5 conversion appears in exactly
+    one plan node (the explode-side projection), and the plan carries
+    the two per-doc Window nodes (sliding min + partition count), all
+    JVM."""
+    from flink_skyline_qos_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(winnow_fingerprints(docs, k=4, window=4))
+    # one Generate (posexplode) feeding Window nodes; no Python eval
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) >= 1
+    for node in _PYTHON_NODES:
+        assert node not in plan
+    # the generate's input holds the single md5-hash transform; window
+    # sections must not re-derive it (they operate on the exploded h)
+    window_sections = re.findall(
+        r"^\(\d+\) Window.*?(?=^\(\d+\))", plan, re.M | re.S)
+    assert window_sections and all("md5" not in s for s in window_sections)
