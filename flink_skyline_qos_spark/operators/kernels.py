@@ -313,3 +313,66 @@ def merge_skylines(old: np.ndarray, new: np.ndarray) -> tuple[np.ndarray, np.nda
     # the old set didn't already evict — only surviving new points matter.
     old_keep = ~dominated_by_any(new[new_keep], old)
     return old_keep, new_keep
+
+def sweep_mask_3d(values: np.ndarray) -> np.ndarray:
+    """Exact 3-D skyline mask via the plane-sweep of Kung, Luccia &
+    Preparata (JACM 1975): sort lexicographically by (d0, d1, d2) and
+    sweep, maintaining the (d1, d2) Pareto staircase of all accepted
+    points.  Every sweep predecessor q of p has q.d0 ≤ p.d0, so q
+    dominates p iff q.d1 ≤ p.d1 ∧ q.d2 ≤ p.d2 — a staircase lookup —
+    PROVIDED `values` carries no duplicate rows (all-equal is then
+    impossible, so the ≤-test is never a tie; callers dedup first).
+
+    O(n log n) total versus the forward scan's O(n·S): at S in the
+    hundreds of thousands (100M-point anti-correlated inputs) that is
+    the difference between seconds and minutes.  Vectorized in blocks:
+    the staircase test is one `searchsorted` per block (the staircase
+    is y-ascending with strictly decreasing z, so "min z among y ≤ Y"
+    is the last entry with y ≤ Y), intra-block dominance reuses
+    :func:`skyline_mask`, and the staircase merge is a sort +
+    running-min envelope rebuild.
+    """
+    n = values.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if values.shape[1] != 3:
+        raise ValueError("sweep_mask_3d requires exactly 3 columns")
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    order = np.lexsort((v[:, 2], v[:, 1], v[:, 0]))
+    c = v[order]
+    keep_sorted = np.zeros(n, dtype=bool)
+    ys = np.empty(0, dtype=np.float64)   # staircase y, ascending
+    zs = np.empty(0, dtype=np.float64)   # staircase z, strictly decreasing
+    B = 8192
+    for lo in range(0, n, B):
+        blk = c[lo:lo + B]
+        if ys.size:
+            idx = np.searchsorted(ys, blk[:, 1], side="right")
+            z_star = np.where(idx > 0, zs[np.maximum(idx - 1, 0)], np.inf)
+            alive = z_star > blk[:, 2]
+        else:
+            alive = np.ones(len(blk), dtype=bool)
+        if not alive.any():
+            continue
+        sub = blk[alive]
+        m = skyline_mask(sub)
+        ai = np.flatnonzero(alive)
+        keep_sorted[lo + ai[m]] = True
+        # merge survivors into the staircase: sort by (y asc, z asc),
+        # min z per y, then keep only strict running-min improvements
+        y2 = np.concatenate([ys, sub[m, 1]])
+        z2 = np.concatenate([zs, sub[m, 2]])
+        o = np.lexsort((z2, y2))
+        y_s, z_s = y2[o], z2[o]
+        firsts = np.empty(len(y_s), dtype=bool)
+        firsts[0] = True
+        np.not_equal(y_s[1:], y_s[:-1], out=firsts[1:])
+        y_u, z_u = y_s[firsts], z_s[firsts]
+        run = np.minimum.accumulate(z_u)
+        kp = np.empty(len(z_u), dtype=bool)
+        kp[0] = True
+        np.less(run[1:], run[:-1], out=kp[1:])
+        ys, zs = y_u[kp], z_u[kp]
+    out = np.zeros(n, dtype=bool)
+    out[order] = keep_sorted
+    return out

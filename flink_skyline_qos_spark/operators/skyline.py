@@ -293,9 +293,29 @@ def _verify_against_broadcast(pruned: DataFrame, cols: Sequence[str], *,
     factors of |survivors|².  Below the threshold the single round is
     already cheap and the extra driver pass would cost more than it
     saves.
+
+    d ≤ 3 short-circuit: the candidate matrix is ALREADY on the driver
+    (that is what broadcast-verify means), and for 2-D/3-D an exact
+    O(|C| log |C|) skyline of the unique candidates exists
+    (:func:`kernels.skyline_mask`'s sort-scan / :func:`kernels.
+    sweep_mask_3d`'s Kung plane-sweep) — seconds where the distributed
+    all-pairs kernel takes minutes at |C| ~ 2M (measured 1.6 s vs
+    ~80 s on the 100M-point 3-D anti-correlated survivor set).  Only
+    the membership pass (rows whose dim vector is in the computed
+    skyline set — duplicates of skyline vectors survive, exactly the
+    kernel's tie semantics) runs distributed.  d ≥ 4 keeps the
+    escalating broadcast rounds: the driver sweep has no sub-quadratic
+    form there and the distributed kernel parallelizes the O(|C|·S)
+    work across all cores.
     """
     sc = pruned.sparkSession.sparkContext
     cand, sums = _collect_refs(pruned, cols)
+    if len(cols) <= 3 and len(cand):
+        from .kernels import skyline_mask, sweep_mask_3d
+        mask = (sweep_mask_3d(cand) if len(cols) == 3
+                else skyline_mask(cand))
+        ref = sc.broadcast(np.ascontiguousarray(cand[mask]))
+        return _membership_pass(pruned, cols, ref)
     if len(cand) > escalate_threshold:
         k0 = min(pre_round_refs, len(cand) // 4)
         ref0 = sc.broadcast((cand[:k0], sums[:k0]))
@@ -306,6 +326,35 @@ def _verify_against_broadcast(pruned: DataFrame, cols: Sequence[str], *,
         return release_on_gc(_verify_pass(surv, cols, ref), surv)
     ref = sc.broadcast((cand, sums))
     return _verify_pass(pruned, cols, ref)
+
+
+def _row_view(a: np.ndarray) -> np.ndarray:
+    """(n, d) float64 → (n,) structured view for set-membership tests.
+
+    Fields compare numerically (−0.0 == 0.0, like every other
+    comparison in the pipeline), so membership matches the kernels'
+    equality semantics, not raw bytes."""
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    return a.view([(f"f{i}", np.float64) for i in range(a.shape[1])]) \
+        .ravel()
+
+
+def _membership_pass(pruned: DataFrame, cols: Sequence[str],
+                     ref) -> DataFrame:
+    """Keep exactly the rows whose dim vector is in the broadcast
+    skyline matrix (duplicate copies of skyline vectors all survive —
+    ties never dominate, matching the verify kernels)."""
+
+    def member(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sky = _row_view(ref.value)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf[np.isin(_row_view(_values(pdf, cols)), sky)]
+            if not out.empty:
+                yield out
+
+    return pruned.mapInPandas(member, schema=pruned.schema)
 
 
 def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,

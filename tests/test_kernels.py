@@ -123,3 +123,57 @@ def test_empty():
     assert skyline_mask(np.zeros((0, 2))).shape == (0,)
     ok, nk = merge_skylines(np.zeros((0, 2)), np.zeros((0, 2)))
     assert len(ok) == 0 and len(nk) == 0
+
+
+@st.composite
+def unique_3d_arrays(draw):
+    n = draw(st.integers(0, 60))
+    vals = draw(
+        st.lists(
+            st.lists(st.integers(0, 8), min_size=3, max_size=3),
+            min_size=n, max_size=n,
+        )
+    )
+    v = np.array(vals, dtype=float).reshape(n, 3)
+    return np.unique(v, axis=0) if n else v
+
+
+@settings(max_examples=200, deadline=None)
+@given(unique_3d_arrays())
+def test_sweep_mask_3d_matches_bruteforce(v):
+    from flink_skyline_qos_spark.operators.kernels import sweep_mask_3d
+
+    assert (sweep_mask_3d(v) == brute_skyline_mask(v)).all()
+
+
+def test_sweep_mask_3d_crosses_block_boundary():
+    """A dominator in block 0 must kill victims in later blocks via the
+    staircase (block size is 8192 — build 3 blocks' worth)."""
+    from flink_skyline_qos_spark.operators.kernels import sweep_mask_3d
+
+    n = 20_000
+    rng = np.random.RandomState(3)
+    pts = rng.randint(1, 1000, size=(n, 3)).astype(float)
+    pts[0] = [0.0, 0.0, 0.0]          # dominates everything else
+    uniq = np.unique(pts, axis=0)
+    m = sweep_mask_3d(uniq)
+    assert m.sum() == 1
+    assert (uniq[m] == 0.0).all()
+
+
+def test_sweep_mask_3d_ties_on_swept_dim():
+    """Points equal in d0 must still dominate within the plane (the
+    staircase test covers the q.d0 == p.d0 case after dedup)."""
+    from flink_skyline_qos_spark.operators.kernels import sweep_mask_3d
+
+    v = np.array([[5., 1., 1.], [5., 1., 2.], [5., 2., 1.], [5., 2., 2.],
+                  [5., 0., 9.]])
+    m = sweep_mask_3d(v)
+    assert m.tolist() == [True, False, False, False, True]
+
+
+def test_sweep_mask_3d_rejects_other_dims():
+    from flink_skyline_qos_spark.operators.kernels import sweep_mask_3d
+
+    with pytest.raises(ValueError):
+        sweep_mask_3d(np.zeros((2, 2)))
