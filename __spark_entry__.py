@@ -106,6 +106,8 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_near_dup_pairs_sql,
+    winnow_contamination,
+    winnow_contamination_sql,
     winnow_pairs,
     winnow_pairs_sql,
 )
@@ -754,6 +756,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # heuristic prediction (the classifier eval before filtering on it)
     q["langid_confusion_documents"] = lambda s, d: langid_confusion(
         load_table(s, d, "documents"))
+    # passage-level decontamination: winnowing-fingerprint overlap vs
+    # the same pseudo-benchmark subset contamination_documents uses —
+    # a shared passage scores regardless of surrounding doc length
+    q["passage_contamination_documents"] = lambda s, d: \
+        winnow_contamination(
+            load_table(s, d, "documents"),
+            load_table(s, d, "documents")
+            .filter((F.col("doc_id") % 10) == 7))
 
     # --- near-dup clustering: transitive closure of the EXACT n-gram
     # pair set (large-star/small-star), every doc labeled. The oracle is
@@ -1782,6 +1792,8 @@ FROM reach GROUP BY node
     o["winnow_pairs_documents"] = winnow_pairs_sql(
         "documents", k=4, window=4, threshold=0.5)
     o["langid_confusion_documents"] = langid_confusion_sql("documents")
+    o["passage_contamination_documents"] = winnow_contamination_sql(
+        "documents", "(SELECT * FROM documents WHERE doc_id % 10 = 7)")
 
     # Full dedup pipeline: recursive min-label closure over the exact
     # minhash pair SQL, canonical members only.

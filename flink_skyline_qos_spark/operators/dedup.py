@@ -42,6 +42,8 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_pairs",
     "winnow_pairs_sql",
+    "winnow_contamination",
+    "winnow_contamination_sql",
 ]
 
 # 31-bit Mersenne prime: with h,a,b < 2³¹, a·h+b < 2⁶³ — no 64-bit overflow
@@ -990,4 +992,97 @@ FROM pairs p
 JOIN sizes sa ON sa.id = p.id_a
 JOIN sizes sb ON sb.id = p.id_b
 WHERE round(p.n_shared * 1.0 / least(sa.n, sb.n), 6) >= {float(threshold)!r}
+""".strip()
+
+def winnow_contamination(corpus: DataFrame, bench: DataFrame, *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 4, window: int = 4) -> DataFrame:
+    """Passage-level eval-set decontamination: the fraction of each
+    corpus document's winnowing fingerprints that also occur in the
+    benchmark set.  Complements :func:`~..functions.corpus.
+    contamination_check`'s n-gram collision fraction — a long document
+    embedding one verbatim benchmark passage dilutes a whole-document
+    gram fraction toward zero, while the winnowing guarantee makes the
+    shared passage (≥ k + window − 1 words) contribute fingerprints
+    regardless of the surrounding document length.
+
+    Returns one row per corpus document: (id, n_fp, n_hit,
+    passage_overlap) with overlap = n_hit / n_fp rounded to 6 dp.
+
+    Scale shape: both sides reduce to distinct (id, fp) rows; the
+    benchmark side collapses to a DISTINCT fingerprint set — small by
+    contract (eval suites, not corpora) and left un-hinted so AQE
+    broadcasts it; the corpus side is touched by one groupBy(id) for
+    sizes and one fingerprint equi-join for hits.
+    """
+    cf = winnow_fingerprints(corpus, id_col=id_col, text_col=text_col,
+                             k=k, window=window)
+    bf = (winnow_fingerprints(bench, id_col=id_col, text_col=text_col,
+                              k=k, window=window)
+          .select("fp").distinct())
+    sizes = cf.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    hits = cf.join(bf, "fp").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hit"))
+    base = corpus.select(F.col(id_col).alias("id"))
+    return (base.join(sizes, "id", "left").join(hits, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                F.round(
+                    F.when(F.coalesce("n_fp", F.lit(0)) == 0, F.lit(0.0))
+                    .otherwise(F.coalesce("n_hit", F.lit(0))
+                               / F.col("n_fp").cast("double")), 6)
+                .alias("passage_overlap")))
+
+
+def _winnow_fp_cte(table: str, id_col: str, text_col: str,
+                   k: int, window: int) -> str:
+    """DuckDB fragment: distinct (id, fp) winnowing fingerprints of
+    `table` (same expressions as :func:`winnow_pairs_sql`)."""
+    return f"""
+  SELECT DISTINCT id, unnest(
+           list_transform(
+             generate_series(0, greatest(len(hs) - {window}, 0)),
+             i -> list_min(hs[(i+1):(i+{window})]))) AS fp
+  FROM (
+    SELECT id,
+           list_transform(
+             list_transform(
+               generate_series(0, greatest(len(toks) - {k}, 0)),
+               i -> array_to_string(toks[(i+1):(i+{k})], ' ')),
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE})
+             AS hs
+    FROM (SELECT {id_col} AS id,
+                 string_split_regex(trim({text_col}), '\\s+') AS toks
+          FROM {table})
+  )""".strip()
+
+
+def winnow_contamination_sql(corpus: str, bench: str, *,
+                             id_col: str = "doc_id",
+                             text_col: str = "text", k: int = 4,
+                             window: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_contamination` (`bench` may be any
+    table expression, e.g. a parenthesized SELECT)."""
+    return f"""
+WITH cf AS (
+{_winnow_fp_cte(corpus, id_col, text_col, k, window)}
+),
+bf AS (SELECT DISTINCT fp FROM (
+{_winnow_fp_cte(bench, id_col, text_col, k, window)}
+)),
+sizes AS (SELECT id, count(*) AS n_fp FROM cf GROUP BY id),
+hits AS (
+  SELECT id, count(*) AS n_hit FROM cf JOIN bf USING (fp) GROUP BY id
+)
+SELECT d.{id_col},
+       coalesce(s.n_fp, 0)::BIGINT AS n_fp,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       round(CASE WHEN coalesce(s.n_fp, 0) = 0 THEN 0.0
+                  ELSE coalesce(h.n_hit, 0) * 1.0 / s.n_fp END, 6)
+         AS passage_overlap
+FROM {corpus} d
+LEFT JOIN sizes s ON s.id = d.{id_col}
+LEFT JOIN hits h ON h.id = d.{id_col}
 """.strip()

@@ -294,3 +294,50 @@ def test_winnow_pairs_duckdb_parity(documents, sf_dir):
         "documents", k=4, window=4, threshold=0.5)).fetchall()))
     assert sp == dk
     assert len(sp) > 0  # planted duplicates actually pair up
+
+
+def test_winnow_contamination_embedded_passage(spark):
+    """A benchmark passage embedded in a long doc scores > 0 here even
+    though its whole-document gram fraction is tiny."""
+    from flink_skyline_qos_spark.operators.dedup import winnow_contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, f"{filler} {bench_text} {filler}"),   # embeds the passage
+         (2, filler + " totally clean tail")],     # clean
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)],
+                                  "doc_id long, text string")
+    out = {r.doc_id: r for r in winnow_contamination(docs, bench).collect()}
+    assert out[1].n_hit > 0 and out[1].passage_overlap > 0.0
+    assert out[2].n_hit == 0 and out[2].passage_overlap == 0.0
+    assert out[1].n_fp > 0 and out[2].n_fp > 0
+
+
+def test_winnow_contamination_duckdb_parity(documents, sf_dir):
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        winnow_contamination,
+        winnow_contamination_sql,
+    )
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.n_fp, r.n_hit, r.passage_overlap)
+        for r in winnow_contamination(
+            documents,
+            documents.filter((F.col("doc_id") % 10) == 7)).collect())
+    dk = sorted(map(tuple, con.sql(winnow_contamination_sql(
+        "documents",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 7)")).fetchall()))
+    assert sp == dk
+    # non-degenerate: benchmark members self-hit; some non-members clean
+    overlaps = {r[0]: r[3] for r in sp}
+    assert all(overlaps[i] == 1.0 for i in overlaps if i % 10 == 7)
+    assert any(v == 0.0 for i, v in overlaps.items() if i % 10 != 7)
