@@ -946,34 +946,13 @@ def winnow_pairs_sql(table: str, *, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 4, window: int = 4,
                      max_df: int = 50, threshold: float = 0.5) -> str:
     """DuckDB twin of :func:`winnow_pairs` (same md5-derived shingle
-    hashes, same window minima, same df gates)."""
+    hashes, same window minima, same df gates).  The fingerprint CTE is
+    shared with :func:`winnow_contamination_sql` via
+    :func:`_winnow_fp_cte` so the two oracles can never diverge."""
     kk, w = int(k), int(window)
     return f"""
-WITH base AS (
-  SELECT {id_col} AS id,
-         string_split_regex(trim({text_col}), '\\s+') AS toks
-  FROM {table}
-),
-sh AS (
-  SELECT id,
-         list_transform(
-           generate_series(0, greatest(len(toks) - {kk}, 0)),
-           i -> array_to_string(toks[(i+1):(i+{kk})], ' ')) AS shingles
-  FROM base
-),
-h AS (
-  SELECT id,
-         list_transform(shingles,
-           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MERSENNE})
-           AS hs
-  FROM sh
-),
-fp AS (
-  SELECT DISTINCT id, unnest(
-           list_transform(
-             generate_series(0, greatest(len(hs) - {w}, 0)),
-             i -> list_min(hs[(i+1):(i+{w})]))) AS fp
-  FROM h
+WITH fp AS (
+{_winnow_fp_cte(table, id_col, text_col, kk, w)}
 ),
 sizes AS (SELECT id, count(*) AS n FROM fp GROUP BY id),
 ok AS (

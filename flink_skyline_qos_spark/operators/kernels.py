@@ -202,7 +202,10 @@ def _skyline_mask_2d(values: np.ndarray) -> np.ndarray:
     gmin = d1[new_grp]  # min d1 per group (d1-sorted within group)
     prefix_before = np.concatenate(
         ([np.inf], np.minimum.accumulate(gmin)[:-1]))[gid]
-    keep_sorted = (d1 == gmin[gid]) & (d1 < prefix_before)
+    # group 0 has no earlier group — keep unconditionally rather than
+    # comparing against the inf seed, which would wrongly drop
+    # d1 == +inf holders (inf < inf is False though nothing dominates)
+    keep_sorted = (d1 == gmin[gid]) & ((d1 < prefix_before) | (gid == 0))
     out = np.zeros(n, dtype=bool)
     out[idx] = keep_sorted
     return out
@@ -348,8 +351,12 @@ def sweep_mask_3d(values: np.ndarray) -> np.ndarray:
         blk = c[lo:lo + B]
         if ys.size:
             idx = np.searchsorted(ys, blk[:, 1], side="right")
-            z_star = np.where(idx > 0, zs[np.maximum(idx - 1, 0)], np.inf)
-            alive = z_star > blk[:, 2]
+            # dominated iff SOME staircase entry has y ≤ Y and z ≤ Z —
+            # gate on idx>0 explicitly rather than an inf sentinel,
+            # which would wrongly drop Z == +inf points (inf > inf is
+            # False though nothing dominates them)
+            z_star = zs[np.maximum(idx - 1, 0)]
+            alive = ~((idx > 0) & (z_star <= blk[:, 2]))
         else:
             alive = np.ones(len(blk), dtype=bool)
         if not alive.any():

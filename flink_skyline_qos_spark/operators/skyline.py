@@ -222,8 +222,8 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     return release_on_gc(out, pruned)
 
 
-def _collect_refs(pruned: DataFrame, cols: Sequence[str]):
-    """Candidates' dim values → deduped, sum-sorted (values, sums).
+def _collect_unique(pruned: DataFrame, cols: Sequence[str]) -> np.ndarray:
+    """Candidates' dim values → deduplicated (n, d) float64 matrix.
 
     Deduplication is sound (dominance by a duplicate ≡ dominance by
     its representative; ties never dominate) and decisive in the
@@ -231,7 +231,13 @@ def _collect_refs(pruned: DataFrame, cols: Sequence[str]):
     anti-correlated generator's clamping makes the surviving skyline
     mostly exact duplicates and |unique(C)| ≪ |C|."""
     cand = pruned.select(*cols).toPandas().to_numpy(dtype=np.float64)
-    cand = np.unique(cand.reshape(-1, len(cols)), axis=0)
+    return np.unique(cand.reshape(-1, len(cols)), axis=0)
+
+
+def _collect_refs(pruned: DataFrame, cols: Sequence[str]):
+    """Candidates' dim values → deduped, sum-sorted (values, sums) —
+    the layout the sorted-sum verify kernel consumes."""
+    cand = _collect_unique(pruned, cols)
     sums = cand.sum(axis=1)
     order = np.argsort(sums, kind="stable")
     return cand[order], sums[order]
@@ -309,13 +315,18 @@ def _verify_against_broadcast(pruned: DataFrame, cols: Sequence[str], *,
     work across all cores.
     """
     sc = pruned.sparkSession.sparkContext
+    if len(cols) <= 3:
+        # the sweep needs neither sums nor the sum-sort — collect the
+        # unique matrix only (skips a full argsort on the hot path)
+        cand = _collect_unique(pruned, cols)
+        if len(cand):
+            from .kernels import skyline_mask, sweep_mask_3d
+            mask = (sweep_mask_3d(cand) if len(cols) == 3
+                    else skyline_mask(cand))
+            ref = sc.broadcast(np.ascontiguousarray(cand[mask]))
+            return _membership_pass(pruned, cols, ref)
+        return pruned
     cand, sums = _collect_refs(pruned, cols)
-    if len(cols) <= 3 and len(cand):
-        from .kernels import skyline_mask, sweep_mask_3d
-        mask = (sweep_mask_3d(cand) if len(cols) == 3
-                else skyline_mask(cand))
-        ref = sc.broadcast(np.ascontiguousarray(cand[mask]))
-        return _membership_pass(pruned, cols, ref)
     if len(cand) > escalate_threshold:
         k0 = min(pre_round_refs, len(cand) // 4)
         ref0 = sc.broadcast((cand[:k0], sums[:k0]))

@@ -177,3 +177,28 @@ def test_sweep_mask_3d_rejects_other_dims():
 
     with pytest.raises(ValueError):
         sweep_mask_3d(np.zeros((2, 2)))
+
+
+def test_sweep_mask_3d_keeps_inf_coordinates():
+    """+inf in the staircase dim must not vanish behind the inf
+    sentinel: [1, 5, inf] is undominated here (everything else has a
+    larger d1) and must survive."""
+    from flink_skyline_qos_spark.operators.kernels import sweep_mask_3d
+
+    rng = np.random.RandomState(5)
+    bulk = rng.randint(10, 1000, size=(9000, 3)).astype(float)
+    pts = np.vstack([bulk, [[1.0, 5.0, np.inf]]])
+    uniq = np.unique(pts, axis=0)
+    m = sweep_mask_3d(uniq)
+    assert m[np.isinf(uniq[:, 2])].all()
+    assert (m == brute_skyline_mask(uniq)).all()
+
+
+def test_skyline_mask_2d_keeps_inf_in_first_group():
+    """[0, inf] is undominated ([1, 0] has larger d0) — the first
+    d0-group must not compare against the inf seed."""
+    v = np.array([[0.0, np.inf], [1.0, 0.0]])
+    assert skyline_mask(v).tolist() == [True, True]
+    v2 = np.array([[0.0, np.inf], [0.5, np.inf], [1.0, 0.0]])
+    # [0.5, inf] IS dominated (by [0, inf]: smaller d0, equal d1)
+    assert skyline_mask(v2).tolist() == [True, False, True]
