@@ -447,3 +447,40 @@ def test_winnow_fingerprints_hashes_once(spark):
     window_sections = re.findall(
         r"^\(\d+\) Window.*?(?=^\(\d+\))", plan, re.M | re.S)
     assert window_sections and all("md5" not in s for s in window_sections)
+
+
+def test_dedup_paragraphs_no_window_all_jvm(spark):
+    """The first-occurrence winner must be a map-side-combined
+    min(struct) aggregate, never a window over the (skewable) unit
+    partition; the unit explode happens exactly once."""
+    from flink_skyline_qos_spark.functions.corpus import dedup_paragraphs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(dedup_paragraphs(docs, unit_tokens=8))
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0
+    # the explode feeds both the winner aggregate and the join probe —
+    # recomputing the narrow Generate beats persisting it (same accepted
+    # shape as remove_boilerplate_lines); anything beyond those two
+    # means a refactor added a third pass over the corpus
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2
+    for node in _PYTHON_NODES:
+        assert node not in plan
+    # partial min(struct) before the exchange = map-side combine
+    assert re.search(r"partial_min|partial.*min\(", plan) or \
+        "HashAggregate" in plan
+
+
+def test_c4_rules_two_hash_aggregates_no_join_for_mode(spark):
+    """Per-doc mode folds into the id-level aggregate: one explode, two
+    hash aggregates, no window; everything JVM."""
+    from flink_skyline_qos_spark.functions.corpus import c4_rules
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(c4_rules(docs))
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    for node in _PYTHON_NODES:
+        assert node not in plan
+    # two aggregate levels: (id, tok) counts then the per-id fold
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
+    assert n_agg >= 4  # partial+final per level
