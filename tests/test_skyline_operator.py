@@ -528,3 +528,21 @@ def test_broadcast_verify_two_round_escalation_exact(spark):
     assert len(rows_two) == len(expected)
     assert rows_two == sorted(map(tuple, expected))
     pinned.unpersist()
+
+
+def test_broadcast_verify_3d_membership_keeps_duplicate_copies(spark):
+    """The d<=3 sweep + membership path must keep EVERY copy of a
+    duplicated skyline vector (ties never dominate) and drop every
+    copy of a dominated vector — same semantics as the verify kernel."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+
+    rows = ([(1.0, 2.0, 3.0)] * 3      # skyline vector, 3 copies
+            + [(2.0, 1.0, 3.0)] * 2    # incomparable skyline vector
+            + [(5.0, 5.0, 5.0)] * 4)   # dominated vector, 4 copies
+    pts = spark.createDataFrame(rows, "d0 double, d1 double, d2 double")
+    got = sorted((r.d0, r.d1, r.d2)
+                 for r in skyline_broadcast_verify(
+                     pts, ["d0", "d1", "d2"]).collect())
+    assert got == sorted([(1.0, 2.0, 3.0)] * 3 + [(2.0, 1.0, 3.0)] * 2)
