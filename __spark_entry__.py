@@ -1049,6 +1049,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_pipeline_skyline"] = _streaming_pipeline
 
+    # --- span-level streaming admission: incremental twin of
+    # dedup_paragraphs.  Batches split by ascending doc_id make the
+    # cross-batch first-occurrence rule coincide with the batch
+    # operator's global (id, pos) winner, so dedup_paragraphs_sql is an
+    # EXACT oracle for the streamed result.
+    def _streaming_paragraph_admission(s: SparkSession,
+                                       d: str) -> DataFrame:
+        import tempfile
+        import time as _time
+
+        from flink_skyline_qos_spark.streaming.continuous import (
+            run_streaming_paragraph_admission,
+        )
+
+        docs = load_table(s, d, "documents")
+        cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+        work = tempfile.mkdtemp(prefix="spanadm_")
+        data_dir = os.path.join(work, "data")
+        os.makedirs(data_dir)
+        for name, part in (("a", docs.filter(F.col("doc_id") <= cut)),
+                           ("b", docs.filter(F.col("doc_id") > cut))):
+            rows = part.select(
+                F.concat_ws("|", F.col("doc_id"), F.col("text"))
+                .alias("value")).collect()
+            with open(os.path.join(data_dir, f"{name}.txt"), "w") as fh:
+                fh.write("\n".join(r.value for r in rows) + "\n")
+        now = _time.time()
+        os.utime(os.path.join(data_dir, "a.txt"), (now - 10, now - 10))
+        os.utime(os.path.join(data_dir, "b.txt"), (now, now))
+        raw = (s.readStream.format("text")
+               .option("maxFilesPerTrigger", 1).load(data_dir))
+        parts = F.split(F.col("value"), r"\|", 2)
+        stream = raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+        run_streaming_paragraph_admission(stream, work, unit_tokens=8)
+        return (s.read.parquet(os.path.join(work, "cleaned"))
+                .select(F.col("id").alias("doc_id"), "clean_text",
+                        "n_units", "n_dupes"))
+
+    q["streaming_paragraph_admission_documents"] = \
+        _streaming_paragraph_admission
+
     # --- continuous keyed-state variant (applyInPandasWithState): the
     # merge of all emitted local skylines equals the batch skyline (every
     # evicted point's dominator is also emitted — dominance transitivity).
@@ -1846,6 +1890,10 @@ FROM t GROUP BY lang, source
                   "(SELECT count(*) FROM documents)) as bigint), 2)"),
         delimiter=" ")
     o["paragraph_dedup_documents"] = dedup_paragraphs_sql(
+        "documents", unit_tokens=8)
+    # streamed span admission == the batch operator when batch order
+    # follows ascending doc_id (first-occurrence rule coincides)
+    o["streaming_paragraph_admission_documents"] = dedup_paragraphs_sql(
         "documents", unit_tokens=8)
     o["c4_filter_documents"] = c4_rules_sql("documents")
     o["pack_sequences_documents"] = pack_sequences_sql(

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "c4_rules",
     "c4_rules_sql",
+    "unit_spans",
     "chunk_documents",
     "chunk_documents_sql",
     "dedup_paragraphs",
@@ -692,6 +693,22 @@ FROM ({packed})
 GROUP BY seq_id
 """.strip()
 
+def unit_spans(text: Column, unit_tokens: int) -> Column:
+    """Array of consecutive non-overlapping `unit_tokens`-token spans —
+    the unit grid :func:`dedup_paragraphs` and the streaming paragraph
+    admission share (one expression so the two can never disagree on
+    span boundaries).  Empty/blank text yields an empty array."""
+    u = int(unit_tokens)
+    toks = _clean_tokens(text)
+    n_units = F.ceil(F.size(toks) / F.lit(float(u))).cast("int")
+    return F.when(F.size(toks) == 0,
+                  F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_units - 1),
+            lambda i: F.array_join(F.slice(toks, i * u + 1, u), " "),
+        ))
+
+
 def dedup_paragraphs(df: DataFrame, *, id_col: str = "doc_id",
                      text_col: str = "text",
                      unit_tokens: int = 8) -> DataFrame:
@@ -718,18 +735,10 @@ def dedup_paragraphs(df: DataFrame, *, id_col: str = "doc_id",
     left join restores empty/all-duplicate docs carrying only
     (id, clean_text) rows.
     """
-    u = int(unit_tokens)
-    toks = _clean_tokens(F.col(text_col))
-    n_units = F.ceil(F.size(toks) / F.lit(float(u))).cast("int")
-    units_arr = F.when(F.size(toks) == 0,
-                       F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_units - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * u + 1, u), " "),
-        ))
     units = df.select(F.col(id_col),
-                      F.posexplode(units_arr).alias("pos", "unit"))
+                      F.posexplode(unit_spans(F.col(text_col),
+                                              unit_tokens))
+                      .alias("pos", "unit"))
     first = (units.groupBy("unit")
              .agg(F.min(F.struct(id_col, "pos")).alias("__first")))
     marked = units.join(first, "unit").select(

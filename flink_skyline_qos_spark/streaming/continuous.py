@@ -35,6 +35,7 @@ from ..operators.kernels import merge_skylines, skyline_mask
 from ..operators.partitioners import partitioner_expr
 
 __all__ = ["continuous_local_skylines", "run_streaming_minhash_admission",
+           "run_streaming_paragraph_admission",
            "start_continuous_global",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
@@ -1065,3 +1066,115 @@ __cum AS (
 SELECT win_start, win_end, __{names[0]}.n, {", ".join(q_sel)}
 FROM {joins}
 """.strip()
+
+def run_streaming_paragraph_admission(stream_docs: DataFrame,
+                                      work_dir: str, *,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text",
+                                      unit_tokens: int = 8) -> None:
+    """Streaming SPAN-level admission: the incremental twin of
+    :func:`~..functions.corpus.dedup_paragraphs`.  Documents stream in;
+    each is cut into `unit_tokens`-token spans, and a span survives
+    only on its FIRST occurrence ever — earlier in the same batch
+    (by (id, pos)) or in any committed earlier batch (the standing
+    span-hash store).  Every document is emitted with its surviving
+    spans reassembled in order (possibly empty ``clean_text``) — the
+    crawl-ingest pass that strips cross-batch boilerplate and repeated
+    passages WITHOUT rejecting whole documents.
+
+    Same durability discipline as the MinHash admission loop
+    (`run_streaming_minhash_admission`): per-batch output dirs sealed
+    by a framework-owned ``_COMMITTED`` marker written strictly after
+    both writes return; replays skip committed batches, and only span
+    stores whose docs dir is committed join the novelty check (an
+    orphan store from a crash between the two writes would otherwise
+    mark this replay's own spans as seen and empty the batch).
+
+    State is the span store: one md5-derived 60-bit hash per distinct
+    admitted span (never span text) — O(distinct spans) longs on disk,
+    read per batch; at scale a bucketed table on the hash.  Results:
+    ``{work_dir}/cleaned`` (batch=N partitions: id, clean_text,
+    n_units, n_dupes) and ``{work_dir}/spans``.
+    """
+    import glob
+
+    from ..functions.corpus import unit_spans
+    from ..operators.dedup import _md5_long
+
+    out_dir = os.path.join(work_dir, "cleaned")
+    span_dir = os.path.join(work_dir, "spans")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdir = os.path.join(out_dir, f"batch={batch_id}")
+        if os.path.isfile(os.path.join(bdir, "_COMMITTED")):
+            return  # replayed batch: already committed
+        units = (batch_df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(unit_spans(F.col(text_col), unit_tokens))
+            .alias("pos", "unit"))
+            .withColumn("h", _md5_long(F.col("unit")))
+            .persist())
+        if units.count() == 0:
+            # still seal the (empty) batch so replays skip it
+            spark.createDataFrame(
+                [], f"id long, clean_text string, n_units long, "
+                    f"n_dupes long").write.mode("overwrite").parquet(bdir)
+            spark.createDataFrame([], "h long").write.mode(
+                "overwrite").parquet(
+                os.path.join(span_dir, f"batch={batch_id}"))
+            with open(os.path.join(bdir, "_COMMITTED"), "w"):
+                pass
+            units.unpersist()
+            return
+        # within-batch first occurrence (same winner rule as the batch op)
+        first = units.groupBy("h").agg(
+            F.min(F.struct("id", "pos")).alias("__first"))
+        committed = [d for d in glob.glob(os.path.join(span_dir, "batch=*"))
+                     if os.path.isfile(os.path.join(
+                         out_dir, os.path.basename(d), "_COMMITTED"))]
+        if committed:
+            seen = spark.read.parquet(*committed).select("h").distinct() \
+                .withColumn("__seen", F.lit(True))
+        else:
+            seen = spark.createDataFrame([], "h long") \
+                .withColumn("__seen", F.lit(True))
+        marked = (units.join(first, "h").join(seen, "h", "left")
+                  .select(
+                      "id", "pos", "unit", "h",
+                      ((F.col("__first.id") == F.col("id"))
+                       & (F.col("__first.pos") == F.col("pos"))
+                       & F.col("__seen").isNull()).alias("__keep"))
+                  .persist())
+        arr = F.array_sort(F.collect_list(F.struct("pos", "unit", "__keep")))
+        cleaned = marked.groupBy("id").agg(
+            F.array_join(
+                F.transform(F.filter(arr, lambda x: x["__keep"]),
+                            lambda x: x["unit"]), " ").alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum((~F.col("__keep")).cast("long")).alias("n_dupes"))
+        # every input doc appears in the output, even span-less ones
+        cleaned = (batch_df.select(F.col(id_col).alias("id"))
+                   .join(cleaned, "id", "left")
+                   .select("id",
+                           F.coalesce("clean_text", F.lit(""))
+                           .alias("clean_text"),
+                           F.coalesce("n_units", F.lit(0)).cast("long")
+                           .alias("n_units"),
+                           F.coalesce("n_dupes", F.lit(0)).cast("long")
+                           .alias("n_dupes")))
+        novel = marked.filter("__keep").select("h").distinct()
+        # spans first, docs last, marker after both (crash anywhere
+        # before the marker replays into an overwrite, never a loss)
+        novel.write.mode("overwrite").parquet(
+            os.path.join(span_dir, f"batch={batch_id}"))
+        cleaned.write.mode("overwrite").parquet(bdir)
+        with open(os.path.join(bdir, "_COMMITTED"), "w"):
+            pass
+        marked.unpersist()
+        units.unpersist()
+
+    q = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

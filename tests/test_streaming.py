@@ -1116,3 +1116,69 @@ def test_streaming_minhash_admission_end_to_end(spark, tmp_path):
     after_trunc = sorted(r.doc_id for r in
                          spark.read.parquet(f"{work}/admitted/*").collect())
     assert after_trunc == [1, 3, 11]
+
+
+def test_streaming_paragraph_admission_end_to_end(spark, tmp_path):
+    """Span-level streaming admission: spans deduplicate within a
+    batch (first occurrence by (id, pos)), across batches (standing
+    span store), documents are always emitted with surviving spans
+    reassembled; replay and orphan-store crashes admit nothing twice."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_paragraph_admission,
+    )
+
+    s1 = "a1 a2 a3 a4"            # span S1 (unit_tokens=4)
+    s2 = "b1 b2 b3 b4"            # span S2
+    s3 = "c1 c2 c3 c4"            # span S3
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    # batch 1: doc 1 = S1+S2; doc 2 repeats S1 (within batch) + new S3
+    (data_dir / "a.txt").write_text(f"1|{s1} {s2}\n2|{s1} {s3}\n")
+    # batch 2: doc 10 repeats S2 (cross-batch) + brand-new span
+    (data_dir / "b.txt").write_text(f"10|{s2} d1 d2 d3 d4\n")
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(data_dir / "a.txt", (now - 10, now - 10))
+    _os.utime(data_dir / "b.txt", (now, now))
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1)
+               .load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    work = str(tmp_path / "work")
+    run_streaming_paragraph_admission(docs_stream(), work, unit_tokens=4)
+    got = {r.id: (r.clean_text, r.n_units, r.n_dupes)
+           for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
+    assert got[1] == (f"{s1} {s2}", 2, 0)
+    assert got[2] == (s3, 2, 1)                    # S1 repeat stripped
+    assert got[10] == ("d1 d2 d3 d4", 2, 1)        # S2 cross-batch strip
+    spans = spark.read.parquet(f"{work}/spans/*")
+    assert spans.distinct().count() == 4           # S1 S2 S3 + d-span
+
+    # full replay (fresh checkpoint, same work dir): nothing changes
+    import shutil
+
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_paragraph_admission(docs_stream(), work, unit_tokens=4)
+    again = {r.id: r.clean_text
+             for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
+    assert again[10] == "d1 d2 d3 d4"
+    assert spark.read.parquet(f"{work}/spans/*").distinct().count() == 4
+
+    # orphan-store crash: spans/batch=1 exists but cleaned/batch=1 was
+    # never committed — the replay must NOT treat batch 1's own spans
+    # as already seen (that would empty doc 10 forever)
+    shutil.rmtree(f"{work}/cleaned/batch=1")
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_paragraph_admission(docs_stream(), work, unit_tokens=4)
+    after = {r.id: r.clean_text
+             for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
+    assert after[10] == "d1 d2 d3 d4"
