@@ -972,6 +972,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 canon, chunks), labeled, red)
     q["llm_corpus_v2_documents"] = _llm_corpus_v2
 
+    # --- capstone v3: the round-7 cleaning suite composed end-to-end —
+    # C4/Gopher rule gate -> corpus-wide paragraph dedup (docs
+    # reassembled from first-occurrence spans, emptied docs dropped) ->
+    # passage-level decontamination (winnowing-fingerprint overlap vs
+    # the eval subset) -> content-stable split.
+    def _llm_corpus_v3(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        kept = docs.join(
+            c4_rules(docs).filter("kept").select("doc_id"), "doc_id")
+        para = dedup_paragraphs(kept).filter(
+            F.col("clean_text") != "").persist()
+        bench = docs.filter((F.col("doc_id") % 10) == 7).select(
+            "doc_id", F.col("text").alias("clean_text"))
+        deco = winnow_contamination(para, bench, text_col="clean_text")
+        clean = (para.join(
+            deco.filter(F.col("passage_overlap") <= 0.5)
+            .select("doc_id", "passage_overlap"), "doc_id")
+            .select("doc_id", "clean_text", "n_dupes", "passage_overlap"))
+        return release_on_gc(
+            hash_split(clean, {"train": 0.9, "val": 0.05, "test": 0.05},
+                       ["doc_id"]), para)
+    q["llm_corpus_v3_documents"] = _llm_corpus_v3
+
     # --- deterministic sampling / splitting (content-stable md5
     # buckets; reproducible across engines/reruns/repartitioning) ---
     q["sample_documents"] = lambda s, d: deterministic_sample(
@@ -1934,6 +1957,34 @@ red AS (
     _contam_clean = contamination_check_sql(
         "SELECT * FROM kept",
         "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
+    _v3_deco = winnow_contamination_sql(
+        "paran",
+        "(SELECT doc_id, text AS clean_text FROM documents "
+        "WHERE doc_id % 10 = 7)",
+        text_col="clean_text")
+    o["llm_corpus_v3_documents"] = f"""
+WITH c4 AS (
+{c4_rules_sql("documents")}
+),
+kept AS (
+  SELECT d.* FROM documents d JOIN c4 ON c4.doc_id = d.doc_id AND c4.kept
+),
+para AS (
+{dedup_paragraphs_sql("kept")}
+),
+paran AS (SELECT * FROM para WHERE clean_text <> ''),
+deco AS (
+{_v3_deco}
+),
+clean AS (
+  SELECT p.doc_id, p.clean_text, p.n_dupes, dc.passage_overlap
+  FROM paran p JOIN deco dc ON dc.doc_id = p.doc_id
+  WHERE dc.passage_overlap <= 0.5
+)
+{hash_split_sql("clean", {"train": 0.9, "val": 0.05, "test": 0.05},
+                ["doc_id"])}
+""".strip()
+
     o["llm_corpus_v2_documents"] = f"""
 WITH RECURSIVE qual AS (
   SELECT * FROM documents WHERE {quality_score_sql('text')} >= 0.5
