@@ -1076,7 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_paragraphs.  Batches split by ascending doc_id make the
     # cross-batch first-occurrence rule coincide with the batch
     # operator's global (id, pos) winner, so dedup_paragraphs_sql is an
-    # EXACT oracle for the streamed result.
+    # exact oracle for the streamed result (up to the span store's
+    # 60-bit hash keying — collision odds ~n²/2⁶¹, see the operator
+    # docstring; zero at any shipped SF).
     def _streaming_paragraph_admission(s: SparkSession,
                                        d: str) -> DataFrame:
         import tempfile
@@ -1086,28 +1088,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_streaming_paragraph_admission,
         )
 
-        docs = load_table(s, d, "documents")
+        import glob as _glob
+        import shutil as _shutil
+
+        docs = load_table(s, d, "documents").select("doc_id", "text")
         cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
         work = tempfile.mkdtemp(prefix="spanadm_")
         data_dir = os.path.join(work, "data")
         os.makedirs(data_dir)
-        for name, part in (("a", docs.filter(F.col("doc_id") <= cut)),
-                           ("b", docs.filter(F.col("doc_id") > cut))):
-            rows = part.select(
-                F.concat_ws("|", F.col("doc_id"), F.col("text"))
-                .alias("value")).collect()
-            with open(os.path.join(data_dir, f"{name}.txt"), "w") as fh:
-                fh.write("\n".join(r.value for r in rows) + "\n")
         now = _time.time()
-        os.utime(os.path.join(data_dir, "a.txt"), (now - 10, now - 10))
-        os.utime(os.path.join(data_dir, "b.txt"), (now, now))
-        raw = (s.readStream.format("text")
-               .option("maxFilesPerTrigger", 1).load(data_dir))
-        parts = F.split(F.col("value"), r"\|", 2)
-        stream = raw.select(
-            parts.getItem(0).cast("long").alias("doc_id"),
-            parts.getItem(1).alias("text"),
-        ).where(F.col("doc_id").isNotNull())
+        # parquet batch files (NOT an id|text text file: embedded
+        # newlines in text would shear into truncated + null-id rows);
+        # mtime stagger fixes replay order = ascending doc_id
+        for i, part in enumerate((docs.filter(F.col("doc_id") <= cut),
+                                  docs.filter(F.col("doc_id") > cut))):
+            tmpd = os.path.join(work, f"tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
+            dst = os.path.join(data_dir, f"part-{i}.parquet")
+            _shutil.move(
+                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
+            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        stream = (s.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
         run_streaming_paragraph_admission(stream, work, unit_tokens=8)
         return (s.read.parquet(os.path.join(work, "cleaned"))
                 .select(F.col("id").alias("doc_id"), "clean_text",

@@ -33,6 +33,7 @@ __all__ = [
     "c4_rules",
     "c4_rules_sql",
     "unit_spans",
+    "reassemble_spans",
     "chunk_documents",
     "chunk_documents_sql",
     "dedup_paragraphs",
@@ -746,6 +747,19 @@ def dedup_paragraphs(df: DataFrame, *, id_col: str = "doc_id",
         ((F.col("__first")[id_col] == F.col(id_col))
          & (F.col("__first")["pos"] == F.col("pos"))).alias("__keep"),
     )
+    return reassemble_spans(marked, df.select(id_col), id_col=id_col)
+
+
+def reassemble_spans(marked: DataFrame, ids: DataFrame, *,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Shared tail of :func:`dedup_paragraphs` and the streaming span
+    admission (`streaming/continuous.run_streaming_paragraph_admission`):
+    rebuild (id, clean_text, n_units, n_dupes) from marked span rows
+    (`id_col`, pos, unit, __keep) in original order, restoring
+    span-less ids from `ids` (single-column frame of every input id)
+    with ('', 0, 0).  One helper so the batch operator and its
+    streaming twin — which is ORACLED by the batch operator's SQL —
+    can never disagree on reassembly."""
     arr = F.array_sort(F.collect_list(F.struct("pos", "unit", "__keep")))
     agg = marked.groupBy(id_col).agg(
         F.array_join(
@@ -754,7 +768,7 @@ def dedup_paragraphs(df: DataFrame, *, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_units"),
         F.sum((~F.col("__keep")).cast("long")).alias("n_dupes"),
     )
-    return df.select(id_col).join(agg, id_col, "left").select(
+    return ids.join(agg, id_col, "left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         F.coalesce("n_units", F.lit(0)).cast("long").alias("n_units"),

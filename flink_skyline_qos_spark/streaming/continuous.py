@@ -1092,13 +1092,18 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
 
     State is the span store: one md5-derived 60-bit hash per distinct
     admitted span (never span text) — O(distinct spans) longs on disk,
-    read per batch; at scale a bucketed table on the hash.  Results:
+    read per batch; at scale a bucketed table on the hash.  Hash-keyed
+    novelty means a 60-bit collision strips a genuinely novel span
+    (P ≈ n²/2⁶¹: ~4·10⁻⁷ even at a billion distinct spans, ~0.4
+    expected strips at 10¹² — the store stays hashes because span TEXT
+    at that scale is the corpus itself); the batch operator dedups by
+    full span text, so the two coincide exactly up to that bound.  Results:
     ``{work_dir}/cleaned`` (batch=N partitions: id, clean_text,
     n_units, n_dupes) and ``{work_dir}/spans``.
     """
     import glob
 
-    from ..functions.corpus import unit_spans
+    from ..functions.corpus import reassemble_spans, unit_spans
     from ..operators.dedup import _md5_long
 
     out_dir = os.path.join(work_dir, "cleaned")
@@ -1115,18 +1120,12 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
             .alias("pos", "unit"))
             .withColumn("h", _md5_long(F.col("unit")))
             .persist())
-        if units.count() == 0:
-            # still seal the (empty) batch so replays skip it
-            spark.createDataFrame(
-                [], f"id long, clean_text string, n_units long, "
-                    f"n_dupes long").write.mode("overwrite").parquet(bdir)
-            spark.createDataFrame([], "h long").write.mode(
-                "overwrite").parquet(
-                os.path.join(span_dir, f"batch={batch_id}"))
-            with open(os.path.join(bdir, "_COMMITTED"), "w"):
-                pass
-            units.unpersist()
-            return
+        units.count()
+        # NO span-count early exit: a batch of only blank/span-less
+        # documents must still emit every document with ('', 0, 0) —
+        # the reassembly's id restore below handles empty `units`
+        # uniformly (dropping the docs would break the "every document
+        # is emitted" contract and batch-operator parity).
         # within-batch first occurrence (same winner rule as the batch op)
         first = units.groupBy("h").agg(
             F.min(F.struct("id", "pos")).alias("__first"))
@@ -1146,23 +1145,11 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
                        & (F.col("__first.pos") == F.col("pos"))
                        & F.col("__seen").isNull()).alias("__keep"))
                   .persist())
-        arr = F.array_sort(F.collect_list(F.struct("pos", "unit", "__keep")))
-        cleaned = marked.groupBy("id").agg(
-            F.array_join(
-                F.transform(F.filter(arr, lambda x: x["__keep"]),
-                            lambda x: x["unit"]), " ").alias("clean_text"),
-            F.count(F.lit(1)).cast("long").alias("n_units"),
-            F.sum((~F.col("__keep")).cast("long")).alias("n_dupes"))
-        # every input doc appears in the output, even span-less ones
-        cleaned = (batch_df.select(F.col(id_col).alias("id"))
-                   .join(cleaned, "id", "left")
-                   .select("id",
-                           F.coalesce("clean_text", F.lit(""))
-                           .alias("clean_text"),
-                           F.coalesce("n_units", F.lit(0)).cast("long")
-                           .alias("n_units"),
-                           F.coalesce("n_dupes", F.lit(0)).cast("long")
-                           .alias("n_dupes")))
+        # shared reassembly + span-less-id restore: ONE helper with the
+        # batch operator, whose SQL is this loop's correctness oracle
+        cleaned = reassemble_spans(
+            marked, batch_df.select(F.col(id_col).alias("id")),
+            id_col="id")
         novel = marked.filter("__keep").select("h").distinct()
         # spans first, docs last, marker after both (crash anywhere
         # before the marker replays into an overwrite, never a loss)

@@ -465,9 +465,10 @@ def test_dedup_paragraphs_no_window_all_jvm(spark):
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2
     for node in _PYTHON_NODES:
         assert node not in plan
-    # partial min(struct) before the exchange = map-side combine
-    assert re.search(r"partial_min|partial.*min\(", plan) or \
-        "HashAggregate" in plan
+    # partial min(struct) before the exchange = map-side combine — the
+    # specific function, not just any HashAggregate (the reassembly
+    # groupBy would satisfy a bare HashAggregate check vacuously)
+    assert "partial_min" in plan, plan
 
 
 def test_c4_rules_two_hash_aggregates_no_join_for_mode(spark):
@@ -484,3 +485,8 @@ def test_c4_rules_two_hash_aggregates_no_join_for_mode(spark):
     # two aggregate levels: (id, tok) counts then the per-id fold
     n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
     assert n_agg >= 4  # partial+final per level
+    # the mode must come from the fold, never a self-join (the shape
+    # this operator exists to avoid); the only join allowed is the
+    # final empty-doc restore on the id key
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.M)) <= 1, plan

@@ -1182,3 +1182,31 @@ def test_streaming_paragraph_admission_end_to_end(spark, tmp_path):
     after = {r.id: r.clean_text
              for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
     assert after[10] == "d1 d2 d3 d4"
+
+
+def test_streaming_paragraph_admission_all_blank_batch(spark, tmp_path):
+    """A micro-batch of ONLY span-less (blank) documents must still
+    emit every document with ('', 0, 0) — dropping them would break
+    the batch-operator oracle parity (review finding, round 7)."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_paragraph_admission,
+    )
+
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    blanks = spark.createDataFrame([(1, ""), (2, "   ")],
+                                   "doc_id long, text string")
+    blanks.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "p0"))
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(str(tmp_path / "p0" / "part-*.parquet"))[0],
+                str(data_dir / "part-0.parquet"))
+    stream = (spark.readStream.schema(blanks.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(data_dir)))
+    work = str(tmp_path / "work")
+    run_streaming_paragraph_admission(stream, work, unit_tokens=4)
+    got = {r.id: (r.clean_text, r.n_units, r.n_dupes)
+           for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
+    assert got == {1: ("", 0, 0), 2: ("", 0, 0)}
