@@ -4,6 +4,8 @@ Runs every ``queries()`` entry against its ``oracle_sql()`` twin at a
 given sf dir (default sf0.01), comparing row-count, column names, and an
 order-insensitive multiset of values (columns sorted by name, floats
 rounded).  Usage:  python tools/check_oracle.py [sf_dir] [name ...]
+Set ORACLE_JSON=<path> to also write a machine-diffable JSON summary
+(one object per query: rows, match booleans, wall seconds).
 """
 
 from __future__ import annotations
@@ -32,6 +34,9 @@ def canon(cols, rows):
 
 
 def main():
+    import json
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
@@ -40,6 +45,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -60,6 +66,12 @@ def main():
         ok_cols = sorted(scols) == sorted(ocols)
         ok_vals = ok_cols and canon(scols, srows) == canon(ocols, orows)
         status = "OK" if ok_vals else "FAIL"
+        report[name] = {
+            "rows_spark": len(srows), "rows_duck": len(orows),
+            "rows_match": len(srows) == len(orows),
+            "schema_match": ok_cols, "hash_match": ok_vals,
+            "spark_s": round(t_spark, 1), "duck_s": round(t_duck, 1),
+        }
         print(f"  {name}: {status} spark={len(srows)} duck={len(orows)} "
               f"[spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
         if not ok_vals:
@@ -72,6 +84,12 @@ def main():
                 print(f"    only-spark={list(sa - sb)[:3]}")
                 print(f"    only-duck={list(sb - sa)[:3]}")
     print("FAILURES:", failures or "none")
+    out = os.environ.get("ORACLE_JSON")
+    if out:
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "failures": failures, "queries": report}, fh,
+                      indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
