@@ -211,21 +211,47 @@ def _skyline_mask_2d(values: np.ndarray) -> np.ndarray:
     return out
 
 
+# above this input size, 3-D inputs dispatch to the O(n log n)
+# plane-sweep instead of the O(n·S) forward scan: on anti-correlated
+# partitions the running skyline S reaches thousands and the forward
+# scan's n·S·d comparisons dominate the whole local-prune leg
+# (measured 150 core-seconds per 10M 3-D rows, vs ~10 for the sweep —
+# BENCHMARKS.md round 8); below it both paths are sub-millisecond.
+_SWEEP_3D_MIN = 4096
+
+
 def skyline_mask(values: np.ndarray) -> np.ndarray:
     """Boolean mask of skyline membership for an (n, d) float array.
 
-    2-D inputs take the O(n log n) sort-scan path; higher dimensions use
-    a sort-by-sum single forward pass, O(n·S) comparisons where S is the
-    running skyline size, fully vectorized in blocks with the sum-trick
-    (see :func:`_dominated_sorted_T`).  The layout/dtype specialization
-    is detected once and the accepted-skyline matrix is maintained in
-    transposed form, so no per-block relayout happens.
+    2-D inputs take the O(n log n) sort-scan path; 3-D inputs above
+    `_SWEEP_3D_MIN` rows take the O(n log n) Kung plane-sweep
+    (:func:`sweep_mask_3d` over the deduplicated vectors — duplicates
+    inherit their representative's verdict, identical tie semantics);
+    everything else uses a sort-by-sum single forward pass, O(n·S)
+    comparisons where S is the running skyline size, fully vectorized
+    in blocks with the sum-trick (see :func:`_dominated_sorted_T`).
+    The layout/dtype specialization is detected once and the
+    accepted-skyline matrix is maintained in transposed form, so no
+    per-block relayout happens.
     """
     n = values.shape[0]
     if n == 0:
         return np.zeros(0, dtype=bool)
     if values.shape[1] == 2:
         return _skyline_mask_2d(values)
+    if values.shape[1] == 3 and n >= _SWEEP_3D_MIN:
+        uniq, inv = np.unique(values, axis=0, return_inverse=True)
+        return sweep_mask_3d(uniq)[inv.ravel()]
+    return _skyline_mask_forward(values)
+
+
+def _skyline_mask_forward(values: np.ndarray) -> np.ndarray:
+    """The d ≥ 3 sum-sorted forward scan (also the plane-sweep's
+    intra-block kernel — calling :func:`skyline_mask` there would
+    recurse into the sweep)."""
+    n = values.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
     d = values.shape[1]
     sums = values.sum(axis=1)
     # Sort by (sum, d0, d1, ...): fp-rounded sums of a dominating pair can
@@ -362,7 +388,7 @@ def sweep_mask_3d(values: np.ndarray) -> np.ndarray:
         if not alive.any():
             continue
         sub = blk[alive]
-        m = skyline_mask(sub)
+        m = _skyline_mask_forward(sub)
         ai = np.flatnonzero(alive)
         keep_sorted[lo + ai[m]] = True
         # merge survivors into the staircase: sort by (y asc, z asc),

@@ -28,7 +28,7 @@ def _synthetic_names() -> list[str]:
 
 def test_bench_json_line_fits_driver_capture():
     names = bench.HEADLINE + _synthetic_names()
-    assert len(names) >= 49
+    assert len(names) >= 48
     # realistic-worst widths: every value in the 4-char 1-dp tier (no
     # real run has all ~50 queries >=10 s; r6's clean sweep had 7), the
     # unconverged/floor_exited lists populated with the longest names
@@ -77,3 +77,14 @@ def test_bench_fmt_adaptive_precision():
     # every tier's JSON rendering is at most 4 chars up to 9999 s
     for v in (0.01, 9.99, 99.9, 42.0, 9999.4):
         assert len(json.dumps(bench.bench_fmt(v))) <= 6
+
+
+def test_headline_and_rotation_names_are_registered():
+    """Every benched / rotated name must be a registered query — a typo
+    here silently drops a row from BENCH_r{N} (the loop skips unknown
+    names)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    for n in bench.HEADLINE + bench.ROTATED_OUT:
+        assert n in q, n

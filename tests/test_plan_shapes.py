@@ -490,3 +490,25 @@ def test_c4_rules_two_hash_aggregates_no_join_for_mode(spark):
     # final empty-doc restore on the id key
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.M)) <= 1, plan
+
+
+def test_sampled_prefilter_below_python_node_and_pushed_down(spark):
+    """VERDICT r7 #2: the sampled-dominator pre-filter must be a
+    codegen'd Filter BELOW the local-prune Python node — rows it kills
+    never cross the Arrow boundary — and its strict-dominance
+    comparisons must reach the parquet scan as PushedFilters."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    plan = _plan(skyline_broadcast_verify(
+        li, ["l_extendedprice", "l_discount"], prefilter_refs=8))
+    tree = plan.split("\n\n", 1)[0]
+    # tree prints root-first: the Python prune node must appear ABOVE
+    # the Filter, which sits directly on the scan
+    assert re.search(r"MapInPandas[\s\S]*\* Filter[\s\S]*Scan parquet",
+                     tree), tree
+    # the dominance literals are scan-pushed (data-skipping at source)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThan(l_extendedprice" in m.group(1), plan

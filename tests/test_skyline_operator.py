@@ -84,6 +84,43 @@ def test_skyline_broadcast_verify(lineitem, oracle_2d, sf_dir):
     assert spark_rows(got_s, all_cols(lineitem)) == oracle_2d
 
 
+def test_sampled_prefilter_lossless(lineitem, oracle_2d, sf_dir):
+    """The sampled-dominator JVM pre-filter never changes the answer:
+    it only removes rows strictly dominated by actual data points."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        sampled_dominator_prefilter,
+        skyline_broadcast_verify,
+    )
+
+    got = skyline_broadcast_verify(lineitem, DIMS2, prefilter_refs=16)
+    assert spark_rows(got, all_cols(lineitem)) == oracle_2d
+    oracle3 = as_sorted(duck_skyline(sf_dir, "lineitem", DIMS3))
+    got3 = skyline_broadcast_verify(lineitem, DIMS3, prefilter_refs=16)
+    assert spark_rows(got3, all_cols(lineitem)) == oracle3
+    # raw pre-filter supersethood at a 100% sample: every skyline
+    # vector must survive the filter (losslessness in its purest form)
+    proj = lineitem.select(*DIMS2)
+    filtered = sampled_dominator_prefilter(
+        proj, DIMS2, refs=64, fraction=1.0, sample_cap=10 ** 9)
+    surv = {tuple(r) for r in filtered.collect()}
+    sky = {tuple(r) for r in skyline(proj, DIMS2).collect()}
+    assert sky <= surv
+
+
+def test_sampled_prefilter_keeps_duplicates_of_refs(spark):
+    """Reference points are dataset members; strict dominance means
+    duplicate copies of a frontier point all survive the pre-filter."""
+    from flink_skyline_qos_spark.operators.skyline import (
+        skyline_broadcast_verify,
+    )
+
+    rows = [(i, 1.0, 1.0) for i in range(50)] + \
+           [(100 + i, 2.0, 2.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, d0 double, d1 double")
+    got = skyline_broadcast_verify(df, ["d0", "d1"], prefilter_refs=4)
+    assert sorted(r.id for r in got.collect()) == list(range(50))
+
+
 def test_grouped_skyline(events, sf_dir):
     from pyspark.sql import functions as F
 
