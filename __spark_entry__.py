@@ -1128,6 +1128,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_paragraph_admission_documents"] = \
         _streaming_paragraph_admission
 
+    # --- quality-gate streaming admission: the ingest-time twin of
+    # c4_rules.  The rules are stateless per document, so the union of
+    # the per-batch outputs IS the batch operator over the whole table
+    # and c4_rules_sql is an exact oracle (VERDICT r7 Next #6: a crawl
+    # pipeline filters on quality rules before any dedup state).
+    def _streaming_c4_admission(s: SparkSession, d: str) -> DataFrame:
+        import tempfile
+        import time as _time
+
+        import glob as _glob
+        import shutil as _shutil
+
+        from flink_skyline_qos_spark.streaming.continuous import (
+            run_streaming_c4_admission,
+        )
+
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+        work = tempfile.mkdtemp(prefix="c4adm_")
+        data_dir = os.path.join(work, "data")
+        os.makedirs(data_dir)
+        now = _time.time()
+        # parquet batch files, mtime-staggered — same replay recipe as
+        # the span-admission query (text columns can embed newlines)
+        for i, part in enumerate((docs.filter(F.col("doc_id") <= cut),
+                                  docs.filter(F.col("doc_id") > cut))):
+            tmpd = os.path.join(work, f"tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
+            dst = os.path.join(data_dir, f"part-{i}.parquet")
+            _shutil.move(
+                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
+            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        stream = (s.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        run_streaming_c4_admission(stream, work)
+        return s.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(work, "scored")).select(
+            "doc_id", "n_tokens", "mean_tok_len", "top_tok_ratio",
+            "stop_ratio", "failed", "kept")
+
+    q["streaming_c4_admission_documents"] = _streaming_c4_admission
+
     # --- continuous keyed-state variant (applyInPandasWithState): the
     # merge of all emitted local skylines equals the batch skyline (every
     # evicted point's dominator is also emitted — dominance transitivity).
@@ -1937,6 +1979,8 @@ FROM t GROUP BY lang, source
     o["streaming_paragraph_admission_documents"] = dedup_paragraphs_sql(
         "documents", unit_tokens=8)
     o["c4_filter_documents"] = c4_rules_sql("documents")
+    # stateless per-doc rules: the streamed union IS the batch operator
+    o["streaming_c4_admission_documents"] = c4_rules_sql("documents")
     o["pack_sequences_documents"] = pack_sequences_sql(
         chunk_documents_sql("documents", size=32, stride=32), seq_len=64)
 

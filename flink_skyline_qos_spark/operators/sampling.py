@@ -298,6 +298,15 @@ def group_cap(df: DataFrame, group_cols: Sequence[str], cap: int,
     corpus growth — a kept row is only ever evicted by a new row
     hashing below it, never by re-partitioning or row order.
 
+    **`key_cols` must uniquely identify rows within each group**
+    (ADVICE r7): the selection order is only a total order under that
+    contract — rows agreeing on every key column but differing
+    elsewhere would tie at the cap boundary, and which one survives
+    would then be engine/partitioning-dependent despite the
+    "pure function of row content" claim.  Every registered use passes
+    a unique document id; callers without one should extend `key_cols`
+    with enough columns to disambiguate.
+
     Scale shape: the naive plan is one `row_number()` window
     partitioned by group — at 100 TB a single hot domain becomes one
     task sorting billions of rows.  Instead, exact salted two-level

@@ -496,7 +496,13 @@ def knn_graph(vectors: DataFrame, k: int = 5, *,
     A duplicate vector with a smaller id can legitimately outrank the
     self-pair, so self is NOT assumed to be rank 1 — the final rank is
     recomputed over the ≤ k+1 surviving rows per node (a bounded
-    window, never the n² score matrix).
+    window, never the n² score matrix).  The final rank ties on the
+    9-dp-ROUNDED similarity (ADVICE r7) so sub-epsilon arithmetic
+    differences between engines can't reorder the rank-k boundary;
+    the per-batch GEMM pre-selection still cuts on raw similarity —
+    a divergence there additionally needs the 9-dp near-tie to
+    straddle a batch-internal top-(k+1) cut, a strictly smaller
+    probability event than the rank flake this guards against.
 
     Scale: exact all-pairs kNN is O(n²·d) GEMM work — right for
     bounded vector sets (≤ a few hundred thousand rows: the broadcast
@@ -508,8 +514,14 @@ def knn_graph(vectors: DataFrame, k: int = 5, *,
     qs = vectors.select(F.col(id_col).alias("query_id"), vec_col)
     top = cosine_topk_gemm(vectors, qs, k=k + 1,
                            id_col=id_col, vec_col=vec_col)
+    # rank on the 9-dp-rounded similarity: the two engines compute
+    # cos_sim with different arithmetic (pre-normalized GEMM here,
+    # dot/(|a||b|) in the SQL twin), and near-ties at the rank-k
+    # boundary would otherwise order differently across engines
+    # (ADVICE r7); 9 dp is far above double noise, far below any
+    # meaningful similarity difference
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id"))
+        F.desc(F.round("cos_sim", 9)), F.asc("vec_id"))
     return (top.filter(F.col("vec_id") != F.col("query_id"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -535,7 +547,7 @@ scored AS (
 ), ranked AS (
   SELECT src, dst, sim,
          row_number() OVER (PARTITION BY src
-                            ORDER BY sim DESC, dst) AS rn
+                            ORDER BY round(sim, 9) DESC, dst) AS rn
   FROM scored
 )
 SELECT src, dst, round(sim, 6) AS cos_sim, cast(rn AS int) AS rank

@@ -1067,11 +1067,88 @@ SELECT win_start, win_end, __{names[0]}.n, {", ".join(q_sel)}
 FROM {joins}
 """.strip()
 
+def run_streaming_c4_admission(stream_docs: DataFrame, work_dir: str, *,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               **rule_kwargs) -> None:
+    """Streaming quality-gate admission: the ingest-time twin of
+    :func:`~..functions.corpus.c4_rules`.  A crawl pipeline filters on
+    the cheap lexical quality rules FIRST (before any dedup state is
+    touched) — and the rules are stateless per document, so the
+    streaming form is exactly the batch operator applied inside
+    ``foreachBatch``, which makes the batch operator's SQL twin an
+    EXACT oracle for the union of all batch outputs.
+
+    Same durability discipline as the other admission loops: per-batch
+    output dirs under ``{work_dir}/scored`` sealed by a framework-owned
+    ``_COMMITTED`` marker written strictly after the write returns;
+    replayed batches whose marker exists are skipped, so retries are
+    idempotent.  Every document is emitted with its rule scores,
+    failure reasons and the ``kept`` verdict (rejected rows kept for
+    the threshold-tuning histogram, like the batch operator).
+
+    No cross-batch state at all — at 100 TB this is an embarrassingly
+    parallel map over the stream, and the per-batch cost is the batch
+    operator's audited shape (one explode + two hash aggregates).
+    """
+    from ..functions.corpus import c4_rules
+
+    out_dir = os.path.join(work_dir, "scored")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(out_dir, f"batch={batch_id}")
+        if os.path.isfile(os.path.join(bdir, "_COMMITTED")):
+            return  # replayed batch: already committed
+        scored = c4_rules(batch_df, id_col=id_col, text_col=text_col,
+                          **rule_kwargs)
+        scored.write.mode("overwrite").parquet(bdir)
+        with open(os.path.join(bdir, "_COMMITTED"), "w"):
+            pass  # framework-owned commit marker
+    q = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def _dir_id(path: str) -> int:
+    """Numeric suffix of a ``name=<id>`` store directory."""
+    return int(os.path.basename(path).split("=", 1)[1])
+
+
+def _latest_committed(root: str, pattern: str) -> "tuple[str | None, int]":
+    """Newest _COMMITTED-sealed ``pattern`` dir under `root` (and its
+    numeric id; (None, -1) when there is none)."""
+    import glob
+
+    best, best_id = None, -1
+    for d in glob.glob(os.path.join(root, pattern)):
+        if not os.path.isfile(os.path.join(d, "_COMMITTED")):
+            continue
+        i = _dir_id(d)
+        if i > best_id:
+            best, best_id = d, i
+    return best, best_id
+
+
+def _committed_batch_stores(span_dir: str, out_dir: str) -> "list[str]":
+    """Span-store batch dirs whose OWNING docs dir is committed (an
+    orphan store from a crash between the two writes must never join a
+    novelty check — it would mark the replay's own spans as seen)."""
+    import glob
+
+    return sorted(
+        (d for d in glob.glob(os.path.join(span_dir, "batch=*"))
+         if os.path.isfile(os.path.join(
+             out_dir, os.path.basename(d), "_COMMITTED"))),
+        key=_dir_id)
+
+
 def run_streaming_paragraph_admission(stream_docs: DataFrame,
                                       work_dir: str, *,
                                       id_col: str = "doc_id",
                                       text_col: str = "text",
-                                      unit_tokens: int = 8) -> None:
+                                      unit_tokens: int = 8,
+                                      compact_every: int = 8) -> None:
     """Streaming SPAN-level admission: the incremental twin of
     :func:`~..functions.corpus.dedup_paragraphs`.  Documents stream in;
     each is cut into `unit_tokens`-token spans, and a span survives
@@ -1092,7 +1169,19 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
 
     State is the span store: one md5-derived 60-bit hash per distinct
     admitted span (never span text) — O(distinct spans) longs on disk,
-    read per batch; at scale a bucketed table on the hash.  Hash-keyed
+    read per batch; at scale a bucketed table on the hash.  To keep the
+    per-batch novelty-check read bounded over a long-running stream
+    (reading every per-batch store is O(B²) cumulative I/O — ADVICE
+    r7), every `compact_every` committed batches the stores are folded
+    into a consolidated ``{span_dir}/compact=B`` snapshot (distinct
+    hashes of everything ≤ batch B, sealed by its own ``_COMMITTED``
+    marker written strictly after the write); subsequent batches read
+    the newest committed snapshot plus only the batch stores after it,
+    so steady-state read cost is O(|store| + compact_every · batch).
+    Old batch stores are left in place — replay reads never miss state,
+    an uncommitted snapshot is ignored, and a committed snapshot plus
+    the per-batch stores it covers only makes `seen` redundantly
+    distinct, never wrong.  Hash-keyed
     novelty means a 60-bit collision strips a genuinely novel span
     (P ≈ n²/2⁶¹: ~4·10⁻⁷ even at a billion distinct spans, ~0.4
     expected strips at 10¹² — the store stays hashes because span TEXT
@@ -1101,8 +1190,6 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
     ``{work_dir}/cleaned`` (batch=N partitions: id, clean_text,
     n_units, n_dupes) and ``{work_dir}/spans``.
     """
-    import glob
-
     from ..functions.corpus import reassemble_spans, unit_spans
     from ..operators.dedup import _md5_long
 
@@ -1129,9 +1216,11 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
         # within-batch first occurrence (same winner rule as the batch op)
         first = units.groupBy("h").agg(
             F.min(F.struct("id", "pos")).alias("__first"))
-        committed = [d for d in glob.glob(os.path.join(span_dir, "batch=*"))
-                     if os.path.isfile(os.path.join(
-                         out_dir, os.path.basename(d), "_COMMITTED"))]
+        snap, snap_b = _latest_committed(span_dir, "compact=*")
+        committed = [d for d in _committed_batch_stores(
+            span_dir, out_dir) if _dir_id(d) > snap_b]
+        if snap is not None:
+            committed = [snap] + committed
         if committed:
             seen = spark.read.parquet(*committed).select("h").distinct() \
                 .withColumn("__seen", F.lit(True))
@@ -1160,6 +1249,22 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
             pass
         marked.unpersist()
         units.unpersist()
+        # bounded-state compaction (ADVICE r7): once `compact_every`
+        # committed batch stores have accumulated past the newest
+        # snapshot, fold them (plus that snapshot) into a consolidated
+        # compact=<this batch> snapshot.  The snapshot is sealed by its
+        # own marker AFTER its write returns; a crash mid-compaction
+        # leaves an uncommitted dir that every reader ignores, and the
+        # covered batch stores stay on disk, so no state is ever lost.
+        newer = [d for d in _committed_batch_stores(span_dir, out_dir)
+                 if _dir_id(d) > snap_b]
+        if len(newer) >= compact_every:
+            cdir = os.path.join(span_dir, f"compact={batch_id}")
+            src = ([snap] if snap is not None else []) + newer
+            spark.read.parquet(*src).select("h").distinct() \
+                .write.mode("overwrite").parquet(cdir)
+            with open(os.path.join(cdir, "_COMMITTED"), "w"):
+                pass
 
     q = (stream_docs.writeStream.foreachBatch(process)
          .option("checkpointLocation", os.path.join(work_dir, "ckpt"))

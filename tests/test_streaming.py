@@ -1210,3 +1210,120 @@ def test_streaming_paragraph_admission_all_blank_batch(spark, tmp_path):
     got = {r.id: (r.clean_text, r.n_units, r.n_dupes)
            for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
     assert got == {1: ("", 0, 0), 2: ("", 0, 0)}
+
+
+def test_streaming_paragraph_admission_compacts_span_store(spark, tmp_path):
+    """ADVICE r7: with compact_every=2, the per-batch span stores fold
+    into a committed compact=B snapshot, and later batches (and full
+    replays) read snapshot + newer stores — same answers as the
+    uncompacted run."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_paragraph_admission,
+    )
+
+    spans = [f"s{i}a s{i}b s{i}c s{i}d" for i in range(4)]
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    # 3 single-doc batches; batch 3 repeats spans admitted in 1 and 2
+    texts = {1: f"{spans[0]} {spans[1]}", 2: f"{spans[2]}",
+             3: f"{spans[1]} {spans[2]} {spans[3]}"}
+    for i, (did, text) in enumerate(sorted(texts.items())):
+        p = data_dir / f"{i}.txt"
+        p.write_text(f"{did}|{text}\n")
+        _os.utime(p, (now - 30 + 10 * i,) * 2)
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1).load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    work = str(tmp_path / "work")
+    run_streaming_paragraph_admission(docs_stream(), work, unit_tokens=4,
+                                      compact_every=2)
+    got = {r.id: (r.clean_text, r.n_units, r.n_dupes)
+           for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
+    assert got[1] == (f"{spans[0]} {spans[1]}", 2, 0)
+    assert got[2] == (spans[2], 1, 0)
+    # batch 3: spans[1] (snapshot) AND spans[2] (post-snapshot store)
+    # both stripped — proves the snapshot+newer read covers everything
+    assert got[3] == (spans[3], 3, 2)
+    import glob as _glob
+
+    compacts = [d for d in _glob.glob(f"{work}/spans/compact=*")
+                if _os.path.isfile(_os.path.join(d, "_COMMITTED"))]
+    assert compacts, "no committed compaction snapshot was written"
+    snap = spark.read.parquet(max(compacts,
+                                  key=lambda d: int(d.rsplit("=", 1)[1])))
+    assert snap.distinct().count() == snap.count()  # distinct hashes
+    # full replay over the compacted store: nothing admitted twice
+    import shutil
+
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_paragraph_admission(docs_stream(), work, unit_tokens=4,
+                                      compact_every=2)
+    again = {r.id: r.clean_text
+             for r in spark.read.parquet(f"{work}/cleaned/*").collect()}
+    assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_streaming_c4_admission_matches_batch_operator(spark, tmp_path):
+    """The streamed union of per-batch c4_rules outputs equals the
+    batch operator over the whole input (stateless rules), and replays
+    are idempotent via the _COMMITTED markers."""
+    from flink_skyline_qos_spark.functions.corpus import c4_rules
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_c4_admission,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "spam spam spam spam spam spam"),
+        (3, ""),
+        (4, "a geniunely reasonable english sentence with the usual "
+            "function words that should pass most of the gates here "
+            "because it is long enough and varied enough to be kept"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    import glob as _glob
+    import os as _os
+    import shutil
+    import time as _time
+
+    now = _time.time()
+    for i, pred in enumerate((F.col("doc_id") <= 2, F.col("doc_id") > 2)):
+        tmpd = str(tmp_path / f"p{i}")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmpd)
+        dst = str(data_dir / f"part-{i}.parquet")
+        shutil.move(_glob.glob(f"{tmpd}/part-*.parquet")[0], dst)
+        _os.utime(dst, (now - 10 + 10 * i,) * 2)
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(data_dir)))
+
+    work = str(tmp_path / "work")
+    run_streaming_c4_admission(stream(), work)
+    streamed = {tuple(r) for r in spark.read
+                .option("recursiveFileLookup", "true")
+                .parquet(f"{work}/scored").collect()}
+    batch = {tuple(r) for r in c4_rules(docs).collect()}
+    assert streamed == batch
+    # replay (fresh checkpoint): committed batches are skipped, output
+    # unchanged
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_c4_admission(stream(), work)
+    again = {tuple(r) for r in spark.read
+             .option("recursiveFileLookup", "true")
+             .parquet(f"{work}/scored").collect()}
+    assert again == batch
