@@ -304,6 +304,15 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     # 6× wall-time at 1M×4-D).  The count is also the strategy input.
     pruned = pruned.persist()
     n = pruned.count()
+    # dispatch on the UNIQUE candidate count when the raw count alone
+    # would force scatter: the broadcast path's driver footprint is
+    # |unique(C)|·d since the collect dedups distributed-first, and in
+    # the optimality-collapse regime (millions of copies of a few
+    # clamped vectors — PDF §5.4) the unique count is orders of
+    # magnitude below the raw one.  One cheap aggregation job over the
+    # already-pinned candidates, only paid when raw n is large.
+    if n > scatter_threshold:
+        n = pruned.select(*cols).distinct().count()
     if n <= scatter_threshold:
         out = _verify_against_broadcast(pruned, cols)
     else:
@@ -321,8 +330,19 @@ def _collect_unique(pruned: DataFrame, cols: Sequence[str]) -> np.ndarray:
     its representative; ties never dominate) and decisive in the
     reference's optimality-collapse regime (PDF §5.4), where the 4-D
     anti-correlated generator's clamping makes the surviving skyline
-    mostly exact duplicates and |unique(C)| ≪ |C|."""
-    cand = pruned.select(*cols).toPandas().to_numpy(dtype=np.float64)
+    mostly exact duplicates and |unique(C)| ≪ |C|.
+
+    The dedup runs DISTRIBUTED first (`distinct()` — one map-side-
+    combined exchange of candidate dim values) so the Arrow collect
+    moves |unique(C)| rows, not |C|: at 10M×4-D the candidate set is
+    2.2M copies of a handful of clamped vectors and the driver-side-
+    only dedup paid 6 s of pure transfer for a 1-row result
+    (BENCHMARKS.md round 8).  The driver-side np.unique stays: it is
+    idempotent, cheap at |unique(C)|, and canonicalizes any residual
+    engine-level value-equality edge cases (e.g. ±0.0) to the kernels'
+    numeric semantics."""
+    cand = (pruned.select(*cols).distinct()
+            .toPandas().to_numpy(dtype=np.float64))
     return np.unique(cand.reshape(-1, len(cols)), axis=0)
 
 
@@ -419,6 +439,20 @@ def _verify_against_broadcast(pruned: DataFrame, cols: Sequence[str], *,
             return _membership_pass(pruned, cols, ref)
         return pruned
     cand, sums = _collect_refs(pruned, cols)
+    if len(cand) <= 4096:
+        # d ≥ 4 tiny-unique short-circuit (VERDICT r7 #5): in the
+        # optimality-collapse regime the candidate multiset is millions
+        # of copies of a few distinct vectors — the driver forward scan
+        # over unique(C) is microseconds and the whole distributed
+        # verify collapses to one membership filter.  Above the cutoff
+        # the scan's O(|u|·S) single-core cost loses to the
+        # all-cores broadcast kernel (A/B in BENCHMARKS.md round 8).
+        if len(cand):
+            from .kernels import _skyline_mask_forward
+            mask = _skyline_mask_forward(cand)
+            ref = sc.broadcast(np.ascontiguousarray(cand[mask]))
+            return _membership_pass(pruned, cols, ref)
+        return pruned
     if len(cand) > escalate_threshold:
         k0 = min(pre_round_refs, len(cand) // 4)
         ref0 = sc.broadcast((cand[:k0], sums[:k0]))
@@ -578,6 +612,9 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
         # re_pruned is materialized: the first-stage cache is dead weight
         # from here on (ADVICE r3) — release it eagerly.
         pruned.unpersist(False)
+        if m > scatter_threshold:
+            # same unique-count dispatch as skyline_broadcast_verify
+            m = re_pruned.select(*cols).distinct().count()
         if m <= scatter_threshold:
             out = _verify_against_broadcast(re_pruned, cols)
         else:
