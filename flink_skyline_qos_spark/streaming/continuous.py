@@ -399,7 +399,8 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
                                     text_col: str = "text",
                                     num_hashes: int = 64,
                                     bands: int = 16, shingle_k: int = 5,
-                                    threshold: float = 0.5) -> None:
+                                    threshold: float = 0.5,
+                                    compact_every: int = 8) -> None:
     """Streaming corpus ADMISSION: ingest documents continuously,
     admitting only those that are near-duplicates of NOTHING admitted
     before them — the end-to-end incremental-dedup loop (batch
@@ -422,11 +423,14 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
 
     State is the signature store: O(admitted · num_hashes) longs on
     disk, read per batch — at scale a bucketed table partitioned by
-    band keys.  Results: ``{work_dir}/admitted`` (the admitted docs,
-    ``batch=N`` partitions) and ``{work_dir}/sigs``.
+    band keys.  Like the span store (ADVICE r7), the per-batch dirs
+    fold into a ``{sig_dir}/compact=B`` snapshot every `compact_every`
+    committed batches, so the per-batch read is snapshot + newer
+    stores, not every store ever written (admitted ids are disjoint
+    across batches, so the fold is a plain union rewrite).  Results:
+    ``{work_dir}/admitted`` (the admitted docs, ``batch=N``
+    partitions) and ``{work_dir}/sigs``.
     """
-    import glob
-
     from ..operators.dedup import (
         minhash_lsh_pairs,
         minhash_lsh_pairs_cross,
@@ -454,6 +458,7 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         # replaces any partial output).
         if os.path.isfile(os.path.join(bdir, "_COMMITTED")):
             return  # replayed batch: already committed
+        snap, snap_b = _latest_committed(sig_dir, "compact=*")
         batch = batch_df.select(id_col, text_col).persist()
         if batch.count() == 0:
             batch.unpersist()
@@ -472,9 +477,10 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         # replay's survivors against themselves (est_jaccard=1.0) and
         # silently drop the batch.  The replay overwrites the orphan
         # below, so skipping it is safe.
-        committed = [d for d in glob.glob(os.path.join(sig_dir, "batch=*"))
-                     if os.path.isfile(os.path.join(
-                         adm_dir, os.path.basename(d), "_COMMITTED"))]
+        committed = [d for d in _committed_batch_stores(sig_dir, adm_dir)
+                     if _dir_id(d) > snap_b]
+        if snap is not None:
+            committed = [snap] + committed
         if committed:
             old_sigs = spark.read.parquet(*committed)
             cross = minhash_lsh_pairs_cross(
@@ -500,6 +506,17 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         admitted.unpersist()
         survivors.unpersist()
         batch.unpersist()
+        # signature-store compaction — same crash-safe discipline as
+        # the span store (snapshot sealed after its write; uncommitted
+        # snapshots ignored; covered batch stores kept on disk)
+        newer = [d for d in _committed_batch_stores(sig_dir, adm_dir)
+                 if _dir_id(d) > snap_b]
+        if len(newer) >= compact_every:
+            cdir = os.path.join(sig_dir, f"compact={batch_id}")
+            src = ([snap] if snap is not None else []) + newer
+            spark.read.parquet(*src).write.mode("overwrite").parquet(cdir)
+            with open(os.path.join(cdir, "_COMMITTED"), "w"):
+                pass
 
     q = (stream_docs.writeStream.foreachBatch(process)
          .option("checkpointLocation", os.path.join(work_dir, "ckpt"))

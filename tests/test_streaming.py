@@ -1327,3 +1327,59 @@ def test_streaming_c4_admission_matches_batch_operator(spark, tmp_path):
              .option("recursiveFileLookup", "true")
              .parquet(f"{work}/scored").collect()}
     assert again == batch
+
+
+def test_streaming_minhash_admission_compacts_sig_store(spark, tmp_path):
+    """Signature-store compaction (ADVICE r7 parity with the span
+    store): with compact_every=1 every batch folds into a committed
+    compact=B snapshot, and cross-batch near-dup rejection still works
+    reading snapshot + newer stores."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_minhash_admission,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    near = base + " extra"
+    other = ("completely different content about spark structured "
+             "streaming state stores and parquet file commit markers")
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    (data_dir / "a.txt").write_text(f"1|{base}\n2|{other}\n")
+    (data_dir / "b.txt").write_text(f"10|{near}\n")
+    _os.utime(data_dir / "a.txt", (now - 10, now - 10))
+    _os.utime(data_dir / "b.txt", (now, now))
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1).load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    work = str(tmp_path / "work")
+    run_streaming_minhash_admission(docs_stream(), work, threshold=0.5,
+                                    compact_every=1)
+    admitted = sorted(r.doc_id for r in spark.read
+                      .parquet(f"{work}/admitted/*").collect())
+    assert admitted == [1, 2]  # doc 10 rejected via the compacted store
+    import glob as _glob
+
+    compacts = [d for d in _glob.glob(f"{work}/sigs/compact=*")
+                if _os.path.isfile(_os.path.join(d, "_COMMITTED"))]
+    assert compacts
+    # replay over the compacted store: nothing admitted twice
+    import shutil
+
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_minhash_admission(docs_stream(), work, threshold=0.5,
+                                    compact_every=1)
+    again = sorted(r.doc_id for r in spark.read
+                   .parquet(f"{work}/admitted/*").collect())
+    assert again == [1, 2]
