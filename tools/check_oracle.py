@@ -33,6 +33,46 @@ def canon(cols, rows):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def _warmup(spark) -> None:
+    """One-time engine spin-up OUTSIDE any per-query timing: the Arrow
+    Python worker pool (fork + numpy/pandas import per daemon — the
+    same warmup bench.py does) and the Structured Streaming machinery
+    (state-store providers, micro-batch engine init), which otherwise
+    bill ~5-6 s to whichever registered query happens to run a stream
+    first — an ordering artifact, not a query cost (round 8: the same
+    query measured 12.3 s cold-engine vs 4.3 s warm)."""
+    import os
+    import tempfile
+
+    t0 = time.time()
+
+    def _ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, 64 * par, 1, 2 * par).selectExpr("id", "rand() x") \
+        .mapInPandas(_ident, schema="id long, x double").count()
+    work = tempfile.mkdtemp(prefix="oracle_warm_")
+    src = os.path.join(work, "src")
+    spark.range(8).selectExpr("id", "cast(id as string) s") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    def _touch(batch_df, batch_id):
+        batch_df.persist().count()
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(work, f"out{batch_id}"))
+        batch_df.unpersist()
+
+    q = (spark.readStream.schema("id long, s string").parquet(src)
+         .writeStream.foreachBatch(_touch)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    print(f"# engine warmup (Arrow pool + streaming init): "
+          f"{time.time() - t0:.1f}s")
+
+
 def main():
     import json
     import os
@@ -40,6 +80,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
+    _warmup(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
