@@ -1102,7 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import shutil as _shutil
 
         docs = load_table(s, d, "documents").select("doc_id", "text")
-        cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+        med = docs.approxQuantile("doc_id", [0.5], 0.0)
+        cut = med[0] if med else 0  # empty table: one empty batch each
         work = tempfile.mkdtemp(prefix="spanadm_")
         data_dir = os.path.join(work, "data")
         os.makedirs(data_dir)
@@ -1110,8 +1111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parquet batch files (NOT an id|text text file: embedded
         # newlines in text would shear into truncated + null-id rows);
         # mtime stagger fixes replay order = ascending doc_id
-        for i, part in enumerate((docs.filter(F.col("doc_id") <= cut),
-                                  docs.filter(F.col("doc_id") > cut))):
+        for i, part in enumerate((
+                docs.filter(F.col("doc_id") <= cut),
+                docs.filter((F.col("doc_id") > cut)
+                            | F.col("doc_id").isNull()))):
             tmpd = os.path.join(work, f"tmp{i}")
             part.coalesce(1).write.mode("overwrite").parquet(tmpd)
             dst = os.path.join(data_dir, f"part-{i}.parquet")
@@ -1145,15 +1148,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = load_table(s, d, "documents").select("doc_id", "text")
-        cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+        med = docs.approxQuantile("doc_id", [0.5], 0.0)
+        cut = med[0] if med else 0  # empty table: one empty batch each
         work = tempfile.mkdtemp(prefix="c4adm_")
         data_dir = os.path.join(work, "data")
         os.makedirs(data_dir)
         now = _time.time()
         # parquet batch files, mtime-staggered — same replay recipe as
         # the span-admission query (text columns can embed newlines)
-        for i, part in enumerate((docs.filter(F.col("doc_id") <= cut),
-                                  docs.filter(F.col("doc_id") > cut))):
+        for i, part in enumerate((
+                docs.filter(F.col("doc_id") <= cut),
+                docs.filter((F.col("doc_id") > cut)
+                            | F.col("doc_id").isNull()))):
             tmpd = os.path.join(work, f"tmp{i}")
             part.coalesce(1).write.mode("overwrite").parquet(tmpd)
             dst = os.path.join(data_dir, f"part-{i}.parquet")

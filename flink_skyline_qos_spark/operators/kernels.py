@@ -357,9 +357,11 @@ def sweep_mask_3d(values: np.ndarray) -> np.ndarray:
     the difference between seconds and minutes.  Vectorized in blocks:
     the staircase test is one `searchsorted` per block (the staircase
     is y-ascending with strictly decreasing z, so "min z among y ≤ Y"
-    is the last entry with y ≤ Y), intra-block dominance reuses
-    :func:`skyline_mask`, and the staircase merge is a sort +
-    running-min envelope rebuild.
+    is the last entry with y ≤ Y), intra-block dominance uses
+    :func:`_skyline_mask_forward` DIRECTLY (calling the dispatching
+    :func:`skyline_mask` here would recurse straight back into this
+    sweep for blocks ≥ `_SWEEP_3D_MIN` rows), and the staircase merge
+    is a sort + running-min envelope rebuild.
     """
     n = values.shape[0]
     if n == 0:

@@ -76,7 +76,8 @@ class MaxAccumulator(AccumulatorParam):
 
 
 def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
-                   buffer_cap: int = 4_000_000):
+                   buffer_cap: int = 4_000_000,
+                   buffer_bytes: int = 256 << 20):
     """mapInPandas function: skyline over this partition's batches.
 
     Buffers the partition's Arrow batches and runs ONE kernel pass over
@@ -89,11 +90,15 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
     pick its globally-best algorithm (3-D plane-sweep, 2-D sort-scan)
     over the full partition.
 
-    Memory stays bounded: when the buffer exceeds `buffer_cap` rows it
-    is collapsed to its own skyline (sound by decomposability —
-    skyline(A ∪ B) = skyline(skyline(A) ∪ B)) and accumulation
-    continues, so a pathologically large input partition degrades to
-    the incremental behavior with a much larger block.
+    Memory stays bounded: when the buffer exceeds `buffer_cap` rows
+    OR `buffer_bytes` estimated pandas bytes — rows alone would let a
+    wide-passthrough table (the module contract allows arbitrary
+    passthrough columns, e.g. long text) pin gigabytes per concurrent
+    task (review finding r8) — it is collapsed to its own skyline
+    (sound by decomposability — skyline(A ∪ B) = skyline(skyline(A)
+    ∪ B)) and accumulation continues, so a pathologically large input
+    partition degrades to the incremental behavior with a much larger
+    block.
 
     `cpu_acc` (optional MaxAccumulator) receives this task's kernel
     compute time in ns — A6 CPU accounting without touching the schema.
@@ -103,9 +108,15 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
         cpu_ns = 0
         parts: list[pd.DataFrame] = []
         rows = 0
+        nbytes = 0
+
+        def _size(pdf: pd.DataFrame) -> int:
+            # deep=True prices object (string) columns; O(ncols) for
+            # numeric frames, one O(batch) pass otherwise
+            return int(pdf.memory_usage(index=False, deep=True).sum())
 
         def collapse() -> pd.DataFrame | None:
-            nonlocal cpu_ns, parts, rows
+            nonlocal cpu_ns, parts, rows, nbytes
             if not parts:
                 return None
             pdf = (parts[0] if len(parts) == 1
@@ -115,6 +126,7 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
             cpu_ns += time.perf_counter_ns() - t0
             parts = [out]
             rows = len(out)
+            nbytes = _size(out)
             return out
 
         for pdf in batches:
@@ -122,7 +134,8 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
                 continue
             parts.append(pdf)
             rows += len(pdf)
-            if rows >= buffer_cap:
+            nbytes += _size(pdf)
+            if rows >= buffer_cap or nbytes >= buffer_bytes:
                 collapse()
         out = collapse()
         if cpu_acc is not None:
@@ -309,21 +322,36 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     # |unique(C)|·d since the collect dedups distributed-first, and in
     # the optimality-collapse regime (millions of copies of a few
     # clamped vectors — PDF §5.4) the unique count is orders of
-    # magnitude below the raw one.  One cheap aggregation job over the
-    # already-pinned candidates, only paid when raw n is large.
-    if n > scatter_threshold:
-        n = pruned.select(*cols).distinct().count()
-    if n <= scatter_threshold:
-        out = _verify_against_broadcast(pruned, cols)
+    # magnitude below the raw one.  The distinct frame is computed
+    # ONCE, pinned, and handed to the broadcast path's collect (review
+    # finding r8: count-then-recollect ran the same aggregation twice).
+    # For d ≤ 3 the verify is the driver plane-sweep over unique dim
+    # values (24 B/row on the driver), so the quadratic scatter kernel
+    # only makes sense when even the unique set dwarfs the driver heap
+    # — a much higher cutoff than d ≥ 4's (review finding r8: at 2M
+    # uniques the sweep is ~1.6 s where scatter is minutes).
+    eff_threshold = (max(scatter_threshold, 8_000_000)
+                     if len(cols) <= 3 else scatter_threshold)
+    uniq = None
+    if n > eff_threshold:
+        uniq = pruned.select(*cols).distinct().persist()
+        n = uniq.count()
+    if n <= eff_threshold:
+        out = _verify_against_broadcast(pruned, cols, uniq_df=uniq)
     else:
+        if uniq is not None:
+            uniq.unpersist(False)
+            uniq = None
         out = _verify_scatter(pruned, cols, chunks=verify_chunks)
-    # the pin backs the returned lazy frame — released when the caller
+    # the pins back the returned lazy frame — released when the caller
     # drops the result (ADVICE r3: repeated calls otherwise accumulate
     # cached blocks until memory pressure)
-    return release_on_gc(out, pruned)
+    pins = (pruned,) if uniq is None else (pruned, uniq)
+    return release_on_gc(out, *pins)
 
 
-def _collect_unique(pruned: DataFrame, cols: Sequence[str]) -> np.ndarray:
+def _collect_unique(pruned: DataFrame, cols: Sequence[str],
+                    uniq_df: "DataFrame | None" = None) -> np.ndarray:
     """Candidates' dim values → deduplicated (n, d) float64 matrix.
 
     Deduplication is sound (dominance by a duplicate ≡ dominance by
@@ -337,19 +365,25 @@ def _collect_unique(pruned: DataFrame, cols: Sequence[str]) -> np.ndarray:
     moves |unique(C)| rows, not |C|: at 10M×4-D the candidate set is
     2.2M copies of a handful of clamped vectors and the driver-side-
     only dedup paid 6 s of pure transfer for a 1-row result
-    (BENCHMARKS.md round 8).  The driver-side np.unique stays: it is
-    idempotent, cheap at |unique(C)|, and canonicalizes any residual
-    engine-level value-equality edge cases (e.g. ±0.0) to the kernels'
-    numeric semantics."""
-    cand = (pruned.select(*cols).distinct()
-            .toPandas().to_numpy(dtype=np.float64))
+    (BENCHMARKS.md round 8).  `uniq_df` supplies an already-computed
+    (pinned) distinct frame — the dispatch in
+    :func:`skyline_broadcast_verify` builds one for its unique count,
+    and this collect must not re-run the aggregation (review finding
+    r8).  The driver-side np.unique stays: it is idempotent, cheap at
+    |unique(C)|, and canonicalizes any residual engine-level
+    value-equality edge cases (e.g. ±0.0) to the kernels' numeric
+    semantics."""
+    src = uniq_df if uniq_df is not None \
+        else pruned.select(*cols).distinct()
+    cand = src.toPandas().to_numpy(dtype=np.float64)
     return np.unique(cand.reshape(-1, len(cols)), axis=0)
 
 
-def _collect_refs(pruned: DataFrame, cols: Sequence[str]):
+def _collect_refs(pruned: DataFrame, cols: Sequence[str],
+                  uniq_df: "DataFrame | None" = None):
     """Candidates' dim values → deduped, sum-sorted (values, sums) —
     the layout the sorted-sum verify kernel consumes."""
-    cand = _collect_unique(pruned, cols)
+    cand = _collect_unique(pruned, cols, uniq_df)
     sums = cand.sum(axis=1)
     order = np.argsort(sums, kind="stable")
     return cand[order], sums[order]
@@ -385,7 +419,9 @@ def _verify_pass(pruned: DataFrame, cols: Sequence[str], ref) -> DataFrame:
 
 def _verify_against_broadcast(pruned: DataFrame, cols: Sequence[str], *,
                               escalate_threshold: int = 600_000,
-                              pre_round_refs: int = 256_000) -> DataFrame:
+                              pre_round_refs: int = 256_000,
+                              uniq_df: "DataFrame | None" = None
+                              ) -> DataFrame:
     """Broadcast `pruned`'s dim values; drop its dominated rows in place.
 
     `pruned` must already be persisted + materialized (the Arrow
@@ -430,7 +466,7 @@ def _verify_against_broadcast(pruned: DataFrame, cols: Sequence[str], *,
     if len(cols) <= 3:
         # the sweep needs neither sums nor the sum-sort — collect the
         # unique matrix only (skips a full argsort on the hot path)
-        cand = _collect_unique(pruned, cols)
+        cand = _collect_unique(pruned, cols, uniq_df)
         if len(cand):
             from .kernels import skyline_mask, sweep_mask_3d
             mask = (sweep_mask_3d(cand) if len(cols) == 3
@@ -438,7 +474,7 @@ def _verify_against_broadcast(pruned: DataFrame, cols: Sequence[str], *,
             ref = sc.broadcast(np.ascontiguousarray(cand[mask]))
             return _membership_pass(pruned, cols, ref)
         return pruned
-    cand, sums = _collect_refs(pruned, cols)
+    cand, sums = _collect_refs(pruned, cols, uniq_df)
     if len(cand) <= 4096:
         # d ≥ 4 tiny-unique short-circuit (VERDICT r7 #5): in the
         # optimality-collapse regime the candidate multiset is millions

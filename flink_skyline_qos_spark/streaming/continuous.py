@@ -506,17 +506,8 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         admitted.unpersist()
         survivors.unpersist()
         batch.unpersist()
-        # signature-store compaction — same crash-safe discipline as
-        # the span store (snapshot sealed after its write; uncommitted
-        # snapshots ignored; covered batch stores kept on disk)
-        newer = [d for d in _committed_batch_stores(sig_dir, adm_dir)
-                 if _dir_id(d) > snap_b]
-        if len(newer) >= compact_every:
-            cdir = os.path.join(sig_dir, f"compact={batch_id}")
-            src = ([snap] if snap is not None else []) + newer
-            spark.read.parquet(*src).write.mode("overwrite").parquet(cdir)
-            with open(os.path.join(cdir, "_COMMITTED"), "w"):
-                pass
+        _compact_store(spark, sig_dir, adm_dir, snap, snap_b, batch_id,
+                       compact_every)
 
     q = (stream_docs.writeStream.foreachBatch(process)
          .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
@@ -1160,6 +1151,33 @@ def _committed_batch_stores(span_dir: str, out_dir: str) -> "list[str]":
         key=_dir_id)
 
 
+def _compact_store(spark, store_dir: str, owner_dir: str, snap,
+                   snap_b: int, batch_id: int, compact_every: int,
+                   fold=None) -> None:
+    """Fold the committed batch stores past the newest snapshot (plus
+    that snapshot) into a new ``compact=<batch_id>`` snapshot once
+    `compact_every` of them have accumulated — the shared bounded-state
+    compaction step of the admission loops (ADVICE r7).  Crash-safe:
+    the snapshot's own ``_COMMITTED`` marker is written strictly AFTER
+    its parquet write returns, an uncommitted snapshot is ignored by
+    every reader, and the covered batch stores stay on disk, so no
+    state is ever lost.  `fold` post-processes the unioned frame (e.g.
+    distinct hashes for the span store; identity for signature stores
+    whose ids are disjoint across batches)."""
+    newer = [d for d in _committed_batch_stores(store_dir, owner_dir)
+             if _dir_id(d) > snap_b]
+    if len(newer) < compact_every:
+        return
+    cdir = os.path.join(store_dir, f"compact={batch_id}")
+    src = ([snap] if snap is not None else []) + newer
+    df = spark.read.parquet(*src)
+    if fold is not None:
+        df = fold(df)
+    df.write.mode("overwrite").parquet(cdir)
+    with open(os.path.join(cdir, "_COMMITTED"), "w"):
+        pass
+
+
 def run_streaming_paragraph_admission(stream_docs: DataFrame,
                                       work_dir: str, *,
                                       id_col: str = "doc_id",
@@ -1266,22 +1284,9 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
             pass
         marked.unpersist()
         units.unpersist()
-        # bounded-state compaction (ADVICE r7): once `compact_every`
-        # committed batch stores have accumulated past the newest
-        # snapshot, fold them (plus that snapshot) into a consolidated
-        # compact=<this batch> snapshot.  The snapshot is sealed by its
-        # own marker AFTER its write returns; a crash mid-compaction
-        # leaves an uncommitted dir that every reader ignores, and the
-        # covered batch stores stay on disk, so no state is ever lost.
-        newer = [d for d in _committed_batch_stores(span_dir, out_dir)
-                 if _dir_id(d) > snap_b]
-        if len(newer) >= compact_every:
-            cdir = os.path.join(span_dir, f"compact={batch_id}")
-            src = ([snap] if snap is not None else []) + newer
-            spark.read.parquet(*src).select("h").distinct() \
-                .write.mode("overwrite").parquet(cdir)
-            with open(os.path.join(cdir, "_COMMITTED"), "w"):
-                pass
+        _compact_store(spark, span_dir, out_dir, snap, snap_b, batch_id,
+                       compact_every,
+                       fold=lambda df: df.select("h").distinct())
 
     q = (stream_docs.writeStream.foreachBatch(process)
          .option("checkpointLocation", os.path.join(work_dir, "ckpt"))

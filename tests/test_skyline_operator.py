@@ -109,14 +109,24 @@ def test_sampled_prefilter_lossless(lineitem, oracle_2d, sf_dir):
 
 def test_sampled_prefilter_keeps_duplicates_of_refs(spark):
     """Reference points are dataset members; strict dominance means
-    duplicate copies of a frontier point all survive the pre-filter."""
+    duplicate copies of a frontier point all survive the pre-filter
+    while strictly-dominated rows are dropped.  fraction=1.0 so the
+    filter actually engages on this tiny frame (the default 0.001
+    sample would fall under the <4-row guard and pass vacuously —
+    review finding, round 8)."""
     from flink_skyline_qos_spark.operators.skyline import (
+        sampled_dominator_prefilter,
         skyline_broadcast_verify,
     )
 
     rows = [(i, 1.0, 1.0) for i in range(50)] + \
            [(100 + i, 2.0, 2.0) for i in range(50)]
     df = spark.createDataFrame(rows, "id long, d0 double, d1 double")
+    filtered = sampled_dominator_prefilter(df, ["d0", "d1"], refs=4,
+                                           fraction=1.0)
+    # every duplicate of the frontier point (a reference candidate)
+    # survives; every (2,2) copy is strictly dominated and dropped
+    assert sorted(r.id for r in filtered.collect()) == list(range(50))
     got = skyline_broadcast_verify(df, ["d0", "d1"], prefilter_refs=4)
     assert sorted(r.id for r in got.collect()) == list(range(50))
 
