@@ -292,6 +292,13 @@ def main() -> None:
         (3, 100_000_000, "anticorr_100m_3d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"],
                                             pre_merge_partitions=cpus)),
+        # 100M 4-D (round 8): the reference's hardest regime (it needed
+        # ~700 s for 1M) TWO decades up — exercises the full r8 verify
+        # chain: buffered one-shot prune, unique-count dispatch, d≥4
+        # tiny-unique driver short-circuit; 22.2M-row skyline.
+        (4, 100_000_000, "anticorr_100m_4d",
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
+                                            pre_merge_partitions=cpus)),
     ):
         base = generate_points(spark, n_rows, dims,
                                dist="anti_correlated",

@@ -21,7 +21,7 @@ def _synthetic_names() -> list[str]:
     return [
         "anticorr_1m_2d", "anticorr_1m_3d", "anticorr_1m_4d",
         "anticorr_10m_2d", "anticorr_10m_3d", "anticorr_10m_4d",
-        "anticorr_100m_2d", "anticorr_100m_3d",
+        "anticorr_100m_2d", "anticorr_100m_3d", "anticorr_100m_4d",
         "synth_minhash_100k",
     ]
 

@@ -202,3 +202,32 @@ def test_skyline_mask_2d_keeps_inf_in_first_group():
     v2 = np.array([[0.0, np.inf], [0.5, np.inf], [1.0, 0.0]])
     # [0.5, inf] IS dominated (by [0, inf]: smaller d0, equal d1)
     assert skyline_mask(v2).tolist() == [True, False, True]
+
+
+def test_skyline_mask_3d_sweep_dispatch_above_threshold():
+    """skyline_mask dispatches 3-D inputs >= _SWEEP_3D_MIN rows to the
+    plane-sweep over deduped vectors (round 8); the dispatch must agree
+    with the forward scan exactly — including duplicate rows (which the
+    sweep path handles via the unique-inverse mapping) and anti-
+    correlated structure (the regime the dispatch exists for)."""
+    from flink_skyline_qos_spark.operators.kernels import (
+        _SWEEP_3D_MIN,
+        _skyline_mask_forward,
+        skyline_mask,
+    )
+
+    rng = np.random.RandomState(11)
+    n = max(3 * _SWEEP_3D_MIN, 12_288)
+    base = rng.randint(0, 400, size=(n, 3)).astype(float)
+    # anti-correlated-ish: push points toward the anti-diagonal plane
+    base[:, 2] = np.clip(900.0 - base[:, 0] - base[:, 1]
+                         + rng.randint(-40, 40, size=n), 0, None)
+    # plant exact duplicates, including duplicates of frontier points
+    dup_idx = rng.choice(n, size=n // 4, replace=False)
+    v = np.vstack([base, base[dup_idx]])
+    assert len(v) >= _SWEEP_3D_MIN  # the sweep path engages
+    got = skyline_mask(v)
+    want = _skyline_mask_forward(v)
+    assert (got == want).all()
+    # duplicates share their representative's verdict
+    assert (got[dup_idx] == got[n:]).all()
