@@ -1176,6 +1176,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_c4_admission_documents"] = _streaming_c4_admission
 
+    # --- the COMPOSED ingest capstone: quality gate → span dedup in
+    # one streaming loop — the ingest twin of llm_corpus_v3's front
+    # half.  Rejected docs never seed the span store (a spam page must
+    # not claim first-occurrence over clean text arriving later), and
+    # every input doc is emitted once with verdict + cleaned text.
+    def _streaming_ingest_pipeline(s: SparkSession, d: str) -> DataFrame:
+        import tempfile
+        import time as _time
+
+        import glob as _glob
+        import shutil as _shutil
+
+        from flink_skyline_qos_spark.streaming.continuous import (
+            run_streaming_ingest_pipeline,
+        )
+
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        med = docs.approxQuantile("doc_id", [0.5], 0.0)
+        cut = med[0] if med else 0
+        work = tempfile.mkdtemp(prefix="ingestpipe_")
+        data_dir = os.path.join(work, "data")
+        os.makedirs(data_dir)
+        now = _time.time()
+        for i, part in enumerate((
+                docs.filter(F.col("doc_id") <= cut),
+                docs.filter((F.col("doc_id") > cut)
+                            | F.col("doc_id").isNull()))):
+            tmpd = os.path.join(work, f"tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
+            dst = os.path.join(data_dir, f"part-{i}.parquet")
+            _shutil.move(
+                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
+            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        stream = (s.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        run_streaming_ingest_pipeline(stream, work, unit_tokens=8)
+        return (s.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(work, "cleaned"))
+                .select(F.col("id").alias("doc_id"), "kept", "failed",
+                        "clean_text", "n_units", "n_dupes"))
+
+    q["streaming_ingest_pipeline_documents"] = _streaming_ingest_pipeline
+
     # --- continuous keyed-state variant (applyInPandasWithState): the
     # merge of all emitted local skylines equals the batch skyline (every
     # evicted point's dominator is also emitted — dominance transitivity).
@@ -1987,6 +2030,28 @@ FROM t GROUP BY lang, source
     o["c4_filter_documents"] = c4_rules_sql("documents")
     # stateless per-doc rules: the streamed union IS the batch operator
     o["streaming_c4_admission_documents"] = c4_rules_sql("documents")
+    # composed ingest capstone: gate (stateless) then span dedup over
+    # the kept set — batches split by ascending doc_id make the
+    # streamed cross-batch winner rule coincide with the batch
+    # operator's global (id, pos) order, so the composition of the two
+    # batch twins is an exact oracle
+    o["streaming_ingest_pipeline_documents"] = f"""
+WITH c4 AS (
+{c4_rules_sql("documents")}
+),
+keptdocs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN c4 ON c4.doc_id = d.doc_id AND c4.kept
+),
+dp AS (
+{dedup_paragraphs_sql("keptdocs")}
+)
+SELECT c4.doc_id, c4.kept, c4.failed,
+       coalesce(dp.clean_text, '') AS clean_text,
+       coalesce(dp.n_units, 0)::BIGINT AS n_units,
+       coalesce(dp.n_dupes, 0)::BIGINT AS n_dupes
+FROM c4 LEFT JOIN dp ON dp.doc_id = c4.doc_id
+""".strip()
     o["pack_sequences_documents"] = pack_sequences_sql(
         chunk_documents_sql("documents", size=32, stride=32), seq_len=64)
 

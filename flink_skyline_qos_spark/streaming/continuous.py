@@ -36,6 +36,7 @@ from ..operators.partitioners import partitioner_expr
 
 __all__ = ["continuous_local_skylines", "run_streaming_minhash_admission",
            "run_streaming_paragraph_admission",
+           "run_streaming_ingest_pipeline", "run_streaming_c4_admission",
            "start_continuous_global",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
@@ -1074,6 +1075,117 @@ __cum AS (
 SELECT win_start, win_end, __{names[0]}.n, {", ".join(q_sel)}
 FROM {joins}
 """.strip()
+
+def run_streaming_ingest_pipeline(stream_docs: DataFrame, work_dir: str, *,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  unit_tokens: int = 8,
+                                  compact_every: int = 8,
+                                  **c4_kwargs) -> None:
+    """The COMPOSED ingest-time pipeline — the streaming twin of the
+    batch `llm_corpus_v3` front half: per micro-batch, (1) the C4/
+    Gopher quality gate (:func:`~..functions.corpus.c4_rules`,
+    stateless), then (2) span-level dedup of the KEPT documents
+    against the standing cross-batch span store (the
+    :func:`run_streaming_paragraph_admission` state discipline:
+    in-batch (id, pos) first-occurrence winner, 60-bit span-hash
+    store, `compact_every` snapshot compaction).  Every input
+    document is emitted exactly once with its gate verdict and its
+    surviving spans reassembled:
+
+        (id, kept, failed, clean_text, n_units, n_dupes)
+
+    Rejected documents carry ('', 0, 0) — their spans never enter the
+    store (a spam page must not claim first-occurrence over a clean
+    page that arrives later), which is exactly why a crawl pipeline
+    gates BEFORE dedup.
+
+    Exactness: stage (1) is stateless per doc; stage (2)'s cross-batch
+    winner rule coincides with the batch operator's global (id, pos)
+    order whenever batches arrive in ascending id order — so the
+    composed DuckDB twin (c4_rules_sql ∘ dedup_paragraphs_sql over the
+    kept set) is an EXACT oracle for the streamed union, up to the
+    span store's 60-bit hash keying (collision bound in the span-
+    admission docstring).  Durability: per-batch output dirs under
+    ``{work_dir}/cleaned`` sealed by framework-owned ``_COMMITTED``
+    markers, span stores under ``{work_dir}/spans``, replays
+    idempotent, orphan stores excluded — the shared admission-loop
+    protocol.
+    """
+    from ..functions.corpus import c4_rules, reassemble_spans, unit_spans
+    from ..operators.dedup import _md5_long
+
+    out_dir = os.path.join(work_dir, "cleaned")
+    span_dir = os.path.join(work_dir, "spans")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdir = os.path.join(out_dir, f"batch={batch_id}")
+        if os.path.isfile(os.path.join(bdir, "_COMMITTED")):
+            return  # replayed batch: already committed
+        score = c4_rules(batch_df, id_col=id_col, text_col=text_col,
+                         **c4_kwargs) \
+            .select(F.col(id_col).alias("id"), "failed", "kept").persist()
+        kept_docs = (batch_df
+                     .select(F.col(id_col).alias("id"),
+                             F.col(text_col).alias("__text"))
+                     .join(score.filter("kept").select("id"), "id"))
+        units = (kept_docs.select(
+            "id",
+            F.posexplode(unit_spans(F.col("__text"), unit_tokens))
+            .alias("pos", "unit"))
+            .withColumn("h", _md5_long(F.col("unit")))
+            .persist())
+        units.count()
+        first = units.groupBy("h").agg(
+            F.min(F.struct("id", "pos")).alias("__first"))
+        snap, snap_b = _latest_committed(span_dir, "compact=*")
+        committed = [d for d in _committed_batch_stores(
+            span_dir, out_dir) if _dir_id(d) > snap_b]
+        if snap is not None:
+            committed = [snap] + committed
+        if committed:
+            seen = spark.read.parquet(*committed).select("h").distinct() \
+                .withColumn("__seen", F.lit(True))
+        else:
+            seen = spark.createDataFrame([], "h long") \
+                .withColumn("__seen", F.lit(True))
+        marked = (units.join(first, "h").join(seen, "h", "left")
+                  .select(
+                      "id", "pos", "unit", "h",
+                      ((F.col("__first.id") == F.col("id"))
+                       & (F.col("__first.pos") == F.col("pos"))
+                       & F.col("__seen").isNull()).alias("__keep"))
+                  .persist())
+        cleaned = reassemble_spans(marked, kept_docs.select("id"),
+                                   id_col="id")
+        # one row per INPUT document: gate verdict + reassembly
+        # (rejected and span-less docs both coalesce to ('', 0, 0))
+        out = (score.join(cleaned, "id", "left").select(
+            "id", "kept", "failed",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_units", F.lit(0)).cast("long")
+            .alias("n_units"),
+            F.coalesce("n_dupes", F.lit(0)).cast("long")
+            .alias("n_dupes")))
+        novel = marked.filter("__keep").select("h").distinct()
+        novel.write.mode("overwrite").parquet(
+            os.path.join(span_dir, f"batch={batch_id}"))
+        out.write.mode("overwrite").parquet(bdir)
+        with open(os.path.join(bdir, "_COMMITTED"), "w"):
+            pass
+        marked.unpersist()
+        units.unpersist()
+        score.unpersist()
+        _compact_store(spark, span_dir, out_dir, snap, snap_b, batch_id,
+                       compact_every,
+                       fold=lambda df: df.select("h").distinct())
+
+    q = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
 
 def run_streaming_c4_admission(stream_docs: DataFrame, work_dir: str, *,
                                id_col: str = "doc_id",

@@ -1383,3 +1383,65 @@ def test_streaming_minhash_admission_compacts_sig_store(spark, tmp_path):
     again = sorted(r.doc_id for r in spark.read
                    .parquet(f"{work}/admitted/*").collect())
     assert again == [1, 2]
+
+
+def test_streaming_ingest_pipeline_gate_before_dedup(spark, tmp_path):
+    """The composed ingest pipeline gates BEFORE span dedup: a
+    REJECTED document's spans never enter the store, so a kept
+    document with the same span arriving LATER still wins it (the
+    semantic that distinguishes this from plain span admission);
+    kept-vs-kept spans dedup across batches as usual; replay is
+    idempotent."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_ingest_pipeline,
+    )
+
+    S = "w1 w2 w3 w4"                     # the contested span
+    T = "the cat sat on"                  # a second span
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    # batch 1: doc 1 = S alone (4 tokens -> fails min_tokens=5,
+    # REJECTED); doc 2 = T twice? no - doc 2 = T + S (kept, 8 tokens)
+    (data_dir / "a.txt").write_text(f"1|{S}\n2|{T} {S}\n")
+    # batch 2: doc 10 = S + new span (kept).  S was admitted by KEPT
+    # doc 2, so doc 10 loses it cross-batch; had rejected doc 1's
+    # spans been stored, doc 2 would already have lost S in batch 1.
+    (data_dir / "b.txt").write_text(f"10|{S} n1 n2 n3 n4\n")
+    _os.utime(data_dir / "a.txt", (now - 10, now - 10))
+    _os.utime(data_dir / "b.txt", (now, now))
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1).load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    relaxed = dict(min_tokens=5, max_tokens=1000,
+                   tok_len_band=(0.0, 100.0), max_repeat=1.0,
+                   min_stopword=0.0)
+    work = str(tmp_path / "work")
+    run_streaming_ingest_pipeline(docs_stream(), work, unit_tokens=4,
+                                  **relaxed)
+    got = {r.id: (r.kept, r.clean_text, r.n_units, r.n_dupes)
+           for r in spark.read.option("recursiveFileLookup", "true")
+           .parquet(f"{work}/cleaned").collect()}
+    assert got[1] == (False, "", 0, 0)          # rejected: no reassembly
+    assert got[2] == (True, f"{T} {S}", 2, 0)   # S NOT stolen by doc 1
+    assert got[10] == (True, "n1 n2 n3 n4", 2, 1)  # S lost to doc 2
+    # replay: committed batches skipped, output identical
+    import shutil
+
+    shutil.rmtree(f"{work}/ckpt")
+    run_streaming_ingest_pipeline(docs_stream(), work, unit_tokens=4,
+                                  **relaxed)
+    again = {r.id: r.clean_text
+             for r in spark.read.option("recursiveFileLookup", "true")
+             .parquet(f"{work}/cleaned").collect()}
+    assert again == {k: v[1] for k, v in got.items()}
