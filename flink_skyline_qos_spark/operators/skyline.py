@@ -648,14 +648,23 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
         # re_pruned is materialized: the first-stage cache is dead weight
         # from here on (ADVICE r3) — release it eagerly.
         pruned.unpersist(False)
-        if m > scatter_threshold:
-            # same unique-count dispatch as skyline_broadcast_verify
-            m = re_pruned.select(*cols).distinct().count()
-        if m <= scatter_threshold:
-            out = _verify_against_broadcast(re_pruned, cols)
+        # same unique-count dispatch + distinct-frame reuse + d ≤ 3
+        # sweep threshold as skyline_broadcast_verify (review r8)
+        eff_threshold = (max(scatter_threshold, 8_000_000)
+                         if len(cols) <= 3 else scatter_threshold)
+        uniq = None
+        if m > eff_threshold:
+            uniq = re_pruned.select(*cols).distinct().persist()
+            m = uniq.count()
+        if m <= eff_threshold:
+            out = _verify_against_broadcast(re_pruned, cols, uniq_df=uniq)
         else:
+            if uniq is not None:
+                uniq.unpersist(False)
+                uniq = None
             out = _verify_scatter(re_pruned, cols)
-        return release_on_gc(out, re_pruned)
+        pins = (re_pruned,) if uniq is None else (re_pruned, uniq)
+        return release_on_gc(out, *pins)
     return release_on_gc(
         pruned.repartition(1)
         .mapInPandas(_prune_batches(cols), schema=df.schema),
