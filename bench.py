@@ -35,7 +35,6 @@ HEADLINE = [
     "ngram_jaccard_documents",
     "dedup_corpus_documents",
     "repetition_stats_documents",
-    "pack_sequences_documents",
     "embedding_dedup_corpus",
     "ann_topk_embeddings",
     "ann_topk_gemm_embeddings",
@@ -74,6 +73,8 @@ HEADLINE = [
     "llm_corpus_v3_documents",
     "langid_confusion_documents",
     "streaming_paragraph_admission_documents",
+    # round-8: the composed ingest capstone (gate -> span dedup)
+    "streaming_ingest_pipeline_documents",
 ]
 
 # Long-stable sub-second scan/agg rows rotated OUT of HEADLINE to keep
@@ -84,6 +85,7 @@ HEADLINE = [
 # their steady-state timings are recorded in BENCHMARKS.md and their
 # correctness stays gated every round via queries()/oracle_sql().
 ROTATED_OUT = [
+    "pack_sequences_documents",       # 1.10-1.24 s across r5-r8
     "text_stats_documents",   # 0.39 s across r4-r7
     "tfidf_documents",        # 0.85 s
     "contamination_documents",        # 0.30 s

@@ -254,18 +254,20 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     rows_per_band = num_hashes // bands
     # distinct=False: min() is idempotent, duplicates cannot change a
     # signature, and the distinct pass over ~10⁶ strings is pure cost.
-    sh = (char_shingles(F.col(text_col), shingle_k, distinct=False)
-          if shingle_unit == "char"
-          else word_shingles(F.col(text_col), shingle_k, distinct=False))
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(sh).alias("__h"),
-    )
-    # scale-out AFTER the JVM hashing projection: the shuffle then moves
-    # compact hash arrays (not raw text) and parallelizes the signature
-    # fold + banding on few-split inputs (measured faster than either
-    # no-repartition or repartitioning the text itself on local[32]).
-    hashed = _scale_out(hashed, probe=df)
+    def sh_of(c: str):
+        return (char_shingles(F.col(c), shingle_k, distinct=False)
+                if shingle_unit == "char"
+                else word_shingles(F.col(c), shingle_k, distinct=False))
+    # scale-out BEFORE the JVM hashing projection: a few-split input
+    # otherwise serializes the md5-per-shingle stage on one core (the
+    # repartition exchange's child is the projection, so project-then-
+    # repartition computes the hashes PRE-shuffle; measured 3.3 s vs
+    # 0.65 s at sf0.1 — round-8 A/B in BENCHMARKS.md).  The shuffle
+    # also moves less: raw text is smaller than its hash array.
+    hashed = _scale_out(df.select(F.col(id_col).alias("id"),
+                                  F.col(text_col).alias("__t")),
+                        probe=df) \
+        .select("id", shingle_hashes(sh_of("__t")).alias("__h"))
     if impl == "numpy":
         sig = hashed.mapInPandas(
             _minhash_fold_np(num_hashes, seed),
@@ -640,12 +642,14 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
     :func:`minhash_lsh_pairs_cross` via ``old_signatures`` so each
     new batch never re-shingles 100 TB of admitted text.  Identical
     arithmetic to the signatures inside :func:`minhash_lsh_pairs`."""
-    sh = (char_shingles(F.col(text_col), shingle_k, distinct=False)
+    sh = (char_shingles(F.col("__t"), shingle_k, distinct=False)
           if shingle_unit == "char"
-          else word_shingles(F.col(text_col), shingle_k, distinct=False))
+          else word_shingles(F.col("__t"), shingle_k, distinct=False))
+    # raw text scaled out BEFORE the md5 projection (see
+    # minhash_lsh_pairs — project-then-repartition hashes on one core)
     hashed = _scale_out(df.select(
-        F.col(id_col).alias("id"), shingle_hashes(sh).alias("__h"),
-    ), probe=df)
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t"),
+    ), probe=df).select("id", shingle_hashes(sh).alias("__h"))
     return hashed.mapInPandas(
         _minhash_fold_np(num_hashes, seed),
         schema="id long, sig array<long>") \
@@ -701,15 +705,15 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
             sig = pre_sig.select(F.col(id_col).alias("id"),
                                  "sig").persist()
         else:
-            sh = (char_shingles(F.col(text_col), shingle_k,
+            sh = (char_shingles(F.col("__t"), shingle_k,
                                 distinct=False)
                   if shingle_unit == "char"
-                  else word_shingles(F.col(text_col), shingle_k,
+                  else word_shingles(F.col("__t"), shingle_k,
                                      distinct=False))
             hashed = _scale_out(df.select(
                 F.col(id_col).alias("id"),
-                shingle_hashes(sh).alias("__h"),
-            ), probe=df)
+                F.col(text_col).alias("__t"),
+            ), probe=df).select("id", shingle_hashes(sh).alias("__h"))
             sig = hashed.mapInPandas(
                 _minhash_fold_np(num_hashes, seed),
                 schema="id long, sig array<long>").persist()
