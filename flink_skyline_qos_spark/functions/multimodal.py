@@ -117,7 +117,13 @@ def pack_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "n_frames": pd.Series([p[5] for p in packed], dtype="int32"),
             })
 
-    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    from ..operators.dedup import _scale_out
+
+    # scale out the id column BEFORE the generator: a few-split input
+    # otherwise serializes the whole pack->decode chain on one task
+    # (mapInPandas preserves partitioning downstream; round-8 finding)
+    return _scale_out(df.select(id_col), probe=df) \
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 _DECODE_SCHEMA = ("doc_id long, media_type string, width int, height int, "
@@ -411,7 +417,13 @@ def pack_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "n_frames": pd.Series([p[5] for p in packed], dtype="int32"),
             })
 
-    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    from ..operators.dedup import _scale_out
+
+    # scale out the id column BEFORE the generator: a few-split input
+    # otherwise serializes the whole pack->decode chain on one task
+    # (mapInPandas preserves partitioning downstream; round-8 finding)
+    return _scale_out(df.select(id_col), probe=df) \
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 _DECODE_REAL_SCHEMA = ("doc_id long, media_type string, width int, "
