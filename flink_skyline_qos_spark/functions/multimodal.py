@@ -117,12 +117,12 @@ def pack_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "n_frames": pd.Series([p[5] for p in packed], dtype="int32"),
             })
 
-    from ..operators.dedup import _scale_out
+    from ..operators.partitioners import scale_out
 
     # scale out the id column BEFORE the generator: a few-split input
     # otherwise serializes the whole pack->decode chain on one task
     # (mapInPandas preserves partitioning downstream; round-8 finding)
-    return _scale_out(df.select(id_col), probe=df) \
+    return scale_out(df.select(id_col), probe=df) \
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
@@ -417,12 +417,12 @@ def pack_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "n_frames": pd.Series([p[5] for p in packed], dtype="int32"),
             })
 
-    from ..operators.dedup import _scale_out
+    from ..operators.partitioners import scale_out
 
     # scale out the id column BEFORE the generator: a few-split input
     # otherwise serializes the whole pack->decode chain on one task
     # (mapInPandas preserves partitioning downstream; round-8 finding)
-    return _scale_out(df.select(id_col), probe=df) \
+    return scale_out(df.select(id_col), probe=df) \
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 

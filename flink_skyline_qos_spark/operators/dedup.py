@@ -63,20 +63,10 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _scale_out(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
-    """Ensure at least default-parallelism partitions before heavy
-    per-row compute.
-
-    A small parquet table arrives as one split and would serialize the
-    shingling/hashing stage on a single core; at 100 TB inputs already
-    carry thousands of splits and this is a no-op.  `probe` lets the
-    partition count be read off a simpler upstream plan (``.rdd`` plan
-    conversion on a heavy projection is not free).
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if (probe if probe is not None else df).rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# the scale-out helper grew cross-module consumers (similarity,
+# multimodal) and moved to a public home; alias kept for the many
+# internal call sites
+from .partitioners import scale_out as _scale_out  # noqa: E402
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", *,

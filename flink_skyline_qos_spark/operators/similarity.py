@@ -156,13 +156,13 @@ def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
                 "cos_sim": np.concatenate(out_s),
             })
 
-    from .dedup import _scale_out
+    from .partitioners import scale_out
 
     # scale out the raw (id, vec) BEFORE the GEMM pass: a few-split
     # corpus otherwise serializes the per-batch matmul on one task
     # (round-8 finding; no-op at real split counts)
-    partial = _scale_out(corpus.select(id_col, vec_col),
-                         probe=corpus).mapInPandas(
+    partial = scale_out(corpus.select(id_col, vec_col),
+                        probe=corpus).mapInPandas(
         score, schema="query_id long, vec_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
@@ -366,9 +366,9 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     # pin the signature pass: the bucket-size aggregate and BOTH sides
     # of the self-join read it — unpinned, the Arrow projection pass
     # runs three times over the corpus (3 full scans at 100 TB)
-    from .dedup import _scale_out
+    from .partitioners import scale_out
 
-    sig = _scale_out(df.select(F.col(id_col), F.col(vec_col)), probe=df) \
+    sig = scale_out(df.select(F.col(id_col), F.col(vec_col)), probe=df) \
         .mapInPandas(signs, schema=sig_schema).persist()
     banded = sig.select(
         "id", vec_col,

@@ -109,6 +109,14 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
         parts: list[pd.DataFrame] = []
         rows = 0
         nbytes = 0
+        # effective thresholds grow GEOMETRICALLY past the irreducible
+        # survivor size: when local pruning barely prunes (wide rows on
+        # anti-correlated data), a fixed threshold would re-fire
+        # collapse on every subsequent batch — hundreds of full-buffer
+        # kernel passes (review r8); doubling keeps collapse frequency
+        # amortized O(log) while memory stays within 2× the survivors.
+        eff_cap = buffer_cap
+        eff_bytes = buffer_bytes
 
         def _size(pdf: pd.DataFrame) -> int:
             # deep=True prices object (string) columns; O(ncols) for
@@ -116,7 +124,7 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
             return int(pdf.memory_usage(index=False, deep=True).sum())
 
         def collapse() -> pd.DataFrame | None:
-            nonlocal cpu_ns, parts, rows, nbytes
+            nonlocal cpu_ns, parts, rows, nbytes, eff_cap, eff_bytes
             if not parts:
                 return None
             pdf = (parts[0] if len(parts) == 1
@@ -127,6 +135,8 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
             parts = [out]
             rows = len(out)
             nbytes = _size(out)
+            eff_cap = max(eff_cap, 2 * rows)
+            eff_bytes = max(eff_bytes, 2 * nbytes)
             return out
 
         for pdf in batches:
@@ -135,7 +145,7 @@ def _prune_batches(cols: Sequence[str], cpu_acc=None, *,
             parts.append(pdf)
             rows += len(pdf)
             nbytes += _size(pdf)
-            if rows >= buffer_cap or nbytes >= buffer_bytes:
+            if rows >= eff_cap or nbytes >= eff_bytes:
                 collapse()
         out = collapse()
         if cpu_acc is not None:
@@ -261,10 +271,52 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
     )
 
 
+def _dispatch_verify(pruned: DataFrame, cols: Sequence[str],
+                     scatter_threshold: "int | None",
+                     verify_chunks: "int | None" = None) -> DataFrame:
+    """Shared verify dispatch for :func:`skyline_broadcast_verify` and
+    :func:`skyline_auto` (review r8: the two copies had to be edited in
+    lockstep).  `pruned` must be persisted + materialized.
+
+    Dispatches on the UNIQUE candidate count when the raw count alone
+    would force scatter: the broadcast path's driver footprint is
+    |unique(C)|·d since the collect dedups distributed-first, and in
+    the optimality-collapse regime (millions of copies of a few
+    clamped vectors — PDF §5.4) the unique count is orders of
+    magnitude below the raw one.  The distinct frame is computed ONCE,
+    pinned, handed to the broadcast path's collect (which consumes it
+    EAGERLY — toPandas inside), and released immediately after: only
+    `pruned` backs the returned lazy frame.
+
+    `scatter_threshold=None` picks the d-dependent default: 2M for
+    d ≥ 4, 8M for d ≤ 3 (the verify there is the driver plane-sweep at
+    24 B/row — the quadratic scatter kernel only makes sense when even
+    the unique set dwarfs the driver heap; review r8: at 2M uniques the
+    sweep is ~1.6 s where scatter is minutes).  An EXPLICIT value is
+    honored exactly — it is the documented driver-memory bound, and the
+    scatter-forcing tests rely on it.
+    """
+    if scatter_threshold is None:
+        scatter_threshold = 8_000_000 if len(cols) <= 3 else 2_000_000
+    n = pruned.count()
+    uniq = None
+    if n > scatter_threshold:
+        uniq = pruned.select(*cols).distinct().persist()
+        n = uniq.count()
+    if n <= scatter_threshold:
+        out = _verify_against_broadcast(pruned, cols, uniq_df=uniq)
+    else:
+        out = _verify_scatter(pruned, cols, chunks=verify_chunks)
+    if uniq is not None:
+        # fully consumed (eager collect) or unused (scatter branch)
+        uniq.unpersist(False)
+    return out
+
+
 def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
                              pre_merge_partitions: int | None = None,
                              verify_chunks: int | None = None,
-                             scatter_threshold: int = 2_000_000,
+                             scatter_threshold: "int | None" = None,
                              prefilter_refs: int | None = None) -> DataFrame:
     """Skyline for the huge-survivor regime (high-dim anti-correlated).
 
@@ -316,38 +368,11 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     # population and can run the expensive local prune twice (observed
     # 6× wall-time at 1M×4-D).  The count is also the strategy input.
     pruned = pruned.persist()
-    n = pruned.count()
-    # dispatch on the UNIQUE candidate count when the raw count alone
-    # would force scatter: the broadcast path's driver footprint is
-    # |unique(C)|·d since the collect dedups distributed-first, and in
-    # the optimality-collapse regime (millions of copies of a few
-    # clamped vectors — PDF §5.4) the unique count is orders of
-    # magnitude below the raw one.  The distinct frame is computed
-    # ONCE, pinned, and handed to the broadcast path's collect (review
-    # finding r8: count-then-recollect ran the same aggregation twice).
-    # For d ≤ 3 the verify is the driver plane-sweep over unique dim
-    # values (24 B/row on the driver), so the quadratic scatter kernel
-    # only makes sense when even the unique set dwarfs the driver heap
-    # — a much higher cutoff than d ≥ 4's (review finding r8: at 2M
-    # uniques the sweep is ~1.6 s where scatter is minutes).
-    eff_threshold = (max(scatter_threshold, 8_000_000)
-                     if len(cols) <= 3 else scatter_threshold)
-    uniq = None
-    if n > eff_threshold:
-        uniq = pruned.select(*cols).distinct().persist()
-        n = uniq.count()
-    if n <= eff_threshold:
-        out = _verify_against_broadcast(pruned, cols, uniq_df=uniq)
-    else:
-        if uniq is not None:
-            uniq.unpersist(False)
-            uniq = None
-        out = _verify_scatter(pruned, cols, chunks=verify_chunks)
-    # the pins back the returned lazy frame — released when the caller
+    out = _dispatch_verify(pruned, cols, scatter_threshold, verify_chunks)
+    # the pin backs the returned lazy frame — released when the caller
     # drops the result (ADVICE r3: repeated calls otherwise accumulate
     # cached blocks until memory pressure)
-    pins = (pruned,) if uniq is None else (pruned, uniq)
-    return release_on_gc(out, *pins)
+    return release_on_gc(out, pruned)
 
 
 def _collect_unique(pruned: DataFrame, cols: Sequence[str],
@@ -620,7 +645,7 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
 
 def skyline_auto(df: DataFrame, cols: Sequence[str], *,
                  broadcast_threshold: int = 100_000,
-                 scatter_threshold: int = 2_000_000) -> DataFrame:
+                 scatter_threshold: "int | None" = None) -> DataFrame:
     """Adaptive skyline: measure the local-pruned survivor count, then
     pick the physical strategy it calls for.
 
@@ -644,27 +669,12 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
         re_pruned = (pruned.repartition(par)
                      .mapInPandas(_prune_batches(cols), schema=df.schema)
                      .persist())
-        m = re_pruned.count()
+        re_pruned.count()
         # re_pruned is materialized: the first-stage cache is dead weight
         # from here on (ADVICE r3) — release it eagerly.
         pruned.unpersist(False)
-        # same unique-count dispatch + distinct-frame reuse + d ≤ 3
-        # sweep threshold as skyline_broadcast_verify (review r8)
-        eff_threshold = (max(scatter_threshold, 8_000_000)
-                         if len(cols) <= 3 else scatter_threshold)
-        uniq = None
-        if m > eff_threshold:
-            uniq = re_pruned.select(*cols).distinct().persist()
-            m = uniq.count()
-        if m <= eff_threshold:
-            out = _verify_against_broadcast(re_pruned, cols, uniq_df=uniq)
-        else:
-            if uniq is not None:
-                uniq.unpersist(False)
-                uniq = None
-            out = _verify_scatter(re_pruned, cols)
-        pins = (re_pruned,) if uniq is None else (re_pruned, uniq)
-        return release_on_gc(out, *pins)
+        out = _dispatch_verify(re_pruned, cols, scatter_threshold)
+        return release_on_gc(out, re_pruned)
     return release_on_gc(
         pruned.repartition(1)
         .mapInPandas(_prune_batches(cols), schema=df.schema),

@@ -1076,6 +1076,57 @@ SELECT win_start, win_end, __{names[0]}.n, {", ".join(q_sel)}
 FROM {joins}
 """.strip()
 
+def _mark_spans(docs, span_dir: str, out_dir: str, unit_tokens: int):
+    """Shared span-admission core of the paragraph-admission and
+    composed-ingest loops (review r8: the winner rule, seen-store read
+    and __keep predicate must be ONE implementation or the two loops'
+    oracle parity can silently diverge).  `docs` carries (id, __text);
+    returns ``(units, marked, snap, snap_b)`` where `marked` has one
+    row per span with the admission verdict:
+
+    * in-batch winner: min (id, pos) per span hash, AND
+    * never seen in the standing store (newest committed snapshot +
+      committed batch stores after it; orphan stores excluded via the
+      owning docs dir's marker).
+
+    Both returned frames are persisted; the caller unpersists them
+    after its writes and runs :func:`_compact_store` with the returned
+    snapshot coordinates.
+    """
+    from ..functions.corpus import unit_spans
+    from ..operators.dedup import _md5_long
+
+    spark = docs.sparkSession
+    units = (docs.select(
+        "id",
+        F.posexplode(unit_spans(F.col("__text"), unit_tokens))
+        .alias("pos", "unit"))
+        .withColumn("h", _md5_long(F.col("unit")))
+        .persist())
+    units.count()
+    first = units.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("__first"))
+    snap, snap_b = _latest_committed(span_dir, "compact=*")
+    committed = [d for d in _committed_batch_stores(span_dir, out_dir)
+                 if _dir_id(d) > snap_b]
+    if snap is not None:
+        committed = [snap] + committed
+    if committed:
+        seen = spark.read.parquet(*committed).select("h").distinct() \
+            .withColumn("__seen", F.lit(True))
+    else:
+        seen = spark.createDataFrame([], "h long") \
+            .withColumn("__seen", F.lit(True))
+    marked = (units.join(first, "h").join(seen, "h", "left")
+              .select(
+                  "id", "pos", "unit", "h",
+                  ((F.col("__first.id") == F.col("id"))
+                   & (F.col("__first.pos") == F.col("pos"))
+                   & F.col("__seen").isNull()).alias("__keep"))
+              .persist())
+    return units, marked, snap, snap_b
+
+
 def run_streaming_ingest_pipeline(stream_docs: DataFrame, work_dir: str, *,
                                   id_col: str = "doc_id",
                                   text_col: str = "text",
@@ -1112,8 +1163,7 @@ def run_streaming_ingest_pipeline(stream_docs: DataFrame, work_dir: str, *,
     idempotent, orphan stores excluded — the shared admission-loop
     protocol.
     """
-    from ..functions.corpus import c4_rules, reassemble_spans, unit_spans
-    from ..operators.dedup import _md5_long
+    from ..functions.corpus import c4_rules, reassemble_spans
 
     out_dir = os.path.join(work_dir, "cleaned")
     span_dir = os.path.join(work_dir, "spans")
@@ -1130,33 +1180,8 @@ def run_streaming_ingest_pipeline(stream_docs: DataFrame, work_dir: str, *,
                      .select(F.col(id_col).alias("id"),
                              F.col(text_col).alias("__text"))
                      .join(score.filter("kept").select("id"), "id"))
-        units = (kept_docs.select(
-            "id",
-            F.posexplode(unit_spans(F.col("__text"), unit_tokens))
-            .alias("pos", "unit"))
-            .withColumn("h", _md5_long(F.col("unit")))
-            .persist())
-        units.count()
-        first = units.groupBy("h").agg(
-            F.min(F.struct("id", "pos")).alias("__first"))
-        snap, snap_b = _latest_committed(span_dir, "compact=*")
-        committed = [d for d in _committed_batch_stores(
-            span_dir, out_dir) if _dir_id(d) > snap_b]
-        if snap is not None:
-            committed = [snap] + committed
-        if committed:
-            seen = spark.read.parquet(*committed).select("h").distinct() \
-                .withColumn("__seen", F.lit(True))
-        else:
-            seen = spark.createDataFrame([], "h long") \
-                .withColumn("__seen", F.lit(True))
-        marked = (units.join(first, "h").join(seen, "h", "left")
-                  .select(
-                      "id", "pos", "unit", "h",
-                      ((F.col("__first.id") == F.col("id"))
-                       & (F.col("__first.pos") == F.col("pos"))
-                       & F.col("__seen").isNull()).alias("__keep"))
-                  .persist())
+        units, marked, snap, snap_b = _mark_spans(
+            kept_docs, span_dir, out_dir, unit_tokens)
         cleaned = reassemble_spans(marked, kept_docs.select("id"),
                                    id_col="id")
         # one row per INPUT document: gate verdict + reassembly
@@ -1337,8 +1362,7 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
     ``{work_dir}/cleaned`` (batch=N partitions: id, clean_text,
     n_units, n_dupes) and ``{work_dir}/spans``.
     """
-    from ..functions.corpus import reassemble_spans, unit_spans
-    from ..operators.dedup import _md5_long
+    from ..functions.corpus import reassemble_spans
 
     out_dir = os.path.join(work_dir, "cleaned")
     span_dir = os.path.join(work_dir, "spans")
@@ -1348,39 +1372,15 @@ def run_streaming_paragraph_admission(stream_docs: DataFrame,
         bdir = os.path.join(out_dir, f"batch={batch_id}")
         if os.path.isfile(os.path.join(bdir, "_COMMITTED")):
             return  # replayed batch: already committed
-        units = (batch_df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(unit_spans(F.col(text_col), unit_tokens))
-            .alias("pos", "unit"))
-            .withColumn("h", _md5_long(F.col("unit")))
-            .persist())
-        units.count()
         # NO span-count early exit: a batch of only blank/span-less
         # documents must still emit every document with ('', 0, 0) —
         # the reassembly's id restore below handles empty `units`
         # uniformly (dropping the docs would break the "every document
         # is emitted" contract and batch-operator parity).
-        # within-batch first occurrence (same winner rule as the batch op)
-        first = units.groupBy("h").agg(
-            F.min(F.struct("id", "pos")).alias("__first"))
-        snap, snap_b = _latest_committed(span_dir, "compact=*")
-        committed = [d for d in _committed_batch_stores(
-            span_dir, out_dir) if _dir_id(d) > snap_b]
-        if snap is not None:
-            committed = [snap] + committed
-        if committed:
-            seen = spark.read.parquet(*committed).select("h").distinct() \
-                .withColumn("__seen", F.lit(True))
-        else:
-            seen = spark.createDataFrame([], "h long") \
-                .withColumn("__seen", F.lit(True))
-        marked = (units.join(first, "h").join(seen, "h", "left")
-                  .select(
-                      "id", "pos", "unit", "h",
-                      ((F.col("__first.id") == F.col("id"))
-                       & (F.col("__first.pos") == F.col("pos"))
-                       & F.col("__seen").isNull()).alias("__keep"))
-                  .persist())
+        units, marked, snap, snap_b = _mark_spans(
+            batch_df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("__text")),
+            span_dir, out_dir, unit_tokens)
         # shared reassembly + span-less-id restore: ONE helper with the
         # batch operator, whose SQL is this loop's correctness oracle
         cleaned = reassemble_spans(
