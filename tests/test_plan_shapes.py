@@ -511,9 +511,9 @@ def test_sampled_prefilter_below_python_node_and_pushed_down(spark):
         skyline_broadcast_verify,
     )
 
-    li = load_table(spark, SF_DIR, "lineitem")
-    plan = _plan(skyline_broadcast_verify(
-        li, ["l_extendedprice", "l_discount"], prefilter_refs=8))
+    dims = ["l_extendedprice", "l_discount"]
+    li = load_table(spark, SF_DIR, "lineitem").select(*dims)
+    plan = _plan(skyline_broadcast_verify(li, dims, prefilter_refs=8))
     tree = plan.split("\n\n", 1)[0]
     # tree prints root-first: the Python prune node must appear ABOVE
     # the Filter, which sits directly on the scan
@@ -522,6 +522,13 @@ def test_sampled_prefilter_below_python_node_and_pushed_down(spark):
     # the dominance literals are scan-pushed (data-skipping at source)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "LessThan(l_extendedprice" in m.group(1), plan
+    # under the width-safe rewrite (full-width input) the same property
+    # holds inside the narrow branch: the dominance literals reach SOME
+    # scan (the dims-only prune scan; the join-back scan has none)
+    wide_plan = _plan(skyline_broadcast_verify(
+        load_table(spark, SF_DIR, "lineitem"), dims, prefilter_refs=8))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", wide_plan)
+    assert any("LessThan(l_extendedprice" in p for p in pushed), wide_plan
 
 
 def test_minhash_hashing_runs_after_scale_out_exchange(spark):
@@ -550,3 +557,28 @@ def test_minhash_hashing_runs_after_scale_out_exchange(spark):
     assert projs, plan
     assert all("md5" not in body for n, body in projs if int(n) < ex), plan
     assert any("md5" in body for n, body in projs if int(n) > ex), plan
+
+
+def test_wide_skyline_only_dims_cross_python_node(spark):
+    """Width-safe rewrite (VERDICT r8 #1): on a wide input only the dim
+    columns cross the Arrow prune nodes — the scan under the Python
+    node reads a 2-column schema — and full rows come back through one
+    broadcast LEFT-SEMI join on the dim values."""
+    from flink_skyline_qos_spark.operators.skyline import skyline
+
+    li = load_table(spark, SF_DIR, "lineitem")  # full width (11 cols)
+    dims = ["l_extendedprice", "l_discount"]
+    plan = _plan(skyline(li, dims))
+    # every MapInPandas node consumes exactly the two dim columns
+    for m in re.finditer(r"^\(\d+\) MapInPandas\n(Input \[\d+\]): \[([^\]]*)\]",
+                         plan, re.M):
+        assert m.group(1) == "Input [2]", plan
+        assert "l_extendedprice" in m.group(2), plan
+    assert "MapInPandas" in plan, plan
+    # the prune-side scan is column-pruned to the dims
+    assert re.search(
+        r"ReadSchema: struct<l_extendedprice:double,l_discount:double>",
+        plan), plan
+    # full rows restored via a semi join (broadcast at this size)
+    assert re.search(r"Join type: LeftSemi", plan), plan
+    assert "BroadcastHashJoin" in plan, plan

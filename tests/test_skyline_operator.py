@@ -593,3 +593,47 @@ def test_broadcast_verify_3d_membership_keeps_duplicate_copies(spark):
                  for r in skyline_broadcast_verify(
                      pts, ["d0", "d1", "d2"]).collect())
     assert got == sorted([(1.0, 2.0, 3.0)] * 3 + [(2.0, 1.0, 3.0)] * 2)
+
+
+def test_width_safe_rewrite_heuristic_and_equivalence(lineitem, oracle_2d):
+    """The wide-row rewrite (VERDICT r8 #1): LI_COLS-wide lineitem
+    trips the width heuristic, dims-only frames do not, and both paths
+    return identical rows in the INPUT column order."""
+    from flink_skyline_qos_spark.operators.skyline import _narrow_rewrite
+
+    assert _narrow_rewrite(lineitem, DIMS2)
+    assert not _narrow_rewrite(lineitem.select(*DIMS2), DIMS2)
+    # synthetic (id, d0, d1) bench shape: 8 extra bytes -> direct path
+    assert not _narrow_rewrite(
+        lineitem.selectExpr("l_orderkey as id",
+                            "l_extendedprice as d0", "l_discount as d1"),
+        ["d0", "d1"])
+
+    wide = skyline(lineitem, DIMS2, width_safe=True)
+    direct = skyline(lineitem, DIMS2, width_safe=False)
+    assert wide.columns == lineitem.columns
+    assert direct.columns == lineitem.columns
+    assert spark_rows(wide, all_cols(lineitem)) == oracle_2d
+    assert spark_rows(direct, all_cols(lineitem)) == oracle_2d
+
+
+def test_width_safe_keeps_tied_rows_with_distinct_payloads(spark):
+    """Join-back semantics: every copy of a skyline dim vector survives
+    — including copies whose PAYLOAD columns differ (the semi-join keys
+    are the dims alone, never the payload)."""
+    rows = [
+        (1, "a" * 500, 1.0, 2.0),   # skyline vector, payload A
+        (2, "b" * 500, 1.0, 2.0),   # same vector, different payload
+        (3, "c" * 500, 2.0, 1.0),   # incomparable skyline vector
+        (4, "d" * 500, 3.0, 3.0),   # dominated
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, d0 double, d1 double")
+    from flink_skyline_qos_spark.operators.skyline import (
+        _narrow_rewrite, skyline, skyline_auto, skyline_broadcast_verify)
+
+    assert _narrow_rewrite(df, ["d0", "d1"])  # text payload -> rewrite
+    for fn in (skyline, skyline_auto, skyline_broadcast_verify):
+        got = sorted((r.doc_id, r.d0, r.d1)
+                     for r in fn(df, ["d0", "d1"]).collect())
+        assert got == [(1, 1.0, 2.0), (2, 1.0, 2.0), (3, 2.0, 1.0)], fn

@@ -1445,3 +1445,57 @@ def test_streaming_ingest_pipeline_gate_before_dedup(spark, tmp_path):
              for r in spark.read.option("recursiveFileLookup", "true")
              .parquet(f"{work}/cleaned").collect()}
     assert again == {k: v[1] for k, v in got.items()}
+
+
+def test_compact_store_gc_removes_superseded_state(spark, tmp_path):
+    """ADVICE r8: once a compaction snapshot commits, superseded
+    snapshots and the batch stores it covers are DELETED — disk and
+    write volume stay bounded over a long stream.  Readers only ever
+    need the newest committed snapshot + newer batch stores, so the
+    replay after GC must still reject the cross-batch near-dup."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_minhash_admission,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    other = ("completely different content about spark structured "
+             "streaming state stores and parquet file commit markers")
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    now = _time.time()
+    (data_dir / "a.txt").write_text(f"1|{base}\n")
+    (data_dir / "b.txt").write_text(f"2|{other}\n")
+    (data_dir / "c.txt").write_text(f"10|{base} extra\n")
+    for i, f in enumerate(["a.txt", "b.txt", "c.txt"]):
+        _os.utime(data_dir / f, (now - 20 + 10 * i, now - 20 + 10 * i))
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1).load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    work = str(tmp_path / "work")
+    run_streaming_minhash_admission(docs_stream(), work, threshold=0.5,
+                                    compact_every=1)
+    admitted = sorted(r.doc_id for r in spark.read
+                      .parquet(f"{work}/admitted/*").collect())
+    assert admitted == [1, 2]  # 10 rejected against the standing store
+
+    compacts = sorted(_glob.glob(f"{work}/sigs/compact=*"),
+                      key=lambda d: int(d.rsplit("=", 1)[1]))
+    # exactly ONE snapshot left: every superseded one was GC'd
+    assert len(compacts) == 1, compacts
+    newest = int(compacts[0].rsplit("=", 1)[1])
+    # and no covered batch store survived the GC
+    leftover = [d for d in _glob.glob(f"{work}/sigs/batch=*")
+                if int(d.rsplit("=", 1)[1]) <= newest]
+    assert leftover == [], leftover
