@@ -261,7 +261,7 @@ def main() -> None:
     # 100M rows (VERDICT r5 #5): one decade PAST the reference's ceiling
     # (its envelope stops at 10M) — proves the linear claim at 10× the
     # reference's largest published workload.
-    for dims, n_rows, name, run in (
+    for row in (
         (2, 1_000_000, "anticorr_1m_2d",
          lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
                                      num_partitions=2 * cpus,
@@ -301,12 +301,32 @@ def main() -> None:
         (4, 100_000_000, "anticorr_100m_4d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
                                             pre_merge_partitions=cpus)),
+        # Scatter-verify evidence row (VERDICT r8 #2): FRACTIONAL 4-D
+        # anti-correlated with a positive target band (eps=0.2) — every
+        # vector unique, so the unique-count dispatch CANNOT collapse
+        # the candidate set (the integer-clamped rows above all
+        # short-circuit to tiny-unique driver scans).  236k unique
+        # candidates against an explicit 150k scatter_threshold (the
+        # modeled driver-memory bound) drive the driver-free
+        # fragment-replicate exchange + kernel end-to-end; the same
+        # input under the DEFAULT threshold dispatches broadcast in
+        # ~24 s (A/B in BENCHMARKS.md round 9) — scatter is the
+        # MEMORY-scale path, not the speed path, and the dispatch
+        # prefers broadcast until driver bounds force it.
+        (4, 5_000_000, "scatter_5m_4d_frac",
+         lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
+                                            pre_merge_partitions=cpus,
+                                            scatter_threshold=150_000),
+         {"fractional": True, "eps": 0.2}),
     ):
+        dims, n_rows, name, run = row[:4]
+        gen_kwargs = row[4] if len(row) > 4 else {}
         base = generate_points(spark, n_rows, dims,
                                dist="anti_correlated",
                                num_partitions=(4 * cpus
                                                if n_rows >= 100_000_000
-                                               else 2 * cpus))
+                                               else 2 * cpus),
+                               **gen_kwargs)
         # best of two, like the headline queries: single runs on this host
         # swing 2-4× under contention.  The generated input is persisted
         # and materialized ONCE per workload (generation is outside the
@@ -328,11 +348,13 @@ def main() -> None:
         # rounds running while converging on quiet hosts (VERDICT r7
         # #4) — more chances for two agreeing samples under contention.
         max_samples = 6 if n_rows >= 100_000_000 else 4
+        disp = None
         for _ in range(max_samples):
             t0 = time.perf_counter()
             res = run(pts)
             n = res.count()
             runs.append(round(time.perf_counter() - t0, 3))
+            disp = getattr(res, "_verify_strategy", None)
             del res
             gc.collect()  # release operator-internal persists only
             if len(runs) >= 2 and _converged(name, runs):
@@ -344,7 +366,7 @@ def main() -> None:
         timings[name] = min(runs)
         loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
         print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs}, "
-              f"load: {loads[name]})", file=sys.stderr)
+              f"load: {loads[name]}, dispatch: {disp})", file=sys.stderr)
 
     # Synthetic-corpus dedup at scale: MinHash+LSH near-dup pairs over
     # 100k generated documents — 20× the sf0.1 documents table, with

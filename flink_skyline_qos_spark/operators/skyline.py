@@ -128,10 +128,13 @@ def _join_back(df: DataFrame, vecs: DataFrame,
     join keys, matching the kernels' numeric equality).  The trailing
     select restores the input column order — a USING-join moves the
     key columns first."""
-    return _keep_alive(
+    out = _keep_alive(
         df.join(vecs.select(*cols).distinct(), list(cols), "left_semi")
         .select(*df.columns),
         vecs)
+    if hasattr(vecs, "_verify_strategy"):  # propagate the dispatch probe
+        out._verify_strategy = vecs._verify_strategy
+    return out
 
 
 class MaxAccumulator(AccumulatorParam):
@@ -410,11 +413,17 @@ def _dispatch_verify(pruned: DataFrame, cols: Sequence[str],
             n = uniq.count()
     if n <= scatter_threshold:
         out = _verify_against_broadcast(pruned, cols, uniq_df=uniq)
+        strategy = "broadcast"
     else:
         out = _verify_scatter(pruned, cols, chunks=verify_chunks)
+        strategy = "scatter"
     if uniq is not None:
         # fully consumed (eager collect) or unused (scatter branch)
         uniq.unpersist(False)
+    # observability: which verify branch ran and the count that decided
+    # it (unique when measured, raw/approx otherwise) — bench rows log
+    # this so the scatter path's coverage is auditable (VERDICT r8 #2)
+    out._verify_strategy = (strategy, int(n), int(scatter_threshold))
     return out
 
 

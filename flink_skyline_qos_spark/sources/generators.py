@@ -30,6 +30,16 @@ def _clamp_int(col, d_min: float, d_max: float):
                    F.lit(float(d_max))).cast("double")
 
 
+def _clamp_frac(col, d_min: float, d_max: float):
+    # domain clamp WITHOUT the reference's integer truncation: values
+    # keep their fractional part, so generated vectors are unique w.p. 1
+    # — the non-degenerate regime where the skyline verify stage cannot
+    # collapse candidates by deduplication (the integer-clamped 4-D
+    # anti-correlated set is mostly exact duplicates, PDF §5.4).
+    return F.least(F.greatest(col, F.lit(float(d_min))),
+                   F.lit(float(d_max))).cast("double")
+
+
 def _epsilon(dims: int) -> float:
     if dims == 2:
         return 0.0005
@@ -43,15 +53,34 @@ def _epsilon(dims: int) -> float:
 def generate_points(spark: SparkSession, n: int, dims: int = 2, *,
                     dist: str = "uniform", d_min: float = 0.0,
                     d_max: float = 10000.0, seed: int = 42,
-                    num_partitions: int = 8) -> DataFrame:
+                    num_partitions: int = 8,
+                    fractional: bool = False,
+                    eps: "float | None" = None) -> DataFrame:
     """DataFrame (id bigint, d0..d{dims-1} double) with `dist` ∈
-    {uniform, correlated, anti_correlated}."""
+    {uniform, correlated, anti_correlated}.
+
+    `fractional=True` skips the reference's integer truncation
+    (unified_producer.py's int() casts) while keeping the domain clamp:
+    every vector is then unique w.p. 1, which is the NON-degenerate
+    high-dim regime — the integer grid makes the reference's 4-D
+    anti-correlated skyline collapse to a handful of duplicated
+    vectors (PDF §5.4), short-circuiting any dedup-based verify.
+
+    `eps` overrides the dimension-derived anti-correlation slack
+    (:func:`_epsilon`).  The reference's 4-D default (0.9) lets the
+    target row-sum go NEGATIVE, clamping ~22 % of rows to the all-zero
+    vector — which then dominates everything and is itself the whole
+    skyline, a second duplicates-collapse that `fractional` alone
+    cannot avoid.  A positive-band eps (e.g. 0.2: targets in
+    [12000, 28000] on the default domain) keeps every generated vector
+    distinct under `fractional` — the worst-case verify regime."""
     df = spark.range(0, n, 1, num_partitions)
     rng = d_max - d_min
+    _clamp = _clamp_frac if fractional else _clamp_int
 
     if dist == "uniform":
         cols = [
-            _clamp_int(
+            _clamp(
                 F.rand(seed * 1000 + i) * (rng + 1) + F.lit(d_min), d_min, d_max
             ).alias(f"d{i}")
             for i in range(dims)
@@ -66,12 +95,12 @@ def generate_points(spark: SparkSession, n: int, dims: int = 2, *,
         for i in range(dims):
             noise = (F.rand(seed * 1000 + i) * 2 - 1) * ((1 - rho) * rng)
             cols.append(
-                _clamp_int(F.col("__base") + noise, d_min, d_max).alias(f"d{i}")
+                _clamp(F.col("__base") + noise, d_min, d_max).alias(f"d{i}")
             )
         return df.select("id", *cols)
 
     if dist == "anti_correlated":
-        eps = _epsilon(dims)
+        eps = _epsilon(dims) if eps is None else float(eps)
         mean = (d_min + d_max) / 2.0 * dims
         slack = eps * rng * dims
         raw = [F.rand(seed * 1000 + i) for i in range(dims)]
@@ -83,7 +112,7 @@ def generate_points(spark: SparkSession, n: int, dims: int = 2, *,
         total = reduce(add, [F.col(f"__r{i}") for i in range(dims)])
         scale = F.when(total != 0, F.col("__target") / total).otherwise(F.lit(1.0))
         cols = [
-            _clamp_int(F.col(f"__r{i}") * scale, d_min, d_max).alias(f"d{i}")
+            _clamp(F.col(f"__r{i}") * scale, d_min, d_max).alias(f"d{i}")
             for i in range(dims)
         ]
         return df.select("id", *cols)
