@@ -209,6 +209,7 @@ from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk_ivf,
     embedding_near_dup_lsh,
     embedding_near_dup_lsh_sql,
+    embedding_near_dup_lsh_cross_sql,
     embedding_near_dup_pairs,
     knn_graph,
     knn_graph_sql,
@@ -1218,6 +1219,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "clean_text", "n_units", "n_dupes"))
 
     q["streaming_ingest_pipeline_documents"] = _streaming_ingest_pipeline
+
+    # --- embedding streaming admission: SemDeDup at ingest (VERDICT r8
+    # #3).  Two batches split by ascending vec_id; a vector is admitted
+    # iff it near-dups nothing admitted before it (within-batch
+    # keep-first self-check, then cross-check vs the standing
+    # hyperplane-LSH signature store).  The oracle composes the two
+    # batch twins per side: self pairs via embedding_near_dup_lsh_sql,
+    # cross pairs (survivors × batch-1 admits) via
+    # embedding_near_dup_lsh_cross_sql — exact to the cosine.
+    def _streaming_embedding_admission(s: SparkSession,
+                                       d: str) -> DataFrame:
+        import tempfile
+        import time as _time
+
+        import glob as _glob
+        import shutil as _shutil
+
+        from flink_skyline_qos_spark.streaming.continuous import (
+            run_streaming_embedding_admission,
+        )
+
+        emb = (load_table(s, d, "embeddings")
+               .select("vec_id", "embedding")
+               .filter(F.col("vec_id").isNotNull()))
+        # engine-portable cut (the oracle recomputes it as a scalar
+        # subquery): floor-half of the max id, NOT a quantile — Spark's
+        # exact-median element choice and DuckDB's interpolated median
+        # disagree on even counts
+        mx = emb.agg(F.max("vec_id")).first()[0]
+        cut = (mx // 2) if mx is not None else 0
+        work = tempfile.mkdtemp(prefix="embadm_")
+        data_dir = os.path.join(work, "data")
+        os.makedirs(data_dir)
+        now = _time.time()
+        for i, part in enumerate((
+                emb.filter(F.col("vec_id") <= cut),
+                emb.filter(F.col("vec_id") > cut))):
+            tmpd = os.path.join(work, f"tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
+            dst = os.path.join(data_dir, f"part-{i}.parquet")
+            _shutil.move(
+                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
+            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        stream = (s.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        # compact_every=2: exactly one compaction (after the second
+        # batch) — the snapshot + GC path runs without paying a
+        # per-batch store rewrite in the oracle-gated query
+        run_streaming_embedding_admission(
+            stream, work, threshold=0.35, n_planes=32, bands=8,
+            compact_every=2)
+        return (s.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(work, "admitted"))
+                .select("vec_id"))
+
+    q["streaming_embedding_admission_embeddings"] = \
+        _streaming_embedding_admission
 
     # --- continuous keyed-state variant (applyInPandasWithState): the
     # merge of all emitted local skylines equals the batch skyline (every
@@ -2283,6 +2341,47 @@ WHERE l.event_type = 'purchase' AND r.event_type = 'view'
 
     o["embedding_near_dup_lsh"] = embedding_near_dup_lsh_sql(
         "embeddings", 64, threshold=0.35, n_planes=32, bands=8)
+
+    # streamed embedding admission: composition of the two batch twins
+    # per side — batch-1 self-dedup, batch-2 self-dedup, then batch-2
+    # survivors cross-checked against batch-1 admits (exactly the
+    # loop's order: self first, store second).  The cut is the same
+    # floor-half-of-max scalar both engines compute.
+    _emb_cut = "(SELECT max(vec_id) // 2 FROM embeddings)"
+    o["streaming_embedding_admission_embeddings"] = f"""
+WITH b1 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND vec_id <= {_emb_cut}
+),
+b2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND vec_id > {_emb_cut}
+),
+p1 AS (
+{embedding_near_dup_lsh_sql("b1", 64, threshold=0.35,
+                            n_planes=32, bands=8)}
+),
+adm1 AS (
+  SELECT vec_id FROM b1 WHERE vec_id NOT IN (SELECT id_b FROM p1)
+),
+p2 AS (
+{embedding_near_dup_lsh_sql("b2", 64, threshold=0.35,
+                            n_planes=32, bands=8)}
+),
+surv2 AS (
+  SELECT vec_id FROM b2 WHERE vec_id NOT IN (SELECT id_b FROM p2)
+),
+px AS (
+{embedding_near_dup_lsh_cross_sql(
+    "(SELECT e.* FROM b2 e JOIN surv2 USING (vec_id))",
+    "(SELECT e.* FROM b1 e JOIN adm1 USING (vec_id))",
+    64, threshold=0.35, n_planes=32, bands=8)}
+)
+SELECT vec_id FROM adm1
+UNION ALL
+SELECT vec_id FROM surv2
+WHERE vec_id NOT IN (SELECT new_id FROM px)
+""".strip()
 
     # min-label reachability over the exact LSH pair SQL — full value
     # check of the embedding dedup pipeline (cf. dedup_corpus_documents)

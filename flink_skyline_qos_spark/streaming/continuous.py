@@ -37,6 +37,7 @@ from ..operators.partitioners import partitioner_expr
 __all__ = ["continuous_local_skylines", "run_streaming_minhash_admission",
            "run_streaming_paragraph_admission",
            "run_streaming_ingest_pipeline", "run_streaming_c4_admission",
+           "run_streaming_embedding_admission",
            "start_continuous_global",
            "streaming_exact_dedup", "streaming_interval_join",
            "streaming_session_skyline", "streaming_sliding_skyline",
@@ -511,6 +512,115 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
                        compact_every)
 
     q = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def run_streaming_embedding_admission(stream_vecs: DataFrame,
+                                      work_dir: str, *,
+                                      id_col: str = "vec_id",
+                                      vec_col: str = "embedding",
+                                      threshold: float = 0.9,
+                                      n_planes: int = 32, bands: int = 8,
+                                      seed: int = 42,
+                                      max_bucket: int = 2000,
+                                      compact_every: int = 8) -> None:
+    """Streaming EMBEDDING admission — SemDeDup at ingest (VERDICT r8
+    #3): vectors stream in; a vector is admitted only if it is a
+    near-duplicate (cosine ≥ `threshold`) of NOTHING admitted before it
+    — neither an earlier vector in its own batch (keep-first: the
+    smaller id of each within-batch pair survives, transitively via
+    the rejection set) nor anything in the standing corpus.
+
+    Mirrors :func:`run_streaming_minhash_admission` batch-for-batch
+    with the embedding operators: within-batch self-check via
+    :func:`~..operators.similarity.embedding_near_dup_lsh`, cross-check
+    via :func:`~..operators.similarity.embedding_near_dup_lsh_cross`
+    against the standing hyperplane-LSH signature store
+    (:func:`~..operators.similarity.embedding_signatures` of everything
+    admitted so far — admitted vectors are never re-projected), and
+    the same durability discipline: per-batch dirs sealed by a
+    framework-owned ``_COMMITTED`` marker (idempotent replay), orphan
+    stores excluded from the cross-check, store folded into a
+    ``{sig_dir}/compact=B`` snapshot every `compact_every` committed
+    batches with superseded state GC'd (`_compact_store`).
+
+    Results: ``{work_dir}/admitted`` (admitted vectors, ``batch=N``)
+    and ``{work_dir}/sigs`` (their band signatures + vectors).
+    """
+    from ..operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_lsh_cross,
+        embedding_signatures,
+    )
+
+    adm_dir = os.path.join(work_dir, "admitted")
+    sig_dir = os.path.join(work_dir, "sigs")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdir = os.path.join(adm_dir, f"batch={batch_id}")
+        if os.path.isfile(os.path.join(bdir, "_COMMITTED")):
+            return  # replayed batch: already committed
+        snap, snap_b = _latest_committed(sig_dir, "compact=*")
+        batch = batch_df.select(id_col, vec_col).persist()
+        if batch.count() == 0:
+            batch.unpersist()
+            return
+        # ONE signature pass per batch: the SAME frame feeds the
+        # self-check, the cross-check (new_signatures), and — filtered
+        # to the admitted ids — the store write; batch vectors are
+        # never re-projected
+        batch_sigs = embedding_signatures(
+            batch, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, bands=bands, seed=seed).persist()
+        self_pairs = embedding_near_dup_lsh(
+            batch, threshold, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, bands=bands, seed=seed,
+            max_bucket=max_bucket, signatures=batch_sigs)
+        rejected = self_pairs.select(F.col("id_b").alias(id_col))
+        survivors = batch.join(rejected.distinct(), on=id_col,
+                               how="left_anti").persist()
+        new_sigs = batch_sigs.join(
+            survivors.select(F.col(id_col).alias("id")), "id",
+            "left_semi")
+        committed = [d for d in _committed_batch_stores(sig_dir, adm_dir)
+                     if _dir_id(d) > snap_b]
+        if snap is not None:
+            committed = [snap] + committed
+        if committed:
+            old_sigs = spark.read.parquet(*committed)
+            cross = embedding_near_dup_lsh_cross(
+                new_signatures=new_sigs, old_signatures=old_sigs,
+                threshold=threshold, id_col=id_col, vec_col=vec_col,
+                n_planes=n_planes, bands=bands, seed=seed,
+                max_bucket=max_bucket)
+            dupes = cross.select(F.col("new_id").alias(id_col)).distinct()
+            admitted = survivors.join(dupes, on=id_col, how="left_anti")
+        else:
+            admitted = survivors
+        admitted = admitted.persist()
+        sigs = (batch_sigs.join(
+            admitted.select(F.col(id_col).alias("id")), "id", "left_semi")
+            if admitted.count() else None)
+        # signatures first, vectors last, marker after both (see the
+        # minhash loop: a crash before the marker replays into an
+        # overwrite, never a lost or half-admitted batch)
+        if sigs is not None:
+            sigs.write.mode("overwrite").parquet(
+                os.path.join(sig_dir, f"batch={batch_id}"))
+        admitted.write.mode("overwrite").parquet(bdir)
+        with open(os.path.join(bdir, "_COMMITTED"), "w"):
+            pass
+        admitted.unpersist()
+        batch_sigs.unpersist()
+        survivors.unpersist()
+        batch.unpersist()
+        _compact_store(spark, sig_dir, adm_dir, snap, snap_b, batch_id,
+                       compact_every)
+
+    q = (stream_vecs.writeStream.foreachBatch(process)
          .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()

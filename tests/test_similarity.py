@@ -292,3 +292,44 @@ def test_knn_graph_duplicate_vector_self_exclusion(spark):
     out = {(r.src, r.rank): r.dst for r in knn_graph(df, k=2).collect()}
     assert out[(0, 1)] == 1 and out[(1, 1)] == 0  # duplicates pair up
     assert out[(2, 1)] == 3  # closest non-self
+
+
+def test_embedding_cross_lsh_matches_sql_twin_and_sig_store(spark, sf_dir):
+    """Cross-corpus embedding LSH: exact parity with the DuckDB twin,
+    identical results from the raw-vector and signature-store paths,
+    and no within-side pairs (new×old only)."""
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.similarity import (
+        embedding_near_dup_lsh_cross,
+        embedding_near_dup_lsh_cross_sql,
+        embedding_signatures,
+    )
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    new = emb.filter("vec_id >= 250")
+    old = emb.filter("vec_id < 250")
+    pairs = embedding_near_dup_lsh_cross(
+        new, old, threshold=0.35, n_planes=32, bands=8)
+    got = sorted((r.new_id, r.old_id, round(r.cos_sim, 6))
+                 for r in pairs.collect())
+    assert got, "expected cross pairs at this threshold"
+    assert all(a >= 250 > b for a, b, _ in got)  # new x old only
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    want = sorted((a, b, float(c)) for a, b, c in con.sql(
+        embedding_near_dup_lsh_cross_sql(
+            "(SELECT * FROM embeddings WHERE vec_id >= 250)",
+            "(SELECT * FROM embeddings WHERE vec_id < 250)", 64,
+            threshold=0.35, n_planes=32, bands=8)).fetchall())
+    assert got == want
+    old_sigs = embedding_signatures(old, dim=64, n_planes=32, bands=8)
+    via_store = sorted(
+        (r.new_id, r.old_id, round(r.cos_sim, 6))
+        for r in embedding_near_dup_lsh_cross(
+            new, old_signatures=old_sigs, threshold=0.35,
+            n_planes=32, bands=8).collect())
+    assert via_store == got

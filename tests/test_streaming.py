@@ -1499,3 +1499,80 @@ def test_compact_store_gc_removes_superseded_state(spark, tmp_path):
     leftover = [d for d in _glob.glob(f"{work}/sigs/batch=*")
                 if int(d.rsplit("=", 1)[1]) <= newest]
     assert leftover == [], leftover
+
+
+def test_streaming_embedding_admission_cross_batch_and_replay(spark, tmp_path):
+    """SemDeDup at ingest (VERDICT r8 #3): a vector near-duplicating an
+    ADMITTED earlier vector is rejected (cross-batch, via the standing
+    hyperplane-LSH signature store), within-batch keep-first holds, the
+    store compacts + GCs, and a full replay over the compacted store
+    admits nothing twice."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    import numpy as np
+
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_embedding_admission,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    ortho = rng.standard_normal(16)
+    ortho -= ortho @ base / (base @ base) * base  # cos(base, ortho) = 0
+    near = base + 0.01 * rng.standard_normal(16)  # cos ~ 1
+
+    def rows(vid, vec):
+        return (vid, [float(x) for x in vec])
+
+    data_dir = tmp_path / "vecs"
+    data_dir.mkdir()
+    schema = "vec_id long, embedding array<float>"
+    # batch 0: base + its in-batch near-dup (id 2 rejected, keep-first)
+    # + an orthogonal vector (admitted)
+    b0 = spark.createDataFrame(
+        [rows(1, base), rows(2, base + 0.01 * rng.standard_normal(16)),
+         rows(3, ortho)], schema)
+    # batch 1: a near-dup of ADMITTED id 1 (rejected via the store) and
+    # a fresh vector (admitted)
+    b1 = spark.createDataFrame(
+        [rows(10, near), rows(11, rng.standard_normal(16))], schema)
+    now = _time.time()
+    for i, part in enumerate((b0, b1)):
+        tmpd = str(tmp_path / f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        dst = str(data_dir / f"part-{i}.parquet")
+        _shutil.move(_glob.glob(f"{tmpd}/part-*.parquet")[0], dst)
+        _os.utime(dst, (now - 10 + 10 * i,) * 2)
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(data_dir)))
+
+    work = str(tmp_path / "work")
+    run_streaming_embedding_admission(stream(), work, threshold=0.8,
+                                      n_planes=16, bands=4,
+                                      compact_every=1)
+    admitted = sorted(r.vec_id for r in spark.read
+                      .option("recursiveFileLookup", "true")
+                      .parquet(f"{work}/admitted").collect())
+    assert admitted == [1, 3, 11]
+    # store compacted + superseded state GC'd
+    compacts = [d for d in _glob.glob(f"{work}/sigs/compact=*")
+                if _os.path.isfile(_os.path.join(d, "_COMMITTED"))]
+    assert len(compacts) == 1
+    snap = spark.read.parquet(compacts[0])
+    assert sorted(r.id for r in snap.select("id").collect()) == [1, 3, 11]
+    assert set(snap.columns) == {"id", "embedding", "b0", "b1", "b2", "b3"}
+    # replay over the compacted store: idempotent (nothing re-admitted)
+    _shutil.rmtree(f"{work}/ckpt")
+    run_streaming_embedding_admission(stream(), work, threshold=0.8,
+                                      n_planes=16, bands=4,
+                                      compact_every=1)
+    again = sorted(r.vec_id for r in spark.read
+                   .option("recursiveFileLookup", "true")
+                   .parquet(f"{work}/admitted").collect())
+    assert again == [1, 3, 11]
