@@ -35,6 +35,7 @@ from flink_skyline_qos_spark.operators.caching import (  # noqa: E402
     release_on_gc,
 )
 from flink_skyline_qos_spark.operators.skyline import (  # noqa: E402
+    skyline_2d_window,
     skyline_auto,
     skyline_broadcast_verify,
     skyline_delta,
@@ -306,6 +307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- core skyline (A1+A2 composed), three physical strategies ---
     q["skyline_2d_lineitem"] = lambda s, d: skyline(_li(s, d), LI_DIMS2)
+    # the all-JVM 2-D window plan (zero Python — the 1B-row bench plan)
+    q["skyline_2d_window_lineitem"] = lambda s, d: skyline_2d_window(
+        _li(s, d), LI_DIMS2)
     q["skyline_3d_lineitem"] = lambda s, d: skyline(_li(s, d), LI_DIMS3)
     # same answer through the TREE-MERGE band: one intermediate
     # hash-distributed merge level between local prune and the final
@@ -1814,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
     li = f"(SELECT {', '.join(LI_COLS)} FROM lineitem)"
     sky2 = skyline_not_exists_sql(li, LI_DIMS2)
     o["skyline_2d_lineitem"] = sky2
+    o["skyline_2d_window_lineitem"] = sky2
     o["skyline_3d_lineitem"] = skyline_not_exists_sql(li, LI_DIMS3)
     o["skyline_3d_tree_merge_lineitem"] = skyline_not_exists_sql(
         li, LI_DIMS3)

@@ -141,6 +141,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # the 1B-point 2-D row pins a ~24 GB input (1B × 24 B columnar):
+    # the 32g session default would spill it to disk and time I/O, not
+    # the plan.  Set BEFORE the first session of the process (driver
+    # memory binds at JVM launch); explicit env still wins.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "56g")
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -253,6 +258,7 @@ def main() -> None:
     # the reference-parity two-phase plan; 3-D/4-D use broadcast-verify —
     # the huge-survivor strategy (ARCHITECTURE.md §2).
     from flink_skyline_qos_spark.operators.skyline import (
+        skyline_2d_window,
         skyline_broadcast_verify,
     )
 
@@ -318,12 +324,25 @@ def main() -> None:
                                             pre_merge_partitions=cpus,
                                             scatter_threshold=150_000),
          {"fractional": True, "eps": 0.2}),
+        # 1B-point 2-D row (VERDICT r8 #4): TWO decades past the
+        # reference's 10M envelope.  The skyline itself is 25,002,921
+        # rows (2.5% of input — frontier density grows with n on the
+        # thin anti-correlated band), so output size, not scan, is the
+        # dominant cost at this scale; the all-JVM window plan
+        # (skyline_2d_window: map-side collapse to <=10001 distinct d0
+        # values, one tiny window, broadcast join back) keeps every row
+        # out of Python and beats two-phase 31.8 vs 54.4 s at 300M
+        # (full A/B in BENCHMARKS.md round 9).
+        (2, 1_000_000_000, "anticorr_1b_2d",
+         lambda p: skyline_2d_window(p, ["d0", "d1"])),
     ):
         dims, n_rows, name, run = row[:4]
         gen_kwargs = row[4] if len(row) > 4 else {}
         base = generate_points(spark, n_rows, dims,
                                dist="anti_correlated",
-                               num_partitions=(4 * cpus
+                               num_partitions=(8 * cpus
+                                               if n_rows >= 1_000_000_000
+                                               else 4 * cpus
                                                if n_rows >= 100_000_000
                                                else 2 * cpus),
                                **gen_kwargs)
@@ -347,7 +366,10 @@ def main() -> None:
         # anticorr_100m_2d was flagged unconverged by the driver three
         # rounds running while converging on quiet hosts (VERDICT r7
         # #4) — more chances for two agreeing samples under contention.
-        max_samples = 6 if n_rows >= 100_000_000 else 4
+        # 1B samples are ~2 min each — 3 chances bound the row's wall
+        # time; 100M rows keep 6 (their contention history, VERDICT r7)
+        max_samples = (3 if n_rows >= 1_000_000_000
+                       else 6 if n_rows >= 100_000_000 else 4)
         disp = None
         for _ in range(max_samples):
             t0 = time.perf_counter()

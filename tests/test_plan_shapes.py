@@ -582,3 +582,17 @@ def test_wide_skyline_only_dims_cross_python_node(spark):
     # full rows restored via a semi join (broadcast at this size)
     assert re.search(r"Join type: LeftSemi", plan), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_skyline_2d_window_global_all_jvm(spark):
+    """The no-group 2-D window plan (the 1B-row bench plan) stays
+    entirely JVM-side: map-side distinct-d0 collapse, one window, one
+    broadcast join — zero Python eval nodes anywhere."""
+    from flink_skyline_qos_spark.operators.skyline import skyline_2d_window
+
+    li = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_extendedprice", "l_discount")
+    plan = _plan(skyline_2d_window(li, ["l_extendedprice", "l_discount"]))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+    assert re.search(r"^\(\d+\) Window", plan, re.M), plan
+    assert "BroadcastHashJoin" in plan, plan

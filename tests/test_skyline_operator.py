@@ -637,3 +637,24 @@ def test_width_safe_keeps_tied_rows_with_distinct_payloads(spark):
         got = sorted((r.doc_id, r.d0, r.d1)
                      for r in fn(df, ["d0", "d1"]).collect())
         assert got == [(1, 1.0, 2.0), (2, 1.0, 2.0), (3, 2.0, 1.0)], fn
+
+
+def test_skyline_2d_window_matches_kernel_and_keeps_ties(spark, lineitem,
+                                                         oracle_2d):
+    """Global 2-D window plan ≡ the kernel path, including duplicate
+    skyline vectors (ties survive) and dominated-duplicate removal."""
+    from flink_skyline_qos_spark.operators.skyline import skyline_2d_window
+
+    got = skyline_2d_window(lineitem.select(*DIMS2), DIMS2)
+    want = skyline(lineitem.select(*DIMS2), DIMS2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    rows = [(1.0, 2.0)] * 3 + [(2.0, 1.0)] * 2 + [(2.0, 2.0)] * 4
+    df = spark.createDataFrame(rows, "d0 double, d1 double")
+    out = sorted(map(tuple, skyline_2d_window(df, ["d0", "d1"]).collect()))
+    assert out == sorted([(1.0, 2.0)] * 3 + [(2.0, 1.0)] * 2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skyline_2d_window(df, ["d0"])
