@@ -23,6 +23,7 @@ from .operators.partitioners import (
 from .operators.skyline import (
     grouped_skyline,
     skyline,
+    skyline_2d_window,
     skyline_anti_join,
     skyline_broadcast_verify,
     skyline_two_phase,
@@ -57,7 +58,7 @@ __all__ = [
     "mr_dim", "mr_grid", "mr_angle", "partitioner_expr", "partitioner_sql",
     "grid_dominance_prefilter",
     "skyline", "skyline_two_phase", "skyline_anti_join",
-    "skyline_broadcast_verify", "grouped_skyline",
+    "skyline_broadcast_verify", "grouped_skyline", "skyline_2d_window",
     "grid_prefilter", "k_dominant_skyline", "top_k_dominating",
     "k_skyband", "skycube", "dynamic_skyline", "reverse_skyline",
     "epsilon_skyline",

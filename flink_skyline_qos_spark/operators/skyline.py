@@ -956,7 +956,8 @@ def _grouped_skyline_2d_window(df: DataFrame, cols: Sequence[str],
 def grouped_skyline(df: DataFrame, cols: Sequence[str],
                     by: Sequence[str] | str, *,
                     salt: int | None = None,
-                    strategy: str = "auto") -> DataFrame:
+                    strategy: str = "auto",
+                    width_safe: bool | None = None) -> DataFrame:
     """Skyline within each group of `by` (e.g. per event_type).
 
     A capability the reference lacks but its keyed-state design implies;
@@ -981,11 +982,38 @@ def grouped_skyline(df: DataFrame, cols: Sequence[str],
       merges the survivors per group.  Exact for any salt because
       skyline is decomposable under any partitioning (SURVEY §1.4); the
       second shuffle carries only sub-skyline survivors.
+
+    `width_safe` (default auto): on the KERNEL path, wide rows take
+    the dims-only rewrite per group — only (group keys, dims) cross
+    the Arrow boundary, full rows restored by one semi-join on
+    (group keys NULL-SAFE, dims); the window path never ships rows to
+    Python, so width is moot there.
     """
     df = _complete(df, cols)
     by = [by] if isinstance(by, str) else list(by)
     if strategy == "auto":
         strategy = "window" if len(cols) == 2 else "kernel"
+    if strategy == "kernel":
+        narrow_cols = [*by, *cols]
+        narrow = df.select(*dict.fromkeys(narrow_cols))
+        fire = (width_safe if width_safe is not None
+                else _narrow_rewrite(df, narrow_cols))
+        if fire:
+            from functools import reduce as _red
+            from operator import and_ as _and
+
+            vecs = grouped_skyline(narrow, cols, by, salt=salt,
+                                   strategy="kernel",
+                                   width_safe=False).distinct()
+            r = vecs.select(
+                *[F.col(c).alias(f"__r_{c}") for c in vecs.columns])
+            # NULL group keys form regular groups — null-safe equality
+            # on the group keys; dims are non-null post-_complete
+            cond = _red(_and, [
+                F.col(c).eqNullSafe(F.col(f"__r_{c}")) for c in by
+            ] + [F.col(c) == F.col(f"__r_{c}") for c in cols])
+            return _keep_alive(
+                df.join(r, cond, "left_semi").select(*df.columns), vecs)
     if strategy == "window":
         if len(cols) != 2:
             raise ValueError("window strategy requires exactly 2 dims")

@@ -658,3 +658,32 @@ def test_skyline_2d_window_matches_kernel_and_keeps_ties(spark, lineitem,
     import pytest as _pytest
     with _pytest.raises(ValueError):
         skyline_2d_window(df, ["d0"])
+
+
+def test_grouped_skyline_kernel_width_safe_rewrite(spark):
+    """Grouped kernel path on wide rows: only (group, dims) cross the
+    Arrow boundary, ties with distinct payloads survive, NULL group
+    keys stay a regular group (null-safe join-back)."""
+    rows = [
+        ("g1", "p" * 300, 1.0, 2.0),
+        ("g1", "q" * 300, 1.0, 2.0),    # tied vector, other payload
+        ("g1", "r" * 300, 3.0, 3.0),    # dominated within g1
+        ("g2", "s" * 300, 3.0, 3.0),    # g2's own skyline
+        (None, "t" * 300, 5.0, 5.0),    # NULL group — kept as a group
+        (None, "u" * 300, 6.0, 6.0),    # dominated within NULL group
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, text string, d0 double, d1 double")
+    key = lambda t: (t[0] or "", t[1])
+    got = sorted(((r.grp, r.text[:1], r.d0, r.d1)
+                  for r in grouped_skyline(
+                      df, ["d0", "d1"], "grp",
+                      strategy="kernel").collect()), key=key)
+    assert got == [(None, "t", 5.0, 5.0), ("g1", "p", 1.0, 2.0),
+                   ("g1", "q", 1.0, 2.0), ("g2", "s", 3.0, 3.0)]
+    # both forced paths agree
+    direct = sorted(((r.grp, r.text[:1], r.d0, r.d1)
+                     for r in grouped_skyline(
+                         df, ["d0", "d1"], "grp", strategy="kernel",
+                         width_safe=False).collect()), key=key)
+    assert direct == got
