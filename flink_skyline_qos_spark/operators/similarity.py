@@ -60,6 +60,18 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _pin_if_unpinned(df: DataFrame) -> "tuple[DataFrame, bool]":
+    """Persist `df` only when the caller has not: returns (frame,
+    owned) where `owned` means THIS operator created the pin and must
+    release it.  An already-persisted input belongs to the caller —
+    persisting again is a no-op and unpersisting would silently drop
+    the cache the caller is still reusing (review r9)."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+        return df, False
+    return df.persist(), True
+
+
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     # float32 parquet arrays → double for stable arithmetic
     return df.withColumn(
@@ -393,10 +405,14 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     frame for `df` (the admission loop bands each batch ONCE and reuses
     the frame for the self-check, the cross-check, and the store write)
     — the signature pass and the dim probe are then skipped entirely.
+    Cache ownership follows who pinned the frame: an ALREADY-persisted
+    `signatures` belongs to the caller (used as-is, never unpersisted
+    here — the caller reuses it after the pairs result dies); an
+    unpersisted one is pinned here and released with the result.
     """
     assert n_planes % bands == 0
     if signatures is not None:
-        sig = signatures.persist()
+        sig, sig_owned = _pin_if_unpinned(signatures)
     else:
         first = df.select(vec_col).first()
         if first is None:  # empty corpus: no pairs, empty drop stats
@@ -410,6 +426,7 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
         sig = embedding_signatures(
             df, dim=len(first[0]), id_col=id_col, vec_col=vec_col,
             n_planes=n_planes, bands=bands, seed=seed).persist()
+        sig_owned = True
     banded = sig.select(
         "id", vec_col,
         F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
@@ -435,9 +452,11 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.9, *,
     vb = F.transform("vb", lambda x: x.cast("double"))
     from .caching import release_on_gc
 
-    out = release_on_gc(cand.select(
+    out = cand.select(
         "id_a", "id_b", cosine_similarity(va, vb).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold), sig)
+    ).filter(F.col("cos_sim") >= threshold)
+    if sig_owned:
+        out = release_on_gc(out, sig)
     out.lsh_dropped = dropped
     return out
 
@@ -536,21 +555,24 @@ def embedding_near_dup_lsh_cross(new_df: DataFrame = None,
         raise ValueError("need new_df or new_signatures")
 
     def side(df: "DataFrame | None", pre_sig: "DataFrame | None"):
+        """(sig, banded, owned) — owned follows :func:`_pin_if_unpinned`
+        (a caller-persisted signature store is never unpersisted here);
+        None when the side is empty."""
         if pre_sig is not None:
-            sig = pre_sig.persist()
+            sig, owned = _pin_if_unpinned(pre_sig)
         else:
             first = df.select(vec_col).first()
             if first is None:
                 return None
-            sig = embedding_signatures(
+            sig, owned = embedding_signatures(
                 df, dim=len(first[0]), id_col=id_col, vec_col=vec_col,
-                n_planes=n_planes, bands=bands, seed=seed).persist()
+                n_planes=n_planes, bands=bands, seed=seed).persist(), True
         sig.count()
         banded = sig.select(
             "id", vec_col,
             F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
             .alias("band", "bucket"))
-        return sig, banded
+        return sig, banded, owned
 
     spark = (new_df if new_df is not None else new_signatures).sparkSession
     empty = spark.createDataFrame(
@@ -561,10 +583,16 @@ def embedding_near_dup_lsh_cross(new_df: DataFrame = None,
     new_side = side(new_df, new_signatures)
     old_side = side(old_df, old_signatures)
     if new_side is None or old_side is None:
+        # release any pin the NON-empty side already took (review r9:
+        # the early return otherwise strands a persisted signature
+        # frame in the plan-keyed cache for the session)
+        for s in (new_side, old_side):
+            if s is not None and s[2]:
+                s[0].unpersist(False)
         empty.lsh_dropped = empty_drop
         return empty
-    new_sig, new_banded = new_side
-    old_sig, old_banded = old_side
+    new_sig, new_banded, new_owned = new_side
+    old_sig, old_banded, old_owned = old_side
     sizes = (new_banded.select("band", "bucket")
              .unionByName(old_banded.select("band", "bucket"))
              .groupBy("band", "bucket").agg(F.count("*").alias("n")))
@@ -586,9 +614,12 @@ def embedding_near_dup_lsh_cross(new_df: DataFrame = None,
     vb = F.transform("vb", lambda x: x.cast("double"))
     from .caching import release_on_gc
 
-    out = release_on_gc(cand.select(
+    out = cand.select(
         "new_id", "old_id", cosine_similarity(va, vb).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold), new_sig, old_sig)
+    ).filter(F.col("cos_sim") >= threshold)
+    owned = [s for s, o in ((new_sig, new_owned), (old_sig, old_owned)) if o]
+    if owned:
+        out = release_on_gc(out, *owned)
     out.lsh_dropped = dropped
     return out
 

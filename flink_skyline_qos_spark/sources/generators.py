@@ -26,8 +26,7 @@ from pyspark.sql import functions as F
 
 def _clamp_int(col, d_min: float, d_max: float):
     # int() truncation toward zero == floor on the non-negative domain
-    return F.least(F.greatest(F.floor(col), F.lit(float(d_min))),
-                   F.lit(float(d_max))).cast("double")
+    return _clamp_frac(F.floor(col), d_min, d_max)
 
 
 def _clamp_frac(col, d_min: float, d_max: float):

@@ -463,7 +463,12 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         snap, snap_b = _latest_committed(sig_dir, "compact=*")
         batch = batch_df.select(id_col, text_col).persist()
         if batch.count() == 0:
+            # commit the empty batch (review r9; see the embedding loop)
+            _commit_empty(spark, sig_dir, bdir, batch_id,
+                          "id long, sig array<long>", batch.schema)
             batch.unpersist()
+            _compact_store(spark, sig_dir, adm_dir, snap, snap_b,
+                           batch_id, compact_every)
             return
         self_pairs = minhash_lsh_pairs(
             batch, id_col=id_col, text_col=text_col,
@@ -566,7 +571,18 @@ def run_streaming_embedding_admission(stream_vecs: DataFrame,
         snap, snap_b = _latest_committed(sig_dir, "compact=*")
         batch = batch_df.select(id_col, vec_col).persist()
         if batch.count() == 0:
+            # commit the empty batch like any other (review r9): the
+            # final reader expects {adm_dir} to exist even when every
+            # batch was empty, and an empty sig store keeps the
+            # compaction cadence counting COMMITTED BATCHES, not
+            # batches-that-admitted-something
+            _commit_empty(spark, sig_dir, bdir, batch_id,
+                          f"id long, {vec_col} array<float>, "
+                          + ", ".join(f"b{i} long" for i in range(bands)),
+                          batch.schema)
             batch.unpersist()
+            _compact_store(spark, sig_dir, adm_dir, snap, snap_b,
+                           batch_id, compact_every)
             return
         # ONE signature pass per batch: the SAME frame feeds the
         # self-check, the cross-check (new_signatures), and — filtered
@@ -601,15 +617,18 @@ def run_streaming_embedding_admission(stream_vecs: DataFrame,
         else:
             admitted = survivors
         admitted = admitted.persist()
-        sigs = (batch_sigs.join(
+        admitted.count()
+        # the sig store is written for EVERY committed batch — possibly
+        # empty (review r9: skipping zero-admit batches made the
+        # compaction cadence count admitting batches only, deferring
+        # compaction + GC indefinitely under alternating empty admits)
+        sigs = batch_sigs.join(
             admitted.select(F.col(id_col).alias("id")), "id", "left_semi")
-            if admitted.count() else None)
         # signatures first, vectors last, marker after both (see the
         # minhash loop: a crash before the marker replays into an
         # overwrite, never a lost or half-admitted batch)
-        if sigs is not None:
-            sigs.write.mode("overwrite").parquet(
-                os.path.join(sig_dir, f"batch={batch_id}"))
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch={batch_id}"))
         admitted.write.mode("overwrite").parquet(bdir)
         with open(os.path.join(bdir, "_COMMITTED"), "w"):
             pass
@@ -1365,6 +1384,21 @@ def run_streaming_c4_admission(stream_docs: DataFrame, work_dir: str, *,
     q.awaitTermination()
 
 
+def _commit_empty(spark, store_dir: str, bdir: str, batch_id: int,
+                  store_schema, out_schema) -> None:
+    """Commit an EMPTY micro-batch exactly like a non-empty one: empty
+    batch store, empty output dir, marker after both — so the final
+    output reader never hits a missing path and the compaction cadence
+    counts committed BATCHES, not batches-that-admitted-something
+    (review r9)."""
+    spark.createDataFrame([], store_schema).write.mode(
+        "overwrite").parquet(os.path.join(store_dir, f"batch={batch_id}"))
+    spark.createDataFrame([], out_schema).write.mode(
+        "overwrite").parquet(bdir)
+    with open(os.path.join(bdir, "_COMMITTED"), "w"):
+        pass
+
+
 def _dir_id(path: str) -> int:
     """Numeric suffix of a ``name=<id>`` store directory."""
     return int(os.path.basename(path).split("=", 1)[1])
@@ -1407,10 +1441,11 @@ def _compact_store(spark, store_dir: str, owner_dir: str, snap,
     compaction step of the admission loops (ADVICE r7).  Crash-safe:
     the snapshot's own ``_COMMITTED`` marker is written strictly AFTER
     its parquet write returns, an uncommitted snapshot is ignored by
-    every reader, and the covered batch stores stay on disk, so no
-    state is ever lost.  `fold` post-processes the unioned frame (e.g.
-    distinct hashes for the span store; identity for signature stores
-    whose ids are disjoint across batches).
+    every reader, and a batch store is deleted only once a COMMITTED
+    snapshot covers its contents, so no state is ever lost.  `fold`
+    post-processes the unioned frame (e.g. distinct hashes for the
+    span store; identity for signature stores whose ids are disjoint
+    across batches).
 
     GC (ADVICE r8): once the new snapshot's marker lands, the
     superseded snapshots and the batch stores it covers are dead to
@@ -1419,12 +1454,26 @@ def _compact_store(spark, store_dir: str, owner_dir: str, snap,
     footprint and cumulative write volume grow O(B²/compact_every)
     over a long-running stream, the same asymptotics compaction was
     added to fix, shifted from reads to writes/disk.  Deletion runs
-    strictly AFTER the marker: a crash mid-GC strands only dead dirs,
-    swept by the next compaction's glob.  Orphan batch stores (owner
-    dir uncommitted) are NOT covered and never deleted here."""
+    strictly AFTER the marker, and every call FIRST sweeps strandlings
+    from a crash inside a previous GC (snapshots older than the newest
+    committed one; batch stores its id already covers — review r9:
+    without the sweep a mid-GC crash leaked them permanently, since
+    later calls only looked at stores newer than their own snapshot).
+    Orphan batch stores NEWER than the snapshot (owner dir
+    uncommitted) are NOT covered and never deleted here."""
     import glob
     import shutil
 
+    if snap is not None:
+        # sweep strandlings dead to every reader: a crash between a
+        # previous snapshot's marker and its GC loops leaves covered
+        # dirs behind that no later `newer` list revisits
+        for d in glob.glob(os.path.join(store_dir, "compact=*")):
+            if _dir_id(d) < snap_b:
+                shutil.rmtree(d, ignore_errors=True)
+        for d in glob.glob(os.path.join(store_dir, "batch=*")):
+            if _dir_id(d) <= snap_b:
+                shutil.rmtree(d, ignore_errors=True)
     newer = [d for d in _committed_batch_stores(store_dir, owner_dir)
              if _dir_id(d) > snap_b]
     if len(newer) < compact_every:

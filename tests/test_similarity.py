@@ -333,3 +333,44 @@ def test_embedding_cross_lsh_matches_sql_twin_and_sig_store(spark, sf_dir):
             new, old_signatures=old_sigs, threshold=0.35,
             n_planes=32, bands=8).collect())
     assert via_store == got
+
+
+def test_cross_lsh_cache_ownership_and_empty_side(spark, sf_dir):
+    """Review r9: (a) a caller-persisted signature frame is never
+    unpersisted by the LSH operators (the caller reuses it after the
+    pairs result dies); (b) an empty opposite side releases any pin the
+    non-empty side already took instead of stranding it."""
+    import gc
+
+    from flink_skyline_qos_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_lsh_cross,
+        embedding_signatures,
+    )
+    from flink_skyline_qos_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding").limit(50)
+    sigs = embedding_signatures(emb, dim=64).persist()
+    sigs.count()
+    # (a) self-join with caller-owned signatures: result dropped, the
+    # caller's cache must survive
+    pairs = embedding_near_dup_lsh(emb, 0.35, signatures=sigs)
+    pairs.count()
+    del pairs
+    gc.collect()
+    assert sigs.storageLevel.useMemory or sigs.storageLevel.useDisk
+    # (b) empty old side: empty result, and the new side's internal pin
+    # is released (cache count returns to the caller's single pin)
+    empty_old = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_lsh_cross(emb, empty_old, threshold=0.35)
+    assert out.count() == 0
+    # caller-owned sigs passed as a side of the cross: still cached after
+    out2 = embedding_near_dup_lsh_cross(
+        new_df=emb.limit(10), old_signatures=sigs, threshold=0.35)
+    out2.count()
+    del out2
+    gc.collect()
+    assert sigs.storageLevel.useMemory or sigs.storageLevel.useDisk
+    sigs.unpersist()

@@ -1576,3 +1576,101 @@ def test_streaming_embedding_admission_cross_batch_and_replay(spark, tmp_path):
                    .option("recursiveFileLookup", "true")
                    .parquet(f"{work}/admitted").collect())
     assert again == [1, 3, 11]
+
+
+def test_embedding_admission_empty_and_zero_admit_batches(spark, tmp_path):
+    """Review r9: EVERY batch commits — an empty batch still writes the
+    (empty) admitted dir + sig store, and a batch whose vectors are all
+    rejected still writes an empty sig store, so the final reader never
+    hits a missing path and the compaction cadence counts committed
+    batches.  Scenario: batch0 empty, batch1 admits v1, batch2 is a
+    near-dup of v1 (zero admits)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    import numpy as np
+
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_embedding_admission,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    schema = "vec_id long, embedding array<float>"
+    b0 = spark.createDataFrame([], schema)
+    b1 = spark.createDataFrame(
+        [(1, [float(x) for x in base])], schema)
+    b2 = spark.createDataFrame(
+        [(10, [float(x) for x in base + 0.01 * rng.standard_normal(16)])],
+        schema)
+    data_dir = tmp_path / "vecs"
+    data_dir.mkdir()
+    now = _time.time()
+    for i, part in enumerate((b0, b1, b2)):
+        tmpd = str(tmp_path / f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        dst = str(data_dir / f"part-{i}.parquet")
+        _shutil.move(_glob.glob(f"{tmpd}/part-*.parquet")[0], dst)
+        _os.utime(dst, (now - 20 + 10 * i,) * 2)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(data_dir)))
+    work = str(tmp_path / "work")
+    run_streaming_embedding_admission(stream, work, threshold=0.8,
+                                      n_planes=16, bands=4,
+                                      compact_every=3)
+    admitted = sorted(r.vec_id for r in spark.read
+                      .option("recursiveFileLookup", "true")
+                      .parquet(f"{work}/admitted").collect())
+    assert admitted == [1]
+    # all three batches committed; with compact_every=3 the cadence
+    # fires exactly once — it would NOT have, had the empty/zero-admit
+    # batches skipped their sig stores
+    markers = sorted(_glob.glob(f"{work}/admitted/batch=*/_COMMITTED"))
+    assert len(markers) == 3
+    compacts = [d for d in _glob.glob(f"{work}/sigs/compact=*")
+                if _os.path.isfile(_os.path.join(d, "_COMMITTED"))]
+    assert len(compacts) == 1
+    snap = spark.read.parquet(compacts[0])
+    assert [r.id for r in snap.select("id").collect()] == [1]
+
+
+def test_compact_store_sweeps_strandlings_from_crashed_gc(spark, tmp_path):
+    """Review r9: a crash between a snapshot's marker and its GC loops
+    strands covered batch stores; the NEXT _compact_store call must
+    sweep anything the newest committed snapshot already covers."""
+    import os as _os
+
+    from flink_skyline_qos_spark.streaming.continuous import (
+        _compact_store, _latest_committed,
+    )
+
+    store = tmp_path / "store"
+    owner = tmp_path / "owner"
+    for b in (0, 1):
+        sdir = store / f"batch={b}"
+        odir = owner / f"batch={b}"
+        spark.createDataFrame([(b,)], "h long").write.mode(
+            "overwrite").parquet(str(sdir))
+        odir.mkdir(parents=True)
+        (odir / "_COMMITTED").touch()
+    # simulate: snapshot compact=1 committed, but its GC crashed —
+    # covered batch stores 0 and 1 still on disk
+    spark.read.parquet(str(store / "batch=0"), str(store / "batch=1")) \
+        .write.mode("overwrite").parquet(str(store / "compact=1"))
+    (store / "compact=1" / "_COMMITTED").touch()
+    snap, snap_b = _latest_committed(str(store), "compact=*")
+    assert snap_b == 1
+    # next batch (2) commits and calls _compact_store below cadence —
+    # strandlings must be swept even though no new snapshot is written
+    sdir2, odir2 = store / "batch=2", owner / "batch=2"
+    spark.createDataFrame([(2,)], "h long").write.mode(
+        "overwrite").parquet(str(sdir2))
+    odir2.mkdir(); (odir2 / "_COMMITTED").touch()
+    _compact_store(spark, str(store), str(owner), snap, snap_b,
+                   batch_id=2, compact_every=99)
+    assert not (store / "batch=0").exists()
+    assert not (store / "batch=1").exists()
+    assert (store / "batch=2").exists()       # newer than the snapshot
+    assert (store / "compact=1").exists()     # the live snapshot stays
