@@ -79,6 +79,8 @@ from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
     rarity_score_sql,
     remove_boilerplate_lines,
     remove_boilerplate_lines_sql,
+    bm25_topk,
+    bm25_topk_sql,
     tfidf_top_terms,
     tfidf_top_terms_sql,
 )
@@ -876,6 +878,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents").filter((F.col("doc_id") % 10) == 7),
         n=3)
     # per-doc top-5 TF-IDF terms (log-free RSJ idf: engine-exact doubles)
+    # BM25 lexical retrieval: the sparse complement of the dense ANN
+    # stack — probe docs (doc_id % 97 = 3) as queries, top-10 by the
+    # log-free-idf Okapi score with exact DECIMAL contribution sums
+    def _bm25(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        qs = docs.filter("doc_id % 97 = 3").select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query"))
+        return bm25_topk(docs, qs, k=10)
+    q["bm25_topk_documents"] = _bm25
+
     q["tfidf_documents"] = lambda s, d: tfidf_top_terms(
         load_table(s, d, "documents"), k=5, min_df=2)
     # per-doc mean token rarity (log-free perplexity surrogate;
@@ -2094,6 +2107,10 @@ FROM reach GROUP BY node HAVING min(comp) = node
     o["contamination_documents"] = contamination_check_sql(
         "SELECT * FROM documents",
         "SELECT * FROM documents WHERE doc_id % 10 = 7", n=3)
+    o["bm25_topk_documents"] = bm25_topk_sql(
+        "documents",
+        "SELECT doc_id AS query_id, text AS query FROM documents "
+        "WHERE doc_id % 97 = 3", k=10)
     o["tfidf_documents"] = tfidf_top_terms_sql(
         "documents", k=5, min_df=2)
     o["rarity_documents"] = rarity_score_sql("documents")

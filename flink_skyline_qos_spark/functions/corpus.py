@@ -52,6 +52,8 @@ __all__ = [
     "rarity_score_sql",
     "tfidf_top_terms",
     "tfidf_top_terms_sql",
+    "bm25_topk",
+    "bm25_topk_sql",
 ]
 
 
@@ -585,6 +587,129 @@ SELECT id AS {id_col}, token, tf, df,
                   token ASC
        )::INTEGER AS rank
 FROM per_doc JOIN dfreq USING (token), n
+QUALIFY rank <= {k}
+""".strip()
+
+
+def bm25_topk(df: DataFrame, queries: DataFrame, *,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id", query_col: str = "query",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Lexical retrieval: top-`k` documents per query by BM25 — the
+    sparse complement of the dense ANN stack (`cosine_topk*`); together
+    they are the standard hybrid-retrieval pair a training-data
+    pipeline uses for decontamination lookups and nearest-neighbour
+    audits.  Returns (query_id, doc_id, score, rank), rank 1..k under
+    (score DESC, doc_id ASC) — a total order.
+
+    Scoring: Okapi BM25 with the log-free Robertson–Spärck-Jones idf
+    ``(N − df + 0.5)/(df + 0.5)`` — the same idf convention as
+    :func:`tfidf_top_terms` and for the same reason: one division and
+    one multiply give the bit-identical double on both engines, where
+    a ``log`` would tie correctness to libm rounding.  Per-term
+    contributions are rounded to 6 dp and summed as DECIMAL(38,6)
+    (exact integer arithmetic, ORDER-INDEPENDENT — an IEEE double sum
+    would make the score depend on Spark's vs DuckDB's reduction
+    order; the same move as `operators/stats.corr_matrix`).  Query
+    terms are DISTINCT (the qtf component is omitted, the common BM25
+    simplification; duplicate query words don't double-count).
+
+    Physical shape (scale-safe): ONE explode + map-side-combined
+    aggregate over the corpus builds (doc, token, tf) and per-doc
+    lengths; document frequencies come from that aggregate, never a
+    re-read; the V-row df table and the 1-row (N, avgdl) aggregate
+    broadcast back; the query-term set (tiny) broadcasts onto the
+    postings, so the only data-sized shuffle is the (query, doc)
+    partial-sum aggregate, bounded by postings of the query terms —
+    the corpus is never joined against itself and never shuffled on a
+    data-dependent key.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_clean_tokens(F.col(text_col))).alias("token"))
+    per_doc = toks.groupBy("__id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dlen = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.crossJoin(dlen.select(F.avg("__dl").alias("__avgdl"))) \
+        .select(F.count(F.lit(1)).alias("__n"), F.first("__avgdl")
+                .alias("__avgdl"))
+    q_terms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(_clean_tokens(F.col(query_col))).alias("token"),
+    ).distinct()
+    contrib = (
+        per_doc.join(F.broadcast(q_terms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dlen, "__id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__qid", "__id",
+            F.round(
+                ((F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b
+                                       + b * F.col("__dl")
+                                       / F.col("__avgdl"))), 6)
+            .cast("decimal(38,6)").alias("__c"),
+        )
+    )
+    scored = contrib.groupBy("__qid", "__id").agg(
+        F.round(F.sum("__c").cast("double"), 6).alias("score"))
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("score"), F.asc("__id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__id").alias(id_col), "score", "rank"))
+
+
+def bm25_topk_sql(table: str, queries_sql: str, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  query_id_col: str = "query_id", query_col: str = "query",
+                  k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical operation order per
+    contribution (round 6 dp → DECIMAL(38,6) → exact sum → 6 dp)."""
+    w = _CLEAN_TOKENS_SQL.format(c=text_col)
+    wq = _CLEAN_TOKENS_SQL.format(c=query_col)
+    idf = "((n_docs - df + 0.5) / (df + 0.5))"
+    tf_part = (f"(tf * ({float(k1)!r} + 1.0)) / (tf + {float(k1)!r} * "
+               f"(1.0 - {float(b)!r} + {float(b)!r} * __dl / __avgdl))")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({w}) AS token FROM {table}
+),
+per_doc AS (
+  SELECT id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dlen AS (SELECT id, count(*)::BIGINT AS __dl FROM toks GROUP BY 1),
+dfreq AS (SELECT token, count(*)::BIGINT AS df FROM per_doc GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*)::BIGINT FROM {table}) AS n_docs,
+         (SELECT avg(__dl) FROM dlen) AS __avgdl
+),
+qt AS (
+  SELECT DISTINCT {query_id_col} AS qid, unnest({wq}) AS token
+  FROM ({queries_sql})
+),
+contrib AS (
+  SELECT qt.qid, p.id,
+         round({idf} * {tf_part}, 6)::DECIMAL(38,6) AS c
+  FROM per_doc p
+  JOIN qt USING (token)
+  JOIN dfreq USING (token)
+  JOIN dlen ON dlen.id = p.id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT qid, id, round(sum(c)::DOUBLE, 6) AS score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid AS {query_id_col}, id AS {id_col}, score,
+       row_number() OVER (
+         PARTITION BY qid ORDER BY score DESC, id ASC
+       )::INTEGER AS rank
+FROM scored
 QUALIFY rank <= {k}
 """.strip()
 

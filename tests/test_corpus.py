@@ -636,3 +636,45 @@ def test_c4_rules_duckdb_parity(documents, sf_dir):
     assert sp == dk
     kept = sum(1 for r in sp if r[6])
     assert 0 < kept < len(sp)  # the rules split the corpus non-trivially
+
+
+def test_bm25_topk_properties_and_sql_parity(spark, sf_dir):
+    """BM25 retrieval: a query made of a document's own text ranks
+    that document first; scores are positive, ranks dense per query;
+    exact parity with the DuckDB twin (DECIMAL contribution sums)."""
+    import duckdb
+
+    from flink_skyline_qos_spark.functions.corpus import (
+        bm25_topk, bm25_topk_sql,
+    )
+    from flink_skyline_qos_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.filter("doc_id % 97 = 3").select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    out = bm25_topk(docs, qs, k=5)
+    rows = out.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.score > 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+    # NOTE: "a doc is its own best match" is NOT a BM25 invariant —
+    # length normalization can rank a shorter doc sharing the query's
+    # high-idf terms above the probe itself (this synthetic corpus is
+    # near-duplicate-heavy, so it actually happens at sf0.001)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = sorted((a, b, float(c), d) for a, b, c, d in con.sql(
+        bm25_topk_sql(
+            "documents",
+            "SELECT doc_id AS query_id, text AS query FROM documents "
+            "WHERE doc_id % 97 = 3", k=5)).fetchall())
+    got = sorted((r.query_id, r.doc_id, float(r.score), r.rank)
+                 for r in rows)
+    assert got == want

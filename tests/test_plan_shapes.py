@@ -596,3 +596,18 @@ def test_skyline_2d_window_global_all_jvm(spark):
     assert not any(n in plan for n in _PYTHON_NODES), plan
     assert re.search(r"^\(\d+\) Window", plan, re.M), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_topk_all_jvm_broadcast_query_terms(spark):
+    """BM25 retrieval stays entirely JVM-side and never joins the
+    corpus against itself: the query-term set and the V-row df/stats
+    tables reach the postings as broadcast joins."""
+    from flink_skyline_qos_spark.functions.corpus import bm25_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qs = docs.filter("doc_id % 97 = 3").select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    plan = _plan(bm25_topk(docs, qs, k=10))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
