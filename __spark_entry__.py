@@ -208,6 +208,8 @@ from flink_skyline_qos_spark.operators.kmeans import (  # noqa: E402
 )
 from flink_skyline_qos_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
+    rrf_fuse,
+    rrf_fuse_sql,
     cosine_topk_gemm,
     cosine_topk_ivf,
     embedding_near_dup_lsh,
@@ -888,6 +890,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("text").alias("query"))
         return bm25_topk(docs, qs, k=10)
     q["bm25_topk_documents"] = _bm25
+
+    # Hybrid retrieval: RRF fusion of the sparse BM25 list and the
+    # dense exact-cosine list over the SAME probe ids (vec_id <-> doc_id
+    # in the synthetic tables) — integer-exact fused scores
+    def _hybrid(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        emb = load_table(s, d, "embeddings")
+        sparse = bm25_topk(
+            docs,
+            docs.filter("doc_id % 97 = 3").select(
+                F.col("doc_id").alias("query_id"),
+                F.col("text").alias("query")), k=10)
+        dense = cosine_topk(
+            emb,
+            emb.filter("vec_id % 97 = 3").select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=10).select(
+            "query_id", F.col("vec_id").alias("doc_id"), "rank")
+        return rrf_fuse(sparse.select("query_id", "doc_id", "rank"),
+                        dense, k0=60, k=10)
+    q["hybrid_retrieval_documents"] = _hybrid
 
     q["tfidf_documents"] = lambda s, d: tfidf_top_terms(
         load_table(s, d, "documents"), k=5, min_df=2)
@@ -2111,6 +2134,30 @@ FROM reach GROUP BY node HAVING min(comp) = node
         "documents",
         "SELECT doc_id AS query_id, text AS query FROM documents "
         "WHERE doc_id % 97 = 3", k=10)
+    _dense_probe_sql = """
+WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 97 = 3),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id)::INTEGER AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10
+""".strip()
+    o["hybrid_retrieval_documents"] = rrf_fuse_sql(
+        bm25_topk_sql(
+            "documents",
+            "SELECT doc_id AS query_id, text AS query FROM documents "
+            "WHERE doc_id % 97 = 3", k=10),
+        _dense_probe_sql, k0=60, k=10)
     o["tfidf_documents"] = tfidf_top_terms_sql(
         "documents", k=5, min_df=2)
     o["rarity_documents"] = rarity_score_sql("documents")

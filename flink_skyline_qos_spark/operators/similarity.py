@@ -105,6 +105,78 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     )
 
 
+def rrf_fuse(*rankings: DataFrame, k0: int = 60, k: int = 10,
+             query_id_col: str = "query_id",
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal Rank Fusion over any number of (query_id, id, rank)
+    ranking frames — the standard hybrid-retrieval combiner (Cormack,
+    Clarke & Büttcher 2009): fused score = Σ_r 1/(k0 + rank_r), summed
+    over the rankings that returned the item.  Fuses the sparse BM25
+    list with the dense ANN list (or any mix) without score
+    calibration — only ranks matter.
+
+    Engine-exact integer arithmetic: each contribution is the BIGINT
+    ``floor(1e9 / (k0 + rank))`` and the fused score their exact sum
+    (1/(k0+r) is not representable in binary OR finite decimal, so a
+    float sum would be engine-order-dependent; the integer grid is the
+    same move as the exact-integer PageRank).  Output (query_id, id,
+    rrf_score, rank), rank 1..k under (rrf_score DESC, id ASC).
+
+    Scale shape: inputs are already top-k-per-query lists (tiny —
+    |queries|·k rows each), so the union + sum + window is a few
+    hundred rows per query regardless of corpus size.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking frame")
+    # `div` is Spark SQL's integer division (`/` would go through a
+    # double and round); DuckDB's `//` is the same operation
+    w_expr = F.expr(f"cast(1000000000 div ({int(k0)} + rank) as long)")
+    parts = [
+        r.select(F.col(query_id_col), F.col(id_col).alias("__id"),
+                 w_expr.alias("__w"))
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy(query_id_col, "__id").agg(
+        F.sum("__w").alias("rrf_score"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_score"), F.asc("__id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, F.col("__id").alias(id_col),
+                    "rrf_score", "rank"))
+
+
+def rrf_fuse_sql(*ranking_sqls: str, k0: int = 60, k: int = 10,
+                 query_id_col: str = "query_id",
+                 id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`rrf_fuse` (identical integer grid)."""
+    if not ranking_sqls:
+        raise ValueError("need at least one ranking SQL")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {query_id_col}, {id_col} AS id, "
+        f"(1000000000 // ({int(k0)} + rank))::BIGINT AS w FROM ({r})"
+        for r in ranking_sqls)
+    return f"""
+WITH allr AS (
+{unions}
+),
+fused AS (
+  SELECT {query_id_col}, id, sum(w)::BIGINT AS rrf_score
+  FROM allr GROUP BY 1, 2
+)
+SELECT {query_id_col}, id AS {id_col}, rrf_score,
+       row_number() OVER (
+         PARTITION BY {query_id_col}
+         ORDER BY rrf_score DESC, id ASC
+       )::INTEGER AS rank
+FROM fused
+QUALIFY rank <= {k}
+""".strip()
+
+
 def cosine_topk_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:

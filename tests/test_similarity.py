@@ -374,3 +374,28 @@ def test_cross_lsh_cache_ownership_and_empty_side(spark, sf_dir):
     gc.collect()
     assert sigs.storageLevel.useMemory or sigs.storageLevel.useDisk
     sigs.unpersist()
+
+
+def test_rrf_fuse_integer_exact_and_union_semantics(spark):
+    """RRF fusion: integer-grid weights (floor(1e9/(k0+rank))), items
+    in several lists sum their contributions, single-list items keep
+    one, rank dense under (score DESC, id ASC)."""
+    from flink_skyline_qos_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)],
+        "query_id long, doc_id long, rank int")
+    out = {(r.doc_id): (r.rrf_score, r.rank)
+           for r in rrf_fuse(a, b, k0=60, k=10).collect()}
+    w = lambda r: 1_000_000_000 // (60 + r)
+    assert out[20] == (w(2) + w(1), 1)   # fused: in both lists
+    assert out[10] == (w(1), 2)
+    assert out[40] == (w(2), 3)
+    assert out[30] == (w(3), 4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse()
