@@ -1851,6 +1851,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
+    def _cosine_topk_oracle(probe_pred: str, k: int,
+                            select: str) -> str:
+        """Exact-cosine top-k oracle over embeddings, shared by the
+        ann_topk_* oracles and the hybrid-retrieval dense leg (review
+        r9 pass 2: two verbatim copies of this CTE chain)."""
+        return f"""
+WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE {probe_pred}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT {select}
+FROM ranked WHERE rn <= {k}
+""".strip()
+
+
     li = f"(SELECT {', '.join(LI_COLS)} FROM lineitem)"
     sky2 = skyline_not_exists_sql(li, LI_DIMS2)
     o["skyline_2d_lineitem"] = sky2
@@ -2134,24 +2160,9 @@ FROM reach GROUP BY node HAVING min(comp) = node
         "documents",
         "SELECT doc_id AS query_id, text AS query FROM documents "
         "WHERE doc_id % 97 = 3", k=10)
-    _dense_probe_sql = """
-WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 97 = 3),
-scored AS (
-  SELECT q.query_id, c.vec_id,
-         list_dot_product(c.v, q.qv)
-           / (sqrt(list_dot_product(c.v, c.v))
-              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
-  FROM c CROSS JOIN q
-), ranked AS (
-  SELECT query_id, vec_id AS doc_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, vec_id)::INTEGER AS rank
-  FROM scored
-)
-SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10
-""".strip()
+    _dense_probe_sql = _cosine_topk_oracle(
+        "vec_id % 97 = 3", 10,
+        "query_id, vec_id AS doc_id, rn::INTEGER AS rank")
     o["hybrid_retrieval_documents"] = rrf_fuse_sql(
         bm25_topk_sql(
             "documents",
@@ -2377,25 +2388,9 @@ red AS (
         "(SELECT doc_id, lang FROM documents)", ["lang"], ["doc_id"],
         base_rate=0.5, temperature=2.0)
 
-    _ann_oracle = """
-WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5),
-scored AS (
-  SELECT q.query_id, c.vec_id,
-         list_dot_product(c.v, q.qv)
-           / (sqrt(list_dot_product(c.v, c.v))
-              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
-  FROM c CROSS JOIN q
-), ranked AS (
-  SELECT query_id, vec_id, sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, vec_id) AS rn
-  FROM scored
-)
-SELECT query_id, vec_id, round(sim, 6) AS cos_sim, cast(rn AS int) AS rank
-FROM ranked WHERE rn <= 10
-""".strip()
+    _ann_oracle = _cosine_topk_oracle(
+        "vec_id < 5", 10,
+        "query_id, vec_id, round(sim, 6) AS cos_sim, cast(rn AS int) AS rank")
     o["ann_topk_embeddings"] = _ann_oracle
     o["ann_topk_gemm_embeddings"] = _ann_oracle
     o["ann_topk_ivf_embeddings"] = _ann_oracle

@@ -629,11 +629,16 @@ def bm25_topk(df: DataFrame, queries: DataFrame, *,
         F.explode(_clean_tokens(F.col(text_col))).alias("token"))
     per_doc = toks.groupBy("__id", "token").agg(
         F.count(F.lit(1)).alias("tf"))
-    dlen = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    # doc lengths and document frequencies both DERIVE from per_doc —
+    # its exchange is then shared by all three consumers (Spark's
+    # ReuseExchange), so the corpus is tokenized exactly once; an
+    # explode-side dlen aggregate would be a second full tokenize pass
+    # (review r9, pass 2)
+    dlen = per_doc.groupBy("__id").agg(
+        F.sum("tf").cast("long").alias("__dl"))
     dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = df.crossJoin(dlen.select(F.avg("__dl").alias("__avgdl"))) \
-        .select(F.count(F.lit(1)).alias("__n"), F.first("__avgdl")
-                .alias("__avgdl"))
+    stats = df.select(F.count(F.lit(1)).alias("__n")).crossJoin(
+        dlen.agg(F.avg("__dl").alias("__avgdl")))
     q_terms = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.explode(_clean_tokens(F.col(query_col))).alias("token"),
@@ -682,7 +687,7 @@ WITH toks AS (
 per_doc AS (
   SELECT id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
 ),
-dlen AS (SELECT id, count(*)::BIGINT AS __dl FROM toks GROUP BY 1),
+dlen AS (SELECT id, sum(tf)::BIGINT AS __dl FROM per_doc GROUP BY 1),
 dfreq AS (SELECT token, count(*)::BIGINT AS df FROM per_doc GROUP BY 1),
 stats AS (
   SELECT (SELECT count(*)::BIGINT FROM {table}) AS n_docs,

@@ -39,6 +39,8 @@ __all__ = [
     "embedding_signatures",
     "knn_graph",
     "knn_graph_sql",
+    "rrf_fuse",
+    "rrf_fuse_sql",
 ]
 
 

@@ -120,19 +120,27 @@ def _narrow_rewrite(df: DataFrame, cols: Sequence[str]) -> bool:
     return 8 * len(extra) > max(2 * 8 * len(cols), 48)
 
 
-def _join_back(df: DataFrame, vecs: DataFrame,
-               cols: Sequence[str]) -> DataFrame:
-    """Restore full rows: keep exactly the rows of `df` whose dim
-    vector appears in `vecs` (the dims-only skyline).  `df` must
-    already be `_complete`'d, so plain equality join keys are exact
-    (no NULL/NaN dim rows on either side; Spark normalizes -0.0 in
-    join keys, matching the kernels' numeric equality).  The trailing
-    select restores the input column order — a USING-join moves the
-    key columns first."""
+def _join_back(df: DataFrame, vecs: DataFrame, cols: Sequence[str],
+               by: "Sequence[str]" = ()) -> DataFrame:
+    """Restore full rows: keep exactly the rows of `df` whose
+    (group keys, dim vector) appears in `vecs` (the dims-only
+    skyline).  `df` must already be `_complete`'d, so plain equality
+    on the dims is exact (no NULL/NaN dim rows on either side; Spark
+    normalizes -0.0 in join keys, matching the kernels' numeric
+    equality); `by` group keys join NULL-SAFELY — grouped_skyline
+    treats NULL as a regular group value.  The trailing select
+    restores the input column order."""
+    from functools import reduce as _red
+    from operator import and_ as _and
+
+    keys = [*by, *cols]
+    r = vecs.select(*keys).distinct().select(
+        *[F.col(c).alias(f"__r_{c}") for c in keys])
+    cond = _red(_and, [
+        F.col(c).eqNullSafe(F.col(f"__r_{c}")) for c in by
+    ] + [F.col(c) == F.col(f"__r_{c}") for c in cols])
     out = _keep_alive(
-        df.join(vecs.select(*cols).distinct(), list(cols), "left_semi")
-        .select(*df.columns),
-        vecs)
+        df.join(r, cond, "left_semi").select(*df.columns), vecs)
     if hasattr(vecs, "_verify_strategy"):  # propagate the dispatch probe
         out._verify_strategy = vecs._verify_strategy
     return out
@@ -999,21 +1007,9 @@ def grouped_skyline(df: DataFrame, cols: Sequence[str],
         fire = (width_safe if width_safe is not None
                 else _narrow_rewrite(df, narrow_cols))
         if fire:
-            from functools import reduce as _red
-            from operator import and_ as _and
-
             vecs = grouped_skyline(narrow, cols, by, salt=salt,
-                                   strategy="kernel",
-                                   width_safe=False).distinct()
-            r = vecs.select(
-                *[F.col(c).alias(f"__r_{c}") for c in vecs.columns])
-            # NULL group keys form regular groups — null-safe equality
-            # on the group keys; dims are non-null post-_complete
-            cond = _red(_and, [
-                F.col(c).eqNullSafe(F.col(f"__r_{c}")) for c in by
-            ] + [F.col(c) == F.col(f"__r_{c}") for c in cols])
-            return _keep_alive(
-                df.join(r, cond, "left_semi").select(*df.columns), vecs)
+                                   strategy="kernel", width_safe=False)
+            return _join_back(df, vecs, cols, by=by)
     if strategy == "window":
         if len(cols) != 2:
             raise ValueError("window strategy requires exactly 2 dims")

@@ -464,8 +464,12 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
         batch = batch_df.select(id_col, text_col).persist()
         if batch.count() == 0:
             # commit the empty batch (review r9; see the embedding loop)
+            # store schema must match the non-empty batches': the sig
+            # store carries id_col (minhash_signatures renames id →
+            # id_col before the write) — a literal "id" here broke the
+            # next batch's cross-check read (review r9, pass 2)
             _commit_empty(spark, sig_dir, bdir, batch_id,
-                          "id long, sig array<long>", batch.schema)
+                          f"{id_col} long, sig array<long>", batch.schema)
             batch.unpersist()
             _compact_store(spark, sig_dir, adm_dir, snap, snap_b,
                            batch_id, compact_every)

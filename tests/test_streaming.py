@@ -1674,3 +1674,49 @@ def test_compact_store_sweeps_strandlings_from_crashed_gc(spark, tmp_path):
     assert not (store / "batch=1").exists()
     assert (store / "batch=2").exists()       # newer than the snapshot
     assert (store / "compact=1").exists()     # the live snapshot stays
+
+
+def test_minhash_admission_empty_first_batch_store_schema(spark, tmp_path):
+    """Review r9 pass 2: an EMPTY first batch's committed sig store must
+    carry the same column names as non-empty stores (id_col, not a
+    literal 'id') — the next batch's cross-check reads all committed
+    stores with one schema, and the mismatch killed the stream with an
+    unresolved-column error."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_minhash_admission,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([], schema)             # EMPTY first batch
+    b1 = spark.createDataFrame([(1, base)], schema)
+    b2 = spark.createDataFrame([(10, base + " extra")], schema)
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    now = _time.time()
+    for i, part in enumerate((b0, b1, b2)):
+        tmpd = str(tmp_path / f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        dst = str(data_dir / f"part-{i}.parquet")
+        _shutil.move(_glob.glob(f"{tmpd}/part-*.parquet")[0], dst)
+        _os.utime(dst, (now - 20 + 10 * i,) * 2)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(data_dir)))
+    work = str(tmp_path / "work")
+    # compact_every high: batch 2's cross-check reads the RAW batch=0
+    # (empty) and batch=1 stores together — the schema-mismatch path
+    run_streaming_minhash_admission(stream, work, threshold=0.5,
+                                    compact_every=99)
+    admitted = sorted(r.doc_id for r in spark.read
+                      .option("recursiveFileLookup", "true")
+                      .parquet(f"{work}/admitted").collect())
+    assert admitted == [1]  # 10 rejected via the standing store
+    s0 = spark.read.parquet(f"{work}/sigs/batch=0")
+    s1 = spark.read.parquet(f"{work}/sigs/batch=1")
+    assert s0.columns == s1.columns == ["doc_id", "sig"]
