@@ -150,21 +150,15 @@ def main() -> None:
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM AND the Arrow Python worker pool outside timed
-    # sections: the first pandas-UDF stage in a fresh session pays the
-    # fork + numpy/pandas import of every daemon worker (measured 30-45 s
-    # across the first heavy queries at local[32] — the entire r2
-    # "regression" of skyline_metrics_mr_dim and most of minhash's).
-    # One narrow mapInPandas pass over one partition per core spins all
-    # of them up; a long-lived cluster job is always in this warm state.
-    def _ident(batches):
-        for pdf in batches:
-            yield pdf
-
+    # sections (warm_arrow_pool — shared with the oracle gate; the r2
+    # "regression" of skyline_metrics_mr_dim and most of minhash's was
+    # this fork+import cost billed to the first heavy queries).
     # The warmup IS the cold-start cost — record it so the warm-pool
     # bench discipline keeps the cold number honest (VERDICT r3 #9).
+    from flink_skyline_qos_spark.session import warm_arrow_pool
+
     t_cold = time.perf_counter()
-    spark.range(0, 64 * cpus, 1, 2 * cpus).selectExpr("id", "rand() x") \
-        .mapInPandas(_ident, schema="id long, x double").count()
+    warm_arrow_pool(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
     cold_start = round(time.perf_counter() - t_cold, 3)
     print(f"# cold_start (JVM + Arrow worker-pool spin-up): {cold_start}s",

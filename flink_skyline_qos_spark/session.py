@@ -12,6 +12,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def warm_arrow_pool(spark) -> None:
+    """Spin up every Arrow Python daemon worker OUTSIDE any timed
+    section: the first pandas-UDF stage of a fresh session pays the
+    fork + numpy/pandas import of every worker (measured 30-45 s
+    across the first heavy queries at local[32]).  One narrow
+    mapInPandas pass over one partition per core warms them all — a
+    long-lived cluster job is always in this state.  Shared by
+    bench.py and tools/check_oracle.py (review r9: the two copies had
+    started to drift)."""
+
+    def _ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, 64 * par, 1, 2 * par).selectExpr("id", "rand() x") \
+        .mapInPandas(_ident, schema="id long, x double").count()
+
+
 def get_spark(app_name: str = "flink-skyline-qos-spark", *,
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:

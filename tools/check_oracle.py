@@ -5,71 +5,122 @@ given sf dir (default sf0.01), comparing row-count, column names, and an
 order-insensitive multiset of values (columns sorted by name, floats
 rounded).  Usage:  python tools/check_oracle.py [sf_dir] [name ...]
 Set ORACLE_JSON=<path> to also write a machine-diffable JSON summary
-(one object per query: rows, match booleans, wall seconds).
+(one object per query: rows, match booleans, wall seconds; queries
+without an oracle are recorded with ``"oracle": false``).
+
+Unknown names on the command line are an ERROR (exit 2) — a typo must
+never read as a green gate (review r9).
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
+from decimal import Decimal
+from fractions import Fraction
 
 import duckdb
 
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from flink_skyline_qos_spark.session import get_spark  # noqa: E402
+from flink_skyline_qos_spark.session import (  # noqa: E402
+    get_spark,
+    warm_arrow_pool,
+)
 from flink_skyline_qos_spark.sources.tables import TABLES  # noqa: E402
 
 
-def norm(v):
+def _el(v):
+    """Canonical, TOTALLY-ORDERED representation of one value.
+
+    The previous tuple-sort crashed on NULLs mixed with values and
+    reported false FAILs on NaN (NaN != NaN element-wise) — review r9.
+    Every value maps to a (rank, number, text) triple: NULLs sort
+    first; all numeric types meet in exact Fraction space (so the
+    int-vs-float and Decimal-vs-float cross-engine equalities the old
+    ``==`` gave are preserved WITHOUT float-precision loss on 60-bit
+    hash columns), floats rounded to 6 dp as before, NaN a distinct
+    equal-to-itself token, -0.0 ≡ 0.0; bytes compare by hex (Spark
+    bytearray vs DuckDB bytes str-representations differ); containers
+    recurse; everything else by str().
+    """
+    if v is None:
+        return (0, Fraction(0), "")
+    if isinstance(v, bool):
+        return (1, Fraction(int(v)), "")
     if isinstance(v, float):
-        return round(v, 6)
-    return v
+        if math.isnan(v):
+            return (2, Fraction(0), "nan")
+        return (2, Fraction(round(v, 6)), "")
+    if isinstance(v, int):
+        return (2, Fraction(v), "")
+    if isinstance(v, Decimal):
+        if v.is_nan():
+            return (2, Fraction(0), "nan")
+        return (2, Fraction(v), "")
+    if isinstance(v, (bytes, bytearray)):
+        return (3, Fraction(0), bytes(v).hex())
+    if isinstance(v, (list, tuple)):
+        return (4, Fraction(0), repr([_el(x) for x in v]))
+    return (5, Fraction(0), str(v))
 
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(tuple(_el(r[i]) for i in order) for r in rows)
 
 
-def _warmup(spark) -> None:
+def _multiset_diff(a, b, n=3):
+    """First `n` canonical rows over-represented on each side — set()
+    diffs print empty for pure multiplicity mismatches (review r9)."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    only_a = list((ca - cb).elements())[:n]
+    only_b = list((cb - ca).elements())[:n]
+    return only_a, only_b
+
+
+def _warmup(spark, *, streaming: bool = True) -> None:
     """One-time engine spin-up OUTSIDE any per-query timing: the Arrow
-    Python worker pool (fork + numpy/pandas import per daemon — the
-    same warmup bench.py does) and the Structured Streaming machinery
-    (state-store providers, micro-batch engine init), which otherwise
-    bill ~5-6 s to whichever registered query happens to run a stream
-    first — an ordering artifact, not a query cost (round 8: the same
-    query measured 12.3 s cold-engine vs 4.3 s warm)."""
+    Python worker pool (shared helper with bench.py) and — for runs
+    that include streaming queries — the Structured Streaming
+    machinery (state-store providers, micro-batch engine init), which
+    otherwise bills ~5-6 s to whichever registered query happens to
+    run a stream first — an ordering artifact, not a query cost
+    (round 8: the same query measured 12.3 s cold-engine vs 4.3 s
+    warm).  The temp workspace is removed afterwards (review r9: every
+    run used to leak an oracle_warm_* tree)."""
     import os
+    import shutil
     import tempfile
 
     t0 = time.time()
+    warm_arrow_pool(spark)
+    if streaming:
+        work = tempfile.mkdtemp(prefix="oracle_warm_")
+        try:
+            src = os.path.join(work, "src")
+            spark.range(8).selectExpr("id", "cast(id as string) s") \
+                .coalesce(1).write.mode("overwrite").parquet(src)
 
-    def _ident(batches):
-        for pdf in batches:
-            yield pdf
+            def _touch(batch_df, batch_id):
+                batch_df.persist().count()
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(work, f"out{batch_id}"))
+                batch_df.unpersist()
 
-    par = spark.sparkContext.defaultParallelism
-    spark.range(0, 64 * par, 1, 2 * par).selectExpr("id", "rand() x") \
-        .mapInPandas(_ident, schema="id long, x double").count()
-    work = tempfile.mkdtemp(prefix="oracle_warm_")
-    src = os.path.join(work, "src")
-    spark.range(8).selectExpr("id", "cast(id as string) s") \
-        .coalesce(1).write.mode("overwrite").parquet(src)
-
-    def _touch(batch_df, batch_id):
-        batch_df.persist().count()
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(work, f"out{batch_id}"))
-        batch_df.unpersist()
-
-    q = (spark.readStream.schema("id long, s string").parquet(src)
-         .writeStream.foreachBatch(_touch)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    print(f"# engine warmup (Arrow pool + streaming init): "
+            q = (spark.readStream.schema("id long, s string").parquet(src)
+                 .writeStream.foreachBatch(_touch)
+                 .option("checkpointLocation", os.path.join(work, "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(f"# engine warmup (Arrow pool"
+          f"{' + streaming init' if streaming else ''}): "
           f"{time.time() - t0:.1f}s")
 
 
@@ -79,12 +130,21 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        print("(a typo must not read as a green gate)")
+        return 2
     spark = get_spark("oracle-check")
-    _warmup(spark)
+    # single-query spot checks skip the streaming spin-up unless they
+    # actually exercise a stream — keeps the edit-check loop fast
+    _warmup(spark, streaming=(not only
+                              or any("streaming" in n or "pipeline" in n
+                                     for n in only)))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     report = {}
     for name, fn in qs.items():
@@ -96,7 +156,14 @@ def main():
         srows = [tuple(r) for r in df.collect()]
         t_spark = time.time() - t0
         if name not in os_:
-            print(f"  {name}: rows={len(srows)} (rows-only, no oracle) "
+            # by-design weaker check for non-SQL-expressible ops — but
+            # RECORDED, so the JSON diff shows the query existed and
+            # was never value-checked (review r9: silently green)
+            report[name] = {
+                "oracle": False, "rows_spark": len(srows),
+                "spark_s": round(t_spark, 1),
+            }
+            print(f"  {name}: rows={len(srows)} (rows-only, NO ORACLE) "
                   f"[{t_spark:.1f}s]")
             continue
         t0 = time.time()
@@ -121,9 +188,9 @@ def main():
                 print(f"    cols spark={sorted(scols)} duck={sorted(ocols)}")
             else:
                 a, b = canon(scols, srows), canon(ocols, orows)
-                sa, sb = set(a), set(b)
-                print(f"    only-spark={list(sa - sb)[:3]}")
-                print(f"    only-duck={list(sb - sa)[:3]}")
+                oa, ob = _multiset_diff(a, b)
+                print(f"    over-in-spark={oa}")
+                print(f"    over-in-duck={ob}")
     print("FAILURES:", failures or "none")
     out = os.environ.get("ORACLE_JSON")
     if out:
