@@ -38,33 +38,56 @@ def _el(v):
     The previous tuple-sort crashed on NULLs mixed with values and
     reported false FAILs on NaN (NaN != NaN element-wise) — review r9.
     Every value maps to a (rank, number, text) triple: NULLs sort
-    first; all numeric types meet in exact Fraction space (so the
+    first; all numeric types — bool included, preserving the old
+    ``==``'s True≡1 — meet in exact Fraction space (so the
     int-vs-float and Decimal-vs-float cross-engine equalities the old
     ``==`` gave are preserved WITHOUT float-precision loss on 60-bit
-    hash columns), floats rounded to 6 dp as before, NaN a distinct
-    equal-to-itself token, -0.0 ≡ 0.0; bytes compare by hex (Spark
-    bytearray vs DuckDB bytes str-representations differ); containers
-    recurse; everything else by str().
+    hash columns), floats rounded to 6 dp as before, NaN and ±inf
+    distinct equal-to-themselves tokens (Fraction cannot represent
+    them — second review pass), -0.0 ≡ 0.0; bytes compare by hex
+    (Spark bytearray vs DuckDB bytes str-representations differ);
+    containers recurse; everything else by str().
     """
     if v is None:
         return (0, Fraction(0), "")
-    if isinstance(v, bool):
-        return (1, Fraction(int(v)), "")
     if isinstance(v, float):
         if math.isnan(v):
             return (2, Fraction(0), "nan")
+        if math.isinf(v):
+            return (2, Fraction(0), "inf" if v > 0 else "-inf")
         return (2, Fraction(round(v, 6)), "")
-    if isinstance(v, int):
+    if isinstance(v, int):  # bool is an int subtype: True canons as 1
         return (2, Fraction(v), "")
     if isinstance(v, Decimal):
         if v.is_nan():
             return (2, Fraction(0), "nan")
+        if v.is_infinite():
+            return (2, Fraction(0), "inf" if v > 0 else "-inf")
         return (2, Fraction(v), "")
     if isinstance(v, (bytes, bytearray)):
         return (3, Fraction(0), bytes(v).hex())
     if isinstance(v, (list, tuple)):
         return (4, Fraction(0), repr([_el(x) for x in v]))
     return (5, Fraction(0), str(v))
+
+
+def _pretty(row):
+    """Human form of one canonical row for FAIL diagnostics — raw
+    (rank, Fraction, text) triples are unreadable (second review
+    pass)."""
+
+    def p(c):
+        rank, num, text = c
+        if rank == 0:
+            return None
+        if rank == 2:
+            if text:
+                return text  # nan / inf / -inf token
+            f = float(num)
+            return int(f) if f.is_integer() else f
+        return text
+
+    return tuple(p(c) for c in row)
 
 
 def canon(cols, rows):
@@ -138,7 +161,11 @@ def main():
         return 2
     spark = get_spark("oracle-check")
     # single-query spot checks skip the streaming spin-up unless they
-    # actually exercise a stream — keeps the edit-check loop fast
+    # actually exercise a stream — keeps the edit-check loop fast.
+    # NAME-COUPLED heuristic: every stream-exercising query today has
+    # "streaming" or "pipeline" in its name; a future stream query
+    # named otherwise only mis-times its own spot-check run (the full
+    # gate always warms), so keep the names conventional.
     _warmup(spark, streaming=(not only
                               or any("streaming" in n or "pipeline" in n
                                      for n in only)))
@@ -172,7 +199,9 @@ def main():
         orows = rel.fetchall()
         t_duck = time.time() - t0
         ok_cols = sorted(scols) == sorted(ocols)
-        ok_vals = ok_cols and canon(scols, srows) == canon(ocols, orows)
+        ca = canon(scols, srows) if ok_cols else None
+        cb = canon(ocols, orows) if ok_cols else None
+        ok_vals = ok_cols and ca == cb
         status = "OK" if ok_vals else "FAIL"
         report[name] = {
             "rows_spark": len(srows), "rows_duck": len(orows),
@@ -187,10 +216,9 @@ def main():
             if not ok_cols:
                 print(f"    cols spark={sorted(scols)} duck={sorted(ocols)}")
             else:
-                a, b = canon(scols, srows), canon(ocols, orows)
-                oa, ob = _multiset_diff(a, b)
-                print(f"    over-in-spark={oa}")
-                print(f"    over-in-duck={ob}")
+                oa, ob = _multiset_diff(ca, cb)
+                print(f"    over-in-spark={[_pretty(r) for r in oa]}")
+                print(f"    over-in-duck={[_pretty(r) for r in ob]}")
     print("FAILURES:", failures or "none")
     out = os.environ.get("ORACLE_JSON")
     if out:
