@@ -230,6 +230,8 @@ from flink_skyline_qos_spark.plans.queries import (  # noqa: E402
 from flink_skyline_qos_spark.sources.generators import (  # noqa: E402
     generate_docs_hash,
     generate_docs_sql,
+    generate_embeddings_hash,
+    generate_embeddings_sql,
     generate_points_hash,
     generate_points_sql,
 )
@@ -255,6 +257,27 @@ LI_COLS = [
 ]
 NUM_PARTS = 8
 GEN_N = 20_000
+
+#: Queries that exercise Structured Streaming.  The oracle gate warms
+#: the streaming engine before timing a spot check of any of these
+#: (ADVICE r9: warmup was a name-substring heuristic; this registry is
+#: the metadata, and tests/test_bench_output.py's drift guard asserts
+#: it matches the queries whose source actually touches the streaming
+#: APIs).
+STREAM_QUERIES = frozenset({
+    "streaming_c4_admission_documents",
+    "streaming_continuous_global",
+    "streaming_continuous_skyline",
+    "streaming_count_min_windows_events",
+    "streaming_embedding_admission_embeddings",
+    "streaming_hll_windows_events",
+    "streaming_ingest_pipeline_documents",
+    "streaming_interval_join_events",
+    "streaming_late_data_events",
+    "streaming_paragraph_admission_documents",
+    "streaming_pipeline_skyline",
+    "streaming_quantiles_windows_events",
+})
 # the events table's closed vocabulary (TESTDATA.md) — the fixed
 # candidate set the windowed count-min sketch watches
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -1822,12 +1845,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- ANN quality evaluation: recall@10 of the compressed ADC
     # search against the exact cosine top-k — the metric that decides
     # whether a PQ configuration is shippable.  Pure composition of
-    # the two registered operators; per-query exact fractions.  (On
-    # these RANDOM synthetic embeddings recall is low — clusterless
-    # vectors are PQ's worst case at 16 bits; the self-hit floors
-    # every query at 0.1.  The measurement, not the value, is the op.)
+    # the two registered operators; per-query exact fractions.  Runs
+    # on the PLANTED-CLUSTER generated corpus (VERDICT r9 #5): on the
+    # shipped i.i.d. embeddings — PQ's worst case — recall floored at
+    # the 0.1 self-hit and gave a user tuning a PQ config no signal;
+    # with 200 planted centers (10 members each, jitter 0.5) the
+    # measured recall@10 is 0.88 at 16 bits (m=4·k=16) vs 0.30 at
+    # 8 bits (m=2) — an actual quality dial (BENCHMARKS.md round 10).
     def _ann_recall(s: SparkSession, d: str) -> DataFrame:
-        emb = load_table(s, d, "embeddings")
+        emb = generate_embeddings_hash(s, 2000, dim=64, k_centers=200,
+                                       jitter=0.5)
         qs = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), "embedding")
         exact = cosine_topk(emb, qs, k=10).select("query_id", "vec_id")
@@ -1843,7 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         (F.coalesce(F.col("n_hits"),
                                     F.lit(0).cast("long"))
                          / F.lit(10.0)).alias("recall")))
-    q["ann_recall_adc_embeddings"] = _ann_recall
+    q["ann_recall_adc_clustered"] = _ann_recall
 
     return q
 
@@ -1851,15 +1878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
-    def _cosine_topk_oracle(probe_pred: str, k: int,
-                            select: str) -> str:
-        """Exact-cosine top-k oracle over embeddings, shared by the
-        ann_topk_* oracles and the hybrid-retrieval dense leg (review
-        r9 pass 2: two verbatim copies of this CTE chain)."""
+    def _cosine_topk_oracle(probe_pred: str, k: int, select: str,
+                            corpus: str = "embeddings") -> str:
+        """Exact-cosine top-k oracle over `corpus` (a table name or a
+        parenthesized subquery), shared by the ann_topk_* oracles, the
+        hybrid-retrieval dense leg (review r9 pass 2: two verbatim
+        copies of this CTE chain) and the clustered recall oracle."""
         return f"""
-WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM {corpus}),
 q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE {probe_pred}),
+      FROM {corpus} WHERE {probe_pred}),
 scored AS (
   SELECT q.query_id, c.vec_id,
          list_dot_product(c.v, q.qv)
@@ -2576,9 +2604,25 @@ WHERE list_dot_product(a.v, b.v)
         "WHERE vec_id < 5",
         dim=64, m=4, k=16, iterations=2, dp=4, shortlist=50, topk=10)
 
-    o["ann_recall_adc_embeddings"] = f"""
-WITH __ex AS ({o["ann_topk_embeddings"]}),
-__adc AS ({o["pq_adc_topk_embeddings"]}),
+    # clustered recall (VERDICT r9 #5): same composition, but over the
+    # planted-cluster generated corpus — both legs rebuilt on the
+    # generator twin so the whole chain stays value-exact.  The corpus
+    # CTE is MATERIALIZED: the k-means CTE chain references it dozens
+    # of times and DuckDB would otherwise re-inline (re-generate) the
+    # md5 corpus at every reference — measured 50 s vs 3.7 s.
+    _ex_clustered = _cosine_topk_oracle(
+        "vec_id < 5", 10, "query_id, vec_id", corpus="__corpus")
+    _adc_clustered = pq_adc_topk_sql(
+        "SELECT vec_id, embedding FROM __corpus",
+        "SELECT vec_id AS query_id, embedding FROM __corpus "
+        "WHERE vec_id < 5",
+        dim=64, m=4, k=16, iterations=2, dp=4, topk=10)
+    o["ann_recall_adc_clustered"] = f"""
+WITH __corpus AS MATERIALIZED (
+  {generate_embeddings_sql(2000, dim=64, k_centers=200, jitter=0.5)}
+),
+__ex AS ({_ex_clustered}),
+__adc AS ({_adc_clustered}),
 __q AS (SELECT DISTINCT query_id FROM __ex),
 __hit AS (
   SELECT e.query_id, count(*)::BIGINT AS n_hits

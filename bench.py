@@ -66,10 +66,7 @@ HEADLINE = [
     # round-8 (VERDICT r7 #1): the seven round-7 corpus/dedup operators
     # — the ops where sf0.1 exposes what sf0.01 hides (the r2 minhash
     # per-row-fold regression was invisible at sf0.01)
-    "paragraph_dedup_documents",
-    "c4_filter_documents",
     "winnow_pairs_documents",
-    "passage_contamination_documents",
     "llm_corpus_v3_documents",
     "langid_confusion_documents",
     "streaming_paragraph_admission_documents",
@@ -85,6 +82,13 @@ HEADLINE = [
 # their steady-state timings are recorded in BENCHMARKS.md and their
 # correctness stays gated every round via queries()/oracle_sql().
 ROTATED_OUT = [
+    # round-10 rotations: r8 additions that proved stable + sub-second
+    # for two straight rounds, swapped out to fit the two new scale
+    # rows (synth_dedup_1m, plus scatter/1B already counted) in the
+    # line budget
+    "paragraph_dedup_documents",      # 0.23 s r8-r9
+    "c4_filter_documents",            # 0.24 s r8-r9
+    "passage_contamination_documents",  # 0.43-0.85 s r8-r9
     "pack_sequences_documents",       # 1.10-1.24 s across r5-r8
     "text_stats_documents",   # 0.39 s across r4-r7
     "tfidf_documents",        # 0.85 s
@@ -144,8 +148,16 @@ def main() -> None:
     # the 1B-point 2-D row pins a ~24 GB input (1B × 24 B columnar):
     # the 32g session default would spill it to disk and time I/O, not
     # the plan.  Set BEFORE the first session of the process (driver
-    # memory binds at JVM launch); explicit env still wins.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "56g")
+    # memory binds at JVM launch); explicit env still wins.  Scaled to
+    # the host (ADVICE r9): on smaller machines a hard 56g would fail
+    # JVM launch or swap — cap at ~70% of MemTotal.
+    try:
+        with open("/proc/meminfo") as fh:
+            mem_kb = int(fh.readline().split()[1])
+        cap_g = max(4, int(mem_kb / 1024 / 1024 * 0.7))
+    except (OSError, ValueError, IndexError):
+        cap_g = 56
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{min(56, cap_g)}g")
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -210,6 +222,84 @@ def main() -> None:
                 floor_exited.append(name)
             return True
         return False
+
+    # Synthetic-corpus dedup at scale: MinHash+LSH near-dup pairs over
+    # generated documents with planted near-dup pairs as ground truth.
+    # Extends the scale evidence from the skyline stack to the dedup
+    # stack: the banded LSH plan's cost is signatures (one Arrow pass)
+    # + band groupBy, never all-pairs, so the rows scale linearly like
+    # the anticorr rows do.  Inputs pinned once, like the workloads
+    # below.  These run FIRST in the sweep (VERDICT r9 #3): the 100k
+    # row spent three rounds flagged `unconverged` while LAST in the
+    # sweep — after the 1B row's ~24 GB generation + cache peak —
+    # converging fine on quiet hosts (7.4-10.5 s band).  Running it
+    # before any self-load accumulates (plus 6 samples instead of 4)
+    # is the convergence policy; the 20%-agreement rule is unchanged.
+    # The 1M-doc row (VERDICT r9 #6) gives the dedup stack one decade
+    # of scale evidence: the full pipeline (pairs → connected
+    # components → canonical survivors) over a 10× corpus.
+    from flink_skyline_qos_spark.operators.clustering import (
+        connected_components,
+    )
+    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_docs_hash,
+    )
+
+    from pyspark.sql import functions as F  # noqa: E402
+
+    def _pairs(docs):
+        return minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                 shingle_k=3, shingle_unit="word",
+                                 threshold=0.5)
+
+    def _pairs_count(docs) -> int:
+        return _pairs(docs).count()
+
+    def _dedup_count(docs) -> int:
+        # full dedup pipeline: pairs → connected components → canonical
+        # corpus size (each component keeps its min doc_id; unpaired
+        # documents are isolated components of themselves and survive)
+        comp = connected_components(_pairs(docs), "id_a", "id_b")
+        dup_ids = comp.join(
+            comp.groupBy("component").agg(F.min("node").alias("keep")),
+            on="component").filter(F.col("node") != F.col("keep"))
+        return docs.count() - dup_ids.count()
+
+    for name, n_docs, max_s, run_count in (
+        ("synth_minhash_100k", 100_000, 6, _pairs_count),
+        ("synth_dedup_1m", 1_000_000, 3, _dedup_count),
+    ):
+        docs = generate_docs_hash(spark, n_docs, vocab_size=20_000,
+                                  doc_len=30, dup="near",
+                                  num_partitions=2 * cpus).persist()
+        docs.count()
+        runs = []
+        load_pre = os.getloadavg()[0]
+        for _ in range(max_s):
+            t0 = time.perf_counter()
+            n = run_count(docs)
+            runs.append(round(time.perf_counter() - t0, 3))
+            gc.collect()
+            if len(runs) >= 2 and _converged(name, runs):
+                break
+        else:
+            if len(runs) >= 2 and not _converged(name, runs):
+                unconverged.append(name)
+        timings[name] = min(runs)
+        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
+        if name == "synth_dedup_1m":
+            # planted-pair recall (untimed): every 10th document is a
+            # near-dup of its predecessor — those pairs must be found
+            planted = n_docs // 10 - 1
+            hit = _pairs(docs).filter(
+                (F.col("id_b") == F.col("id_a") + 1)
+                & (F.col("id_b") % 10 == 0)).count()
+            print(f"# {name}: planted-pair recall {hit}/{planted} = "
+                  f"{hit / planted:.4f}", file=sys.stderr)
+        docs.unpersist(True)
+        print(f"# {name}: out={n} in {timings[name]}s (runs: {runs}, "
+              f"load: {loads[name]})", file=sys.stderr)
 
     # every-third-round rotation (BENCHMARKS.md "headline rotation"):
     # set SPARK_GRAFT_BENCH_ROTATE=1 to time the rotated-out stable set
@@ -386,45 +476,6 @@ def main() -> None:
         loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
         print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs}, "
               f"load: {loads[name]}, dispatch: {disp})", file=sys.stderr)
-
-    # Synthetic-corpus dedup at scale: MinHash+LSH near-dup pairs over
-    # 100k generated documents — 20× the sf0.1 documents table, with
-    # ~10k planted near-dup pairs as ground truth.  Extends the scale
-    # evidence from the skyline stack to the dedup stack: the banded
-    # LSH plan's cost is signatures (one Arrow pass) + band groupBy,
-    # never all-pairs, so the row should scale linearly like the
-    # anticorr rows do.  Input pinned once, like the workloads above.
-    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
-    from flink_skyline_qos_spark.sources.generators import (
-        generate_docs_hash,
-    )
-
-    name = "synth_minhash_100k"
-    docs = generate_docs_hash(spark, 100_000, vocab_size=20_000,
-                              doc_len=30, dup="near",
-                              num_partitions=2 * cpus).persist()
-    docs.count()
-    runs = []
-    load_pre = os.getloadavg()[0]
-    for _ in range(4):
-        t0 = time.perf_counter()
-        res = minhash_lsh_pairs(docs, num_hashes=64, bands=16,
-                                shingle_k=3, shingle_unit="word",
-                                threshold=0.5)
-        n = res.count()
-        runs.append(round(time.perf_counter() - t0, 3))
-        del res
-        gc.collect()
-        if len(runs) >= 2 and _converged(name, runs):
-            break
-    else:
-        if len(runs) >= 2 and not _converged(name, runs):
-            unconverged.append(name)
-    docs.unpersist(True)
-    timings[name] = min(runs)
-    loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
-    print(f"# {name}: pairs={n} in {timings[name]}s (runs: {runs}, "
-          f"load: {loads[name]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 2)
     # Per-query 1-min load averages [before-first-run, after-last-run]

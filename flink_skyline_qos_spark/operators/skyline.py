@@ -252,6 +252,147 @@ def _group_prune(cols: Sequence[str], cpu_acc=None):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Arrow-native kernel hosts (VERDICT r9 #2).
+#
+# The pandas hosts above pay a pandas.DataFrame construction on BOTH
+# sides of every batch — BlockManager assembly on the way in, Block
+# re-slicing on the way out — on frames whose useful content is a pure
+# float64 matrix.  At 100M rows that conversion was ~all of the
+# local-prune leg's cost (anticorr_100m_3d, 41-46 s).  These hosts
+# consume/produce pyarrow RecordBatches directly (`mapInArrow` /
+# `applyInArrow`): the dim columns become NumPy via a per-chunk
+# zero-copy view + one gather into the kernel matrix, the survivor
+# filter runs in Arrow C++ (`Table.filter`), and non-dim payload
+# columns are never touched at all.  Same batching, buffering, and tie
+# semantics as the pandas hosts — those remain as the fallback for
+# exotic (UDT-bearing) schemas and as the streaming GroupState path.
+# ---------------------------------------------------------------------------
+
+
+def _arrow_plan(df: DataFrame) -> bool:
+    """True when `df`'s schema round-trips through raw Arrow batches
+    (everything except user-defined types — the hosts only slice and
+    filter whole batches, so any built-in type is safe)."""
+    from pyspark.sql import types as T
+
+    return not any(isinstance(f.dataType, T.UserDefinedType)
+                   for f in df.schema.fields)
+
+
+def _arrow_values(tbl, cols: Sequence[str], *, order: str = "F") -> np.ndarray:
+    """pyarrow Table → (n, d) float64 kernel matrix over `cols`.
+
+    Column-major (`order="F"`) by default: each dim column is then
+    contiguous, and the kernels' (d, n) transpose becomes a zero-copy
+    view instead of a strided gather.  Chunked columns are copied
+    chunk-by-chunk (each chunk's `to_numpy` is zero-copy for no-null
+    primitives — the `_complete` filter guarantees no nulls in dims)."""
+    n = tbl.num_rows
+    out = np.empty((n, len(cols)), dtype=np.float64, order=order)
+    for j, c in enumerate(cols):
+        off = 0
+        for ch in tbl.column(c).chunks:
+            a = ch.to_numpy(zero_copy_only=False)
+            out[off:off + len(a), j] = a
+            off += len(a)
+    return out
+
+
+def _prune_batches_arrow(cols: Sequence[str], cpu_acc=None, *,
+                         buffer_cap: int = 4_000_000,
+                         buffer_bytes: int = 256 << 20):
+    """mapInArrow twin of :func:`_prune_batches` — identical buffering
+    (geometric collapse past `buffer_cap` rows / `buffer_bytes`) and
+    identical output multiset; the batch transport just never leaves
+    Arrow."""
+
+    def fn(batches) -> "Iterator":
+        import pyarrow as pa
+
+        cpu_ns = 0
+        parts: list = []        # list[pa.Table]
+        rows = 0
+        nbytes = 0
+        eff_cap = buffer_cap
+        eff_bytes = buffer_bytes
+
+        def collapse():
+            nonlocal cpu_ns, parts, rows, nbytes, eff_cap, eff_bytes
+            if not parts:
+                return None
+            tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            t0 = time.perf_counter_ns()
+            mask = skyline_mask(_arrow_values(tbl, cols))
+            out = tbl.filter(pa.array(mask))
+            cpu_ns += time.perf_counter_ns() - t0
+            parts = [out]
+            rows = out.num_rows
+            nbytes = out.nbytes
+            eff_cap = max(eff_cap, 2 * rows)
+            eff_bytes = max(eff_bytes, 2 * nbytes)
+            return out
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            parts.append(pa.Table.from_batches([rb]))
+            rows += rb.num_rows
+            nbytes += rb.nbytes
+            if rows >= eff_cap or nbytes >= eff_bytes:
+                collapse()
+        out = collapse()
+        if cpu_acc is not None:
+            cpu_acc.add(cpu_ns)
+        if out is not None and out.num_rows:
+            # cap yielded batch size: filter() preserves input chunking,
+            # but a single huge buffered partition should still stream
+            # back in bounded pieces
+            yield from out.to_batches(max_chunksize=1 << 20)
+
+    return fn
+
+
+def _group_prune_arrow(cols: Sequence[str], cpu_acc=None):
+    """applyInArrow twin of :func:`_group_prune`: exact skyline of one
+    whole group, pyarrow.Table in/out."""
+
+    def fn(tbl):
+        import pyarrow as pa
+
+        t0 = time.perf_counter_ns()
+        mask = skyline_mask(_arrow_values(tbl, cols))
+        out = tbl.filter(pa.array(mask))
+        if cpu_acc is not None:
+            cpu_acc.add(time.perf_counter_ns() - t0)
+        return out
+
+    return fn
+
+
+def _local_prune(df: DataFrame, cols: Sequence[str], cpu_acc=None,
+                 **buf) -> DataFrame:
+    """One narrow local-skyline pass over `df`'s partitions — the
+    Arrow host when the schema allows (always, short of UDTs), the
+    pandas host otherwise."""
+    if _arrow_plan(df):
+        return df.mapInArrow(
+            _prune_batches_arrow(cols, cpu_acc, **buf), schema=df.schema)
+    return df.mapInPandas(
+        _prune_batches(cols, cpu_acc, **buf), schema=df.schema)
+
+
+def _grouped_prune(df: DataFrame, by: Sequence[str], cols: Sequence[str],
+                   cpu_acc=None) -> DataFrame:
+    """Exact per-group skyline (`groupBy(by)` → kernel), Arrow host
+    when the schema allows."""
+    if _arrow_plan(df):
+        return df.groupBy(*by).applyInArrow(
+            _group_prune_arrow(cols, cpu_acc), schema=df.schema)
+    return df.groupBy(*by).applyInPandas(
+        _group_prune(cols, cpu_acc), schema=df.schema)
+
+
 def _complete(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Drop rows with a NULL or NaN in any dominance dimension.
 
@@ -360,16 +501,10 @@ def skyline(df: DataFrame, cols: Sequence[str], *,
         vecs = skyline(df.select(*cols), cols,
                        merge_partitions=merge_partitions, width_safe=False)
         return _join_back(df, vecs, cols)
-    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
+    pruned = _local_prune(df, cols)
     if merge_partitions and merge_partitions > 1:
-        pruned = (
-            pruned.repartition(merge_partitions)
-            .mapInPandas(_prune_batches(cols), schema=df.schema)
-        )
-    return (
-        pruned.repartition(1)
-        .mapInPandas(_prune_batches(cols), schema=df.schema)
-    )
+        pruned = _local_prune(pruned.repartition(merge_partitions), cols)
+    return _local_prune(pruned.repartition(1), cols)
 
 
 def _dispatch_verify(pruned: DataFrame, cols: Sequence[str],
@@ -503,10 +638,10 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
         return _join_back(df, vecs, cols)
     if prefilter_refs:
         df = sampled_dominator_prefilter(df, cols, refs=prefilter_refs)
-    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema)
+    pruned = _local_prune(df, cols)
     if pre_merge_partitions and pre_merge_partitions > 1:
-        pruned = pruned.repartition(pre_merge_partitions) \
-            .mapInPandas(_prune_batches(cols), schema=df.schema)
+        pruned = _local_prune(
+            pruned.repartition(pre_merge_partitions), cols)
     # Pin and MATERIALIZE before anything reads it twice: an unpinned
     # persist referenced on both sides of one action races its own cache
     # population and can run the expensive local prune twice (observed
@@ -558,28 +693,46 @@ def _collect_refs(pruned: DataFrame, cols: Sequence[str],
     return cand[order], sums[order]
 
 
+def _dominated_mask(b: np.ndarray, ref) -> np.ndarray:
+    """Rows of `b` dominated by the broadcast `(values, sums)` pair.
+
+    Sorts the verify side by dim-sum too: each kernel chunk's max sum
+    then bounds its candidate-slab scan tightly (unsorted chunks all
+    carry ~the global max and the early-exit never fires) — measured
+    4.7× at 391k×12k."""
+    from .kernels import _dominated_sorted
+
+    a, a_sums = ref.value
+    bs = b.sum(axis=1)
+    order = np.argsort(bs, kind="stable")
+    dom_s = _dominated_sorted(a, a_sums, b[order], bs[order])
+    dom = np.empty_like(dom_s)
+    dom[order] = dom_s
+    return dom
+
+
 def _verify_pass(pruned: DataFrame, cols: Sequence[str], ref) -> DataFrame:
     """One broadcast-verify pass: drop rows of `pruned` dominated by
     any reference point in the broadcast `(values, sums)` pair."""
+    if _arrow_plan(pruned):
+        def verify_arrow(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([rb])
+                dom = _dominated_mask(_arrow_values(tbl, cols), ref)
+                if not dom.all():
+                    yield from tbl.filter(pa.array(~dom)).to_batches()
+
+        return pruned.mapInArrow(verify_arrow, schema=pruned.schema)
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .kernels import _dominated_sorted
-
-        a, a_sums = ref.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            b = _values(pdf, cols)
-            bs = b.sum(axis=1)
-            # Sort the verify side by dim-sum too: each kernel chunk's
-            # max sum then bounds its candidate-slab scan tightly
-            # (unsorted chunks all carry ~the global max and the
-            # early-exit never fires) — measured 4.7× at 391k×12k.
-            order = np.argsort(bs, kind="stable")
-            dom_s = _dominated_sorted(a, a_sums, b[order], bs[order])
-            dom = np.empty_like(dom_s)
-            dom[order] = dom_s
-            out = pdf[~dom]
+            out = pdf[~_dominated_mask(_values(pdf, cols), ref)]
             if not out.empty:
                 yield out
 
@@ -686,6 +839,21 @@ def _membership_pass(pruned: DataFrame, cols: Sequence[str],
     """Keep exactly the rows whose dim vector is in the broadcast
     skyline matrix (duplicate copies of skyline vectors all survive —
     ties never dominate, matching the verify kernels)."""
+    if _arrow_plan(pruned):
+        def member_arrow(batches):
+            import pyarrow as pa
+
+            sky = _row_view(ref.value)
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([rb])
+                keep = np.isin(
+                    _row_view(_arrow_values(tbl, cols, order="C")), sky)
+                if keep.any():
+                    yield from tbl.filter(pa.array(keep)).to_batches()
+
+        return pruned.mapInArrow(member_arrow, schema=pruned.schema)
 
     def member(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sky = _row_view(ref.value)
@@ -741,6 +909,8 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
         "__ck", F.pmod(F.monotonically_increasing_id(), F.lit(k)))
     out_cols = pruned.columns
 
+    arrow = _arrow_plan(pruned)
+
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arrs = [_values(pdf, cols) for pdf in batches if not pdf.empty]
         if not arrs:
@@ -749,9 +919,22 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
         uniq = np.unique(np.concatenate(arrs), axis=0)
         yield pd.DataFrame({"__blob": [np.ascontiguousarray(uniq).tobytes()]})
 
-    a_side = (pruned.mapInPandas(pack, schema="__blob binary")
-              .withColumn("__ck", F.explode(
-                  F.array(*[F.lit(i) for i in range(k)]))))
+    def pack_arrow(batches):
+        import pyarrow as pa
+
+        arrs = [_arrow_values(pa.Table.from_batches([rb]), cols, order="C")
+                for rb in batches if rb.num_rows]
+        if not arrs:
+            return
+        uniq = np.unique(np.concatenate(arrs), axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([np.ascontiguousarray(uniq).tobytes()],
+                      type=pa.binary())], names=["__blob"])
+
+    packed = (pruned.mapInArrow(pack_arrow, schema="__blob binary") if arrow
+              else pruned.mapInPandas(pack, schema="__blob binary"))
+    a_side = packed.withColumn("__ck", F.explode(
+        F.array(*[F.lit(i) for i in range(k)])))
     # Explicit user repartition on the group key: AQE would otherwise
     # coalesce this exchange by SHUFFLE SIZE (a few MB of blobs + rows)
     # and serialize all k compute-bound verify kernels into one task
@@ -761,9 +944,21 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
     unioned = (b_side.unionByName(a_side, allowMissingColumns=True)
                .repartition(k, "__ck"))
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _scatter_dom(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         from .kernels import _dominated_sorted
 
+        a_sums = a.sum(axis=1)
+        order = np.argsort(a_sums, kind="stable")
+        bs = b.sum(axis=1)
+        # both sides sum-sorted — see _verify_against_broadcast
+        border = np.argsort(bs, kind="stable")
+        dom_s = _dominated_sorted(a[order], a_sums[order],
+                                  b[border], bs[border])
+        dom = np.empty_like(dom_s)
+        dom[border] = dom_s
+        return dom
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         is_blob = pdf["__blob"].notna()
         b_pdf = pdf[~is_blob]
         if b_pdf.empty:
@@ -772,19 +967,29 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
             np.frombuffer(blob, dtype=np.float64).reshape(-1, len(cols))
             for blob in pdf.loc[is_blob, "__blob"]
         ]), axis=0)  # cross-partition duplicates
-        a_sums = a.sum(axis=1)
-        order = np.argsort(a_sums, kind="stable")
-        b = _values(b_pdf, cols)
-        bs = b.sum(axis=1)
-        # both sides sum-sorted — see _verify_against_broadcast
-        border = np.argsort(bs, kind="stable")
-        dom_s = _dominated_sorted(a[order], a_sums[order],
-                                  b[border], bs[border])
-        dom = np.empty_like(dom_s)
-        dom[border] = dom_s
+        dom = _scatter_dom(a, _values(b_pdf, cols))
         return b_pdf[~dom][out_cols]
 
-    return unioned.groupBy("__ck").applyInPandas(verify, schema=pruned.schema)
+    def verify_arrow(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        is_blob = pc.is_valid(tbl.column("__blob"))
+        b_tbl = tbl.filter(pc.invert(is_blob)).select(out_cols)
+        if b_tbl.num_rows == 0:
+            return b_tbl
+        blobs = tbl.column("__blob").filter(is_blob).to_pylist()
+        a = np.unique(np.concatenate([
+            np.frombuffer(blob, dtype=np.float64).reshape(-1, len(cols))
+            for blob in blobs
+        ]), axis=0)  # cross-partition duplicates
+        dom = _scatter_dom(a, _arrow_values(b_tbl, cols))
+        return b_tbl.filter(pa.array(~dom))
+
+    grouped = unioned.groupBy("__ck")
+    if arrow:
+        return grouped.applyInArrow(verify_arrow, schema=pruned.schema)
+    return grouped.applyInPandas(verify, schema=pruned.schema)
 
 
 def skyline_auto(df: DataFrame, cols: Sequence[str], *,
@@ -816,13 +1021,12 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
                             scatter_threshold=scatter_threshold,
                             width_safe=False)
         return _join_back(df, vecs, cols)
-    pruned = df.mapInPandas(_prune_batches(cols), schema=df.schema).persist()
+    pruned = _local_prune(df, cols).persist()
     n = pruned.count()
     if n > broadcast_threshold:
         par = df.sparkSession.sparkContext.defaultParallelism
-        re_pruned = (pruned.repartition(par)
-                     .mapInPandas(_prune_batches(cols), schema=df.schema)
-                     .persist())
+        re_pruned = _local_prune(
+            pruned.repartition(par), cols).persist()
         re_pruned.count()
         # re_pruned is materialized: the first-stage cache is dead weight
         # from here on (ADVICE r3) — release it eagerly.
@@ -830,8 +1034,7 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
         out = _dispatch_verify(re_pruned, cols, scatter_threshold)
         return release_on_gc(out, re_pruned)
     return release_on_gc(
-        pruned.repartition(1)
-        .mapInPandas(_prune_batches(cols), schema=df.schema),
+        _local_prune(pruned.repartition(1), cols),
         pruned,
     )
 
@@ -887,13 +1090,8 @@ def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,
     tagged = df.withColumn(
         pid_name, partitioner_expr(algo, dims, num_partitions, domain_max)
     )
-    local = tagged.groupBy(pid_name).applyInPandas(
-        _group_prune(cols), schema=tagged.schema
-    )
-    merged = (
-        local.repartition(1)
-        .mapInPandas(_prune_batches(cols), schema=tagged.schema)
-    )
+    local = _grouped_prune(tagged, [pid_name], cols)
+    merged = _local_prune(local.repartition(1), cols)
     if partition_col is None:
         merged = merged.drop(pid_name)
     return merged
@@ -1018,11 +1216,10 @@ def grouped_skyline(df: DataFrame, cols: Sequence[str],
         salted = df.withColumn(
             "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
                              F.lit(salt)))
-        partial = salted.groupBy(*by, "__salt").applyInPandas(
-            _group_prune(cols), schema=salted.schema).drop("__salt")
-        return partial.groupBy(*by).applyInPandas(
-            _group_prune(cols), schema=df.schema)
-    return df.groupBy(*by).applyInPandas(_group_prune(cols), schema=df.schema)
+        partial = _grouped_prune(salted, [*by, "__salt"], cols) \
+            .drop("__salt")
+        return _grouped_prune(partial, by, cols)
+    return _grouped_prune(df, by, cols)
 
 
 def skyline_delta(base_skyline: DataFrame, inserts: DataFrame,

@@ -31,10 +31,13 @@ def _clamp_int(col, d_min: float, d_max: float):
 
 def _clamp_frac(col, d_min: float, d_max: float):
     # domain clamp WITHOUT the reference's integer truncation: values
-    # keep their fractional part, so generated vectors are unique w.p. 1
-    # — the non-degenerate regime where the skyline verify stage cannot
-    # collapse candidates by deduplication (the integer-clamped 4-D
-    # anti-correlated set is mostly exact duplicates, PDF §5.4).
+    # keep their fractional part.  NOTE (ADVICE r9): the clamp itself
+    # still creates an atom at the domain boundary for values that
+    # overshoot (anti-correlated scaling can exceed d_max), so PER-DIM
+    # duplicates exist with positive probability — it is the full
+    # VECTORS that are distinct in practice (a collision needs every
+    # dim clamped simultaneously).  The fractional uniform path below
+    # avoids the clamp entirely.
     return F.least(F.greatest(col, F.lit(float(d_min))),
                    F.lit(float(d_max))).cast("double")
 
@@ -59,8 +62,11 @@ def generate_points(spark: SparkSession, n: int, dims: int = 2, *,
     {uniform, correlated, anti_correlated}.
 
     `fractional=True` skips the reference's integer truncation
-    (unified_producer.py's int() casts) while keeping the domain clamp:
-    every vector is then unique w.p. 1, which is the NON-degenerate
+    (unified_producer.py's int() casts): full VECTORS are then distinct
+    in practice (uniform draws never clamp; anti-correlated rows keep a
+    continuous target sum, and a vector collision would need every dim
+    clamped at the boundary simultaneously — per-dim boundary atoms
+    from the clamp DO occur, ADVICE r9).  This is the NON-degenerate
     high-dim regime — the integer grid makes the reference's 4-D
     anti-correlated skyline collapse to a handful of duplicated
     vectors (PDF §5.4), short-circuiting any dedup-based verify.
@@ -78,12 +84,23 @@ def generate_points(spark: SparkSession, n: int, dims: int = 2, *,
     _clamp = _clamp_frac if fractional else _clamp_int
 
     if dist == "uniform":
-        cols = [
-            _clamp(
-                F.rand(seed * 1000 + i) * (rng + 1) + F.lit(d_min), d_min, d_max
-            ).alias(f"d{i}")
-            for i in range(dims)
-        ]
+        if fractional:
+            # rand() < 1 ⇒ value ∈ [d_min, d_max) exactly — no clamp,
+            # no boundary atom (ADVICE r9: rand*(rng+1) overshoots with
+            # prob ~1/(rng+1) and the clamp collapsed those to d_max)
+            cols = [
+                (F.rand(seed * 1000 + i) * rng + F.lit(d_min))
+                .cast("double").alias(f"d{i}")
+                for i in range(dims)
+            ]
+        else:
+            cols = [
+                _clamp(
+                    F.rand(seed * 1000 + i) * (rng + 1) + F.lit(d_min),
+                    d_min, d_max
+                ).alias(f"d{i}")
+                for i in range(dims)
+            ]
         return df.select("id", *cols)
 
     if dist == "correlated":
@@ -276,6 +293,60 @@ def generate_docs_hash(spark: SparkSession, n: int, *,
              % vocab_size).cast("string")))
     return df.select(F.col("id").alias("doc_id"),
                      F.concat_ws(" ", toks).alias("text"))
+
+
+def generate_embeddings_hash(spark: SparkSession, n: int, *,
+                             dim: int = 64, k_centers: int = 20,
+                             jitter: float = 0.25,
+                             num_partitions: int = 8) -> DataFrame:
+    """Deterministic PLANTED-CLUSTER embedding corpus (VERDICT r9 #5):
+    (vec_id, embedding double[dim], label), vector = cluster center +
+    jitter, cluster = vec_id % k_centers.
+
+    Every value is a pure md5 function of (cluster, position) /
+    (vec_id, position) — element j is ::
+
+        (u01(cluster, "cc", j) − 0.5) + (u01(vec_id, "ee", j) − 0.5)·jitter
+
+    so Spark and DuckDB (:func:`generate_embeddings_sql`) produce
+    bit-identical doubles (integer md5 arithmetic, division by 2³²,
+    one IEEE multiply+add — deterministic on both engines).  Unlike the
+    shipped `embeddings` table (i.i.d. vectors — PQ's worst case, where
+    ANN recall@10 floors at the 0.1 self-hit), this corpus has real
+    cluster structure: recall becomes a quality dial that discriminates
+    PQ configurations.  All JVM expressions, zero driver state."""
+    df = spark.range(0, n, 1, num_partitions)
+    cl = F.col("id") % F.lit(k_centers)
+
+    def u01(idexpr, tag, j):
+        h = F.md5(F.concat(idexpr.cast("string"), F.lit(f":{tag}"),
+                           j.cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                / F.lit(_TWO32))
+
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (u01(cl, "cc", j) - F.lit(0.5))
+        + (u01(F.col("id"), "ee", j) - F.lit(0.5)) * F.lit(float(jitter)))
+    return df.select(F.col("id").alias("vec_id"), emb.alias("embedding"),
+                     cl.cast("int").alias("label"))
+
+
+def generate_embeddings_sql(n: int, *, dim: int = 64, k_centers: int = 20,
+                            jitter: float = 0.25) -> str:
+    """DuckDB twin of :func:`generate_embeddings_hash` (bit-identical
+    doubles).  Spark-free."""
+    def u01(idexpr: str, tag: str) -> str:
+        return (f"(('0x' || substr(md5({idexpr}::VARCHAR || ':{tag}' || "
+                f"j::VARCHAR), 1, 8))::BIGINT / {_TWO32:.1f})")
+
+    cl = f"(id % {k_centers})"
+    elem = (f"(({u01(cl, 'cc')} - 0.5) + "
+            f"({u01('id', 'ee')} - 0.5) * {float(jitter)!r})")
+    return (f"SELECT id AS vec_id, "
+            f"list_transform(range(0, {dim}), j -> {elem}) AS embedding, "
+            f"cast({cl} AS INTEGER) AS label "
+            f"FROM (SELECT range AS id FROM range(0, {n}))")
 
 
 def generate_docs_sql(n: int, *, vocab_size: int = 2000,

@@ -46,8 +46,8 @@ from pyspark.sql import functions as F
 from ..operators.partitioners import partitioner_expr
 from ..operators.skyline import (
     MaxAccumulator,
-    _group_prune,
-    _prune_batches,
+    _grouped_prune,
+    _local_prune,
     skyline,
 )
 from .wire import parse_service_tuples, parse_triggers
@@ -202,9 +202,8 @@ class SkylinePipeline:
                 tagged = pts.withColumn("pid", pid)
                 unioned = tagged if prev is None \
                     else prev.unionByName(tagged)
-                state = unioned.groupBy("pid").applyInPandas(
-                    _group_prune(self.cols, cpu_acc=local_cpu_acc),
-                    schema=unioned.schema)
+                state = _grouped_prune(unioned, ["pid"], self.cols,
+                                       cpu_acc=local_cpu_acc)
             else:
                 state = prev if prev is not None else \
                     self.spark.createDataFrame(
@@ -249,13 +248,10 @@ class SkylinePipeline:
         sizes = {int(r["pid"]): int(r["n"]) for r in
                  local.groupBy("pid").agg(F.count("*").alias("n")).collect()}
         glob = (
-            local.mapInPandas(
-                _prune_batches(self.cols, cpu_acc=global_cpu_acc),
-                schema=local.schema)
-            .repartition(1)
-            .mapInPandas(
-                _prune_batches(self.cols, cpu_acc=global_cpu_acc),
-                schema=local.schema)
+            _local_prune(
+                _local_prune(local, self.cols, cpu_acc=global_cpu_acc)
+                .repartition(1),
+                self.cols, cpu_acc=global_cpu_acc)
             .persist()
         )
         try:

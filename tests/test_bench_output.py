@@ -22,7 +22,8 @@ def _synthetic_names() -> list[str]:
         "anticorr_1m_2d", "anticorr_1m_3d", "anticorr_1m_4d",
         "anticorr_10m_2d", "anticorr_10m_3d", "anticorr_10m_4d",
         "anticorr_100m_2d", "anticorr_100m_3d", "anticorr_100m_4d",
-        "synth_minhash_100k",
+        "scatter_5m_4d_frac", "anticorr_1b_2d",
+        "synth_minhash_100k", "synth_dedup_1m",
     ]
 
 
@@ -88,3 +89,23 @@ def test_headline_and_rotation_names_are_registered():
     q = entrymod.queries()
     for n in bench.HEADLINE + bench.ROTATED_OUT:
         assert n in q, n
+
+
+def test_stream_query_registry_guards_drift():
+    """STREAM_QUERIES (the oracle gate's streaming-warmup metadata,
+    ADVICE r9) must match exactly the registered queries whose source
+    touches the streaming APIs — a new stream query that forgets to
+    register itself would get ~5 s of engine init billed to its own
+    spot-check timing."""
+    import inspect
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert entrymod.STREAM_QUERIES <= set(qs)
+    markers = ("readStream", "writeStream", "foreachBatch",
+               "flink_skyline_qos_spark.streaming", "SkylinePipeline")
+    flagged = {n for n, fn in qs.items()
+               if any(m in inspect.getsource(fn) for m in markers)}
+    assert flagged == set(entrymod.STREAM_QUERIES), \
+        flagged ^ set(entrymod.STREAM_QUERIES)

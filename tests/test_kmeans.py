@@ -254,7 +254,7 @@ def test_kmeans_balanced_sample_keeps_small_clusters_whole(spark):
 def test_ann_recall_adc_query(spark, sf_dir):
     import __spark_entry__ as entrymod
 
-    fn = entrymod.queries()["ann_recall_adc_embeddings"]
+    fn = entrymod.queries()["ann_recall_adc_clustered"]
     got = {r.query_id: (r.n_hits, r.recall)
            for r in fn(spark, sf_dir).collect()}
     assert set(got) == {0, 1, 2, 3, 4}
@@ -262,6 +262,38 @@ def test_ann_recall_adc_query(spark, sf_dir):
         # the query's own vector is rank 1 in BOTH searches -> floor
         assert 1 <= n <= 10
         assert rec == n / 10.0
+    # the planted clusters make recall a real signal (VERDICT r9 #5):
+    # at 16 bits (m=4, k=16) mean recall@10 must clear 0.5 — on the
+    # old i.i.d. fixture it sat at the 0.1 self-hit floor
+    mean_recall = sum(rec for _, rec in got.values()) / len(got)
+    assert mean_recall > 0.5, got
+
+
+def test_ann_recall_discriminates_pq_configs(spark):
+    """Recall@10 must move with the PQ budget — the quality dial a
+    user tuning a config actually reads.  8 bits (m=2) vs 16 bits
+    (m=4) over the same planted-cluster corpus."""
+    from flink_skyline_qos_spark.operators.kmeans import pq_adc_topk
+    from flink_skyline_qos_spark.operators.similarity import cosine_topk
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_embeddings_hash,
+    )
+
+    emb = generate_embeddings_hash(spark, 2000, dim=64, k_centers=200,
+                                   jitter=0.5)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, qs, k=10).select("query_id", "vec_id")
+
+    def recall(m: int) -> float:
+        adc = pq_adc_topk(emb, qs, dim=64, m=m, k=16, iterations=2,
+                          dp=4, topk=10).select("query_id", "vec_id")
+        hits = exact.join(adc, on=["query_id", "vec_id"]).count()
+        return hits / 50.0
+
+    r16, r8 = recall(4), recall(2)
+    assert r16 > 0.5, (r16, r8)
+    assert r16 > r8, (r16, r8)
 
 
 def test_pq_sql_builders_validate_args():

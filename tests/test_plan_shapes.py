@@ -22,7 +22,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # Python-side eval operators (any flavor); row-at-a-time BatchEvalPython
 # must never appear anywhere.
 _PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                 "FlatMapGroupsInPandas")
+                 "FlatMapGroupsInPandas", "MapInArrow",
+                 "FlatMapGroupsInArrow")
 
 
 def _plan(df) -> str:
@@ -517,8 +518,8 @@ def test_sampled_prefilter_below_python_node_and_pushed_down(spark):
     tree = plan.split("\n\n", 1)[0]
     # tree prints root-first: the Python prune node must appear ABOVE
     # the Filter, which sits directly on the scan
-    assert re.search(r"MapInPandas[\s\S]*\* Filter[\s\S]*Scan parquet",
-                     tree), tree
+    assert re.search(r"MapIn(?:Pandas|Arrow)[\s\S]*\* Filter[\s\S]*"
+                     r"Scan parquet", tree), tree
     # the dominance literals are scan-pushed (data-skipping at source)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "LessThan(l_extendedprice" in m.group(1), plan
@@ -569,12 +570,14 @@ def test_wide_skyline_only_dims_cross_python_node(spark):
     li = load_table(spark, SF_DIR, "lineitem")  # full width (11 cols)
     dims = ["l_extendedprice", "l_discount"]
     plan = _plan(skyline(li, dims))
-    # every MapInPandas node consumes exactly the two dim columns
-    for m in re.finditer(r"^\(\d+\) MapInPandas\n(Input \[\d+\]): \[([^\]]*)\]",
-                         plan, re.M):
+    # every Arrow prune node consumes exactly the two dim columns
+    found = False
+    for m in re.finditer(r"^\(\d+\) MapIn(?:Pandas|Arrow)\n"
+                         r"(Input \[\d+\]): \[([^\]]*)\]", plan, re.M):
+        found = True
         assert m.group(1) == "Input [2]", plan
         assert "l_extendedprice" in m.group(2), plan
-    assert "MapInPandas" in plan, plan
+    assert found, plan
     # the prune-side scan is column-pruned to the dims
     assert re.search(
         r"ReadSchema: struct<l_extendedprice:double,l_discount:double>",

@@ -162,13 +162,11 @@ def main():
     spark = get_spark("oracle-check")
     # single-query spot checks skip the streaming spin-up unless they
     # actually exercise a stream — keeps the edit-check loop fast.
-    # NAME-COUPLED heuristic: every stream-exercising query today has
-    # "streaming" or "pipeline" in its name; a future stream query
-    # named otherwise only mis-times its own spot-check run (the full
-    # gate always warms), so keep the names conventional.
-    _warmup(spark, streaming=(not only
-                              or any("streaming" in n or "pipeline" in n
-                                     for n in only)))
+    # Driven by the STREAM_QUERIES registry in __spark_entry__ (ADVICE
+    # r9: was a name-substring heuristic), which a pytest drift guard
+    # keeps in sync with the queries that touch streaming APIs.
+    stream_qs = getattr(entrymod, "STREAM_QUERIES", frozenset())
+    _warmup(spark, streaming=(not only or bool(only & set(stream_qs))))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
