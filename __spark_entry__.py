@@ -126,6 +126,8 @@ from flink_skyline_qos_spark.operators.partitioners import (  # noqa: E402
     mr_dim_sql,
 )
 from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
+    grid_envelope_prefilter,
+    grid_envelope_prefilter_sql,
     grid_prefilter,
     grid_prefilter_sql,
     k_dominant_skyline,
@@ -354,6 +356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the plain 3-D skyline.
     q["skyline_3d_prefilter_lineitem"] = lambda s, d: \
         skyline_broadcast_verify(_li(s, d), LI_DIMS3, prefilter_refs=16)
+    # broadcast-verify WITH the lossless grid-envelope JVM pre-filter
+    # (round 10: per-cell witness field, the strongest pre-Arrow
+    # reduction); result is value-identical to the plain 3-D skyline.
+    q["skyline_3d_envelope_lineitem"] = lambda s, d: \
+        skyline_broadcast_verify(_li(s, d), LI_DIMS3, envelope_cells=True)
     q["skyline_part"] = lambda s, d: skyline(
         load_table(s, d, "part").select("p_partkey", "p_size", "p_retailprice"),
         ["p_retailprice", "p_size"],
@@ -427,6 +434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- P4 grid pre-filter (reference had it disabled; we guard it) ---
     q["grid_prefilter_lineitem"] = lambda s, d: grid_prefilter(
         _li(s, d), LI_DIMS2, domain_max=LI_DOMAIN)
+    # --- P4 generalized (round 10): per-cell witness-envelope filter;
+    # the operator's own filtered multiset is value-gated directly
+    q["grid_envelope_lineitem"] = lambda s, d: grid_envelope_prefilter(
+        load_table(s, d, "lineitem").select(*LI_DIMS3), LI_DIMS3)
 
     # --- skyline variants: ranked + high-dim relaxation ---
     PART_COLS = ["p_partkey", "p_size", "p_retailprice"]
@@ -1917,6 +1928,8 @@ FROM ranked WHERE rn <= {k}
     # prefiltered broadcast-verify is lossless ⇒ same oracle as 3-D
     o["skyline_3d_prefilter_lineitem"] = skyline_not_exists_sql(
         li, LI_DIMS3)
+    o["skyline_3d_envelope_lineitem"] = skyline_not_exists_sql(
+        li, LI_DIMS3)
     # delta maintenance answers EXACTLY the full recompute
     o["skyline_delta_lineitem"] = skyline_not_exists_sql(
         f"(SELECT l_orderkey, {', '.join(LI_DIMS2)} FROM lineitem)",
@@ -1949,6 +1962,8 @@ FROM ranked WHERE rn <= {k}
 
     o["grid_prefilter_lineitem"] = grid_prefilter_sql(
         li, LI_DIMS2, domain_max=LI_DOMAIN)
+    o["grid_envelope_lineitem"] = grid_envelope_prefilter_sql(
+        f"(SELECT {', '.join(LI_DIMS3)} FROM lineitem)", LI_DIMS3)
     o["topk_dominating_part"] = top_k_dominating_sql(
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_retailprice", "p_size"], k=20, id_cols=["p_partkey"],

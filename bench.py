@@ -384,16 +384,23 @@ def main() -> None:
         # 100M 3-D (VERDICT r6 #6): broadcast-verify at 10× its largest
         # measured input — the first row where survivor count, not scan,
         # could dominate.  Strategy dispatched is noted in BENCHMARKS.md.
+        # Round 10: + the lossless grid-envelope JVM prefilter (kills
+        # ~89 % of the shell before the Arrow boundary; 43.2→19.2 s
+        # A/B in BENCHMARKS.md — transport, not kernel, was the floor).
+        # The 1M/10M 3-D rows keep the plain path benchmarked.
         (3, 100_000_000, "anticorr_100m_3d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2"],
-                                            pre_merge_partitions=cpus)),
+                                            pre_merge_partitions=cpus,
+                                            envelope_cells=True)),
         # 100M 4-D (round 8): the reference's hardest regime (it needed
         # ~700 s for 1M) TWO decades up — exercises the full r8 verify
         # chain: buffered one-shot prune, unique-count dispatch, d≥4
-        # tiny-unique driver short-circuit; 22.2M-row skyline.
+        # tiny-unique driver short-circuit; 22.2M-row skyline.  Round
+        # 10: + grid envelope (62 % pre-Arrow kill, 49.9→33.1 s A/B).
         (4, 100_000_000, "anticorr_100m_4d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
-                                            pre_merge_partitions=cpus)),
+                                            pre_merge_partitions=cpus,
+                                            envelope_cells=True)),
         # Scatter-verify evidence row (VERDICT r8 #2): FRACTIONAL 4-D
         # anti-correlated with a positive target band (eps=0.2) — every
         # vector unique, so the unique-count dispatch CANNOT collapse

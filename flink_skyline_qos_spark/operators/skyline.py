@@ -4,8 +4,10 @@ two-phase MapReduce skyline (`/root/reference/java/org.main/FlinkSkyline.java:36
 Three physical strategies over identical set semantics:
 
 1. :func:`skyline` — the scale path.  Phase 1 prunes each *input*
-   partition to its local skyline with `mapInPandas` (NARROW — zero
-   shuffle; skyline is decomposable under any partitioning, SURVEY §1.4).
+   partition to its local skyline with an Arrow-native `mapInArrow`
+   kernel host (NARROW — zero shuffle; skyline is decomposable under
+   any partitioning, SURVEY §1.4; pandas hosts remain as the
+   UDT-schema fallback).
    Phase 2 shuffles only the survivors to one task (`repartition(1)`,
    tiny exchange) and merges.  At 100 TB the phase-1 scan is
    embarrassingly parallel and the exchange carries only local-skyline
@@ -353,23 +355,6 @@ def _prune_batches_arrow(cols: Sequence[str], cpu_acc=None, *,
     return fn
 
 
-def _group_prune_arrow(cols: Sequence[str], cpu_acc=None):
-    """applyInArrow twin of :func:`_group_prune`: exact skyline of one
-    whole group, pyarrow.Table in/out."""
-
-    def fn(tbl):
-        import pyarrow as pa
-
-        t0 = time.perf_counter_ns()
-        mask = skyline_mask(_arrow_values(tbl, cols))
-        out = tbl.filter(pa.array(mask))
-        if cpu_acc is not None:
-            cpu_acc.add(time.perf_counter_ns() - t0)
-        return out
-
-    return fn
-
-
 def _local_prune(df: DataFrame, cols: Sequence[str], cpu_acc=None,
                  **buf) -> DataFrame:
     """One narrow local-skyline pass over `df`'s partitions — the
@@ -384,11 +369,15 @@ def _local_prune(df: DataFrame, cols: Sequence[str], cpu_acc=None,
 
 def _grouped_prune(df: DataFrame, by: Sequence[str], cols: Sequence[str],
                    cpu_acc=None) -> DataFrame:
-    """Exact per-group skyline (`groupBy(by)` → kernel), Arrow host
-    when the schema allows."""
-    if _arrow_plan(df):
-        return df.groupBy(*by).applyInArrow(
-            _group_prune_arrow(cols, cpu_acc), schema=df.schema)
+    """Exact per-group skyline (`groupBy(by)` → kernel).
+
+    Stays on the PANDAS grouped host deliberately: a round-10 A/B at
+    100M rows × 128 groups measured `applyInArrow` 2.3× SLOWER than
+    `applyInPandas` on this exact shape (53.6 s vs 23.6 s best-of-2 —
+    Spark 4.1's grouped-Arrow path materializes each group as one
+    giant RecordBatch where the pandas host streams group slices;
+    BENCHMARKS.md round 10).  The ungrouped `mapInArrow` hosts are the
+    ones that won their A/B."""
     return df.groupBy(*by).applyInPandas(
         _group_prune(cols, cpu_acc), schema=df.schema)
 
@@ -576,6 +565,7 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
                              verify_chunks: int | None = None,
                              scatter_threshold: "int | None" = None,
                              prefilter_refs: int | None = None,
+                             envelope_cells: "int | bool | None" = None,
                              width_safe: bool | None = None) -> DataFrame:
     """Skyline for the huge-survivor regime (high-dim anti-correlated).
 
@@ -622,6 +612,16 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
     uncached, expensive inputs pay one extra upstream scan; persist the
     input first if that matters (ADVICE r8).
 
+    `envelope_cells` (truthy enables; an int sets the per-axis cell
+    count) applies the LOSSLESS all-JVM
+    :func:`~.variants.grid_envelope_prefilter` below the Python prune
+    node — the strongest pre-Arrow reduction measured (kills ~90 % of
+    the 100M 3-D anti-correlated shell where 32 sampled dominator
+    points kill 33 %; BENCHMARKS.md round 10).  Like `prefilter_refs`
+    it launches eager jobs (one stats aggregate + one ≤4096-row cell
+    collect) at construction time — persist lazy expensive inputs
+    first.
+
     `width_safe` (default auto, :func:`_narrow_rewrite`): wide rows are
     pruned AND verified dims-only, then restored with one semi-join —
     without it every verify exchange/broadcast pass would carry full
@@ -634,8 +634,15 @@ def skyline_broadcast_verify(df: DataFrame, cols: Sequence[str], *,
             pre_merge_partitions=pre_merge_partitions,
             verify_chunks=verify_chunks,
             scatter_threshold=scatter_threshold,
-            prefilter_refs=prefilter_refs, width_safe=False)
+            prefilter_refs=prefilter_refs,
+            envelope_cells=envelope_cells, width_safe=False)
         return _join_back(df, vecs, cols)
+    if envelope_cells:
+        from .variants import grid_envelope_prefilter
+
+        df = grid_envelope_prefilter(
+            df, cols,
+            cells=None if envelope_cells is True else int(envelope_cells))
     if prefilter_refs:
         df = sampled_dominator_prefilter(df, cols, refs=prefilter_refs)
     pruned = _local_prune(df, cols)

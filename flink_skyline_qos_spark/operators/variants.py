@@ -44,6 +44,8 @@ from ..functions.dominance import dominance_sql
 __all__ = [
     "grid_prefilter",
     "grid_prefilter_sql",
+    "grid_envelope_prefilter",
+    "grid_envelope_prefilter_sql",
     "dynamic_skyline",
     "dynamic_skyline_sql",
     "epsilon_skyline",
@@ -93,6 +95,161 @@ def grid_prefilter_sql(table: str, cols: Sequence[str],
         f"SELECT t.* FROM {table} t WHERE NOT (({all_ge}) AND ({any_gt}) "
         f"AND EXISTS (SELECT 1 FROM {table} u WHERE {lower}))"
     )
+
+
+def _envelope_cells(dims: int, cells: "int | None") -> int:
+    """Per-axis cell count for the (d−1)-dim envelope grid: budget
+    ~4096 total cells unless the caller overrides."""
+    if cells is not None:
+        return max(int(cells), 2)
+    return max(2, int(round(4096 ** (1.0 / max(dims - 1, 1)))))
+
+
+def grid_envelope_prefilter(df: DataFrame, cols: Sequence[str], *,
+                            cells: "int | None" = None) -> DataFrame:
+    """LOSSLESS JVM-side dominance prefilter via a per-cell witness
+    envelope — the reference's P4 grid idea (`FlinkSkyline.java:717-733`,
+    one midpoint witness) generalized to a full witness FIELD, and the
+    round-10 answer to "kill rows BEFORE the Python boundary" (the
+    Arrow/pandas host A/B showed transport, not conversion, is the
+    100M-row floor — BENCHMARKS.md round 10).
+
+    Construction (minimization, d = len(cols) ≥ 2):
+
+    1. grid the first d−1 dims into `cells` buckets per axis (one
+       min/max aggregate fixes the bucket width);
+    2. per occupied grid cell, take the MIN of the last dim — a
+       map-side-combined aggregate, ≤ cells^(d−1) rows (≈4096 by
+       default) of bounded driver state;
+    3. on the driver, prefix-min the grid so ``M[i…] = min over all
+       cells STRICTLY smaller on every grid axis``;
+    4. broadcast-hash-join M back on the flat cell index and drop every
+       row p with ``M[cell(p)] ≤ p.last``.
+
+    Lossless: M[cell(p)] is the last-dim value of an ACTUAL data point
+    q in a strictly-southwest cell, so q < p on every gridded dim
+    (cell i′ < i ⇒ q's coord < the cell-i lower edge ≤ p's coord) and
+    q.last ≤ p.last — strict Pareto dominance.  Ties, duplicates and
+    boundary points are never dropped by a same-cell witness (own and
+    same-row/column cells are excluded), only kept less aggressively.
+
+    Cost: two JVM scans (agg + filter-join; both whole-stage codegen,
+    the join side broadcast) — no Python, no OR-chain (the sampled
+    prefilter's 64-reference predicate falls out of whole-stage
+    codegen and runs 20× slower interpreted; measured round 10).  On
+    the 100M-point 3-D anti-correlated shell this kills ~90 % of rows
+    before the Arrow boundary where 32 sampled dominator points
+    managed 33 %.
+
+    Degenerate inputs (a non-finite or constant grid dimension) return
+    `df` unchanged — the guard mirrors :func:`grid_prefilter`'s
+    witness check.
+    """
+    import numpy as np
+
+    if len(cols) < 2:
+        return df
+    k = _envelope_cells(len(cols), cells)
+    gdims, last = list(cols[:-1]), cols[-1]
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn{i}")
+          for i, c in enumerate(gdims)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx{i}")
+          for i, c in enumerate(gdims)],
+    ).first()
+    mins, widths = [], []
+    for i in range(len(gdims)):
+        mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+        if (mn is None or mx is None
+                or not (float("-inf") < mn <= mx < float("inf"))
+                or mx == mn):
+            return df
+        mins.append(float(mn))
+        widths.append((float(mx) - float(mn)) / k)
+
+    def cell_idx(c: str, i: int) -> Column:
+        raw = F.floor((F.col(c).cast("double") - F.lit(mins[i]))
+                      / F.lit(widths[i])).cast("long")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(k - 1))
+
+    flat: Column = F.lit(0)
+    for i, c in enumerate(gdims):
+        flat = flat * F.lit(k) + cell_idx(c, i)
+
+    cellmins = (df.groupBy(flat.alias("__cell"))
+                .agg(F.min(F.col(last).cast("double")).alias("__m"))
+                .collect())
+    grid = np.full((k,) * len(gdims), np.inf)
+    for r in cellmins:
+        grid[np.unravel_index(int(r["__cell"]), grid.shape)] = r["__m"]
+    for ax in range(grid.ndim):
+        grid = np.minimum.accumulate(grid, axis=ax)
+    env = np.full_like(grid, np.inf)
+    env[(slice(1, None),) * grid.ndim] = grid[(slice(0, -1),) * grid.ndim]
+    idx = np.flatnonzero(np.isfinite(env.ravel()))
+    if idx.size == 0:
+        return df
+    spark = df.sparkSession
+    env_df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in zip(idx, env.ravel()[idx])],
+        "__cell long, __env double")
+    joined = df.join(F.broadcast(env_df), flat == env_df["__cell"],
+                     "left")
+    return (joined
+            .filter(env_df["__env"].isNull()
+                    | (F.col(last).cast("double") < env_df["__env"]))
+            .select(*df.columns))
+
+
+def grid_envelope_prefilter_sql(table: str, cols: Sequence[str], *,
+                                cells: "int | None" = None) -> str:
+    """DuckDB twin of :func:`grid_envelope_prefilter` — identical
+    arithmetic (same min/max stats, same floor-bucket mapping, prefix
+    min via a cell self-join on strict inequality per grid axis), so
+    the filtered multiset matches value-for-value.  Degenerate grids
+    are handled by the same guard folded into the predicate: when any
+    grid dim is constant or non-finite every row is kept."""
+    k = _envelope_cells(len(cols), cells)
+    gdims, last = list(cols[:-1]), cols[-1]
+    stat_sel = ", ".join(
+        [f"min(CAST({c} AS DOUBLE)) AS mn{i}, "
+         f"max(CAST({c} AS DOUBLE)) AS mx{i}"
+         for i, c in enumerate(gdims)])
+    degenerate = " OR ".join(
+        [f"s.mn{i} IS NULL OR s.mx{i} IS NULL OR s.mn{i} = s.mx{i} "
+         f"OR isinf(s.mn{i}) OR isinf(s.mx{i})"
+         for i in range(len(gdims))])
+
+    def cell(i: int, c: str, alias: str) -> str:
+        # nullif guards the degenerate width: NULL cell ⇒ no env match
+        # ⇒ row kept, matching the Spark side's early return
+        return (f"least(greatest(CAST(floor((CAST({alias}.{c} AS DOUBLE) "
+                f"- s.mn{i}) / nullif((s.mx{i} - s.mn{i}) / {k}, 0)) "
+                f"AS BIGINT), 0), {k - 1})")
+
+    t_cells = " , ".join(f"{cell(i, c, 't')} AS c{i}"
+                         for i, c in enumerate(gdims))
+    strict = " AND ".join(f"w.c{i} < p.c{i}" for i in range(len(gdims)))
+    return f"""
+WITH __s AS (SELECT {stat_sel} FROM {table}),
+__g AS (
+  SELECT {t_cells}, min(CAST(t.{last} AS DOUBLE)) AS m
+  FROM {table} t, __s s
+  GROUP BY {', '.join(f'c{i}' for i in range(len(gdims)))}
+),
+__env AS (
+  SELECT p.{', p.'.join(f'c{i}' for i in range(len(gdims)))},
+         min(w.m) AS env
+  FROM __g p JOIN __g w ON {strict}
+  GROUP BY p.{', p.'.join(f'c{i}' for i in range(len(gdims)))}
+)
+SELECT t.* FROM {table} t CROSS JOIN __s s
+LEFT JOIN __env e
+  ON {' AND '.join(f'{cell(i, c, "t")} = e.c{i}'
+                   for i, c in enumerate(gdims))}
+WHERE ({degenerate}) OR e.env IS NULL
+   OR CAST(t.{last} AS DOUBLE) < e.env
+""".strip()
 
 
 def _prune_by_sample(df: DataFrame, cols: Sequence[str], k: int,

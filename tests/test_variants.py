@@ -36,6 +36,66 @@ def test_grid_prefilter_no_witness_keeps_all(spark):
     assert out.count() == 3
 
 
+def test_grid_envelope_prefilter_lossless_random(spark):
+    """Hypothesis-style sweep: skyline(envelope(S)) == skyline(S) on
+    random point sets with duplicates, ties, and boundary values —
+    the losslessness claim of the per-cell witness field (round 10)."""
+    import random
+
+    from flink_skyline_qos_spark.operators.variants import (
+        grid_envelope_prefilter,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        dims = rng.choice([2, 3, 4])
+        n = rng.randint(5, 300)
+        rows = []
+        for i in range(n):
+            pt = tuple(float(rng.randint(0, 12)) for _ in range(dims))
+            rows.append((i, *pt))
+            if rng.random() < 0.3:
+                rows.append((i + 1000, *pt))  # exact duplicate
+        cols = [f"d{k}" for k in range(dims)]
+        schema = "id long, " + ", ".join(f"{c} double" for c in cols)
+        df = spark.createDataFrame(rows, schema)
+        filt = grid_envelope_prefilter(df, cols, cells=4)
+        a = sorted(tuple(r) for r in skyline(df, cols).collect())
+        b = sorted(tuple(r) for r in skyline(filt, cols).collect())
+        assert a == b, (trial, dims, n)
+
+
+def test_grid_envelope_prefilter_degenerate_and_twin(spark):
+    from flink_skyline_qos_spark.operators.variants import (
+        grid_envelope_prefilter,
+        grid_envelope_prefilter_sql,
+    )
+
+    # constant grid dim → filter disabled, everything kept
+    dup = spark.createDataFrame([(1.0, 2.0, float(i)) for i in range(5)],
+                                "d0 double, d1 double, d2 double")
+    assert grid_envelope_prefilter(dup, ["d0", "d1", "d2"]).count() == 5
+
+    # DuckDB twin parity on a deterministic generated corpus
+    import duckdb
+
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_points_hash,
+        generate_points_sql,
+    )
+
+    pts = generate_points_hash(spark, 3000, 3, dist="anti_correlated")
+    srows = sorted(tuple(r) for r in
+                   grid_envelope_prefilter(pts, ["d0", "d1", "d2"])
+                   .collect())
+    twin = grid_envelope_prefilter_sql(
+        f"({generate_points_sql(3000, 3, dist='anti_correlated')})",
+        ["d0", "d1", "d2"])
+    drows = sorted(duckdb.sql(twin).fetchall())
+    assert srows == drows
+    assert 0 < len(srows) < 3000  # it actually filtered something
+
+
 def test_top_k_dominating(spark):
     df = spark.createDataFrame(
         [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, 3.0), (4, 0.0, 9.0)],
