@@ -1368,12 +1368,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.utime(dst, (now - 10 + 10 * i,) * 2)
         stream = (s.readStream.schema(emb.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
-        # compact_every=2: exactly one compaction (after the second
-        # batch) — the snapshot + GC path runs without paying a
-        # per-batch store rewrite in the oracle-gated query
+        # compact_every=4: no compaction fires in this 2-batch fixture
+        # (r10 trim — the snapshot+GC rewrite cost 1.5-3.5 s of the
+        # gate's slowest query; the compaction + replay path stays
+        # EXECUTED in tests/test_streaming.py's cross-batch pytest,
+        # and dim=64 skips the per-batch vector-length probe job)
         run_streaming_embedding_admission(
             stream, work, threshold=0.35, n_planes=32, bands=8,
-            compact_every=2)
+            compact_every=4, dim=64)
         return (s.read.option("recursiveFileLookup", "true")
                 .parquet(os.path.join(work, "admitted"))
                 .select("vec_id"))

@@ -534,7 +534,8 @@ def run_streaming_embedding_admission(stream_vecs: DataFrame,
                                       n_planes: int = 32, bands: int = 8,
                                       seed: int = 42,
                                       max_bucket: int = 2000,
-                                      compact_every: int = 8) -> None:
+                                      compact_every: int = 8,
+                                      dim: "int | None" = None) -> None:
     """Streaming EMBEDDING admission — SemDeDup at ingest (VERDICT r8
     #3): vectors stream in; a vector is admitted only if it is a
     near-duplicate (cosine ≥ `threshold`) of NOTHING admitted before it
@@ -566,6 +567,10 @@ def run_streaming_embedding_admission(stream_vecs: DataFrame,
 
     adm_dir = os.path.join(work_dir, "admitted")
     sig_dir = os.path.join(work_dir, "sigs")
+    # `dim` memo: without it embedding_signatures runs an eager
+    # first() job PER BATCH just to measure the vector length (r10
+    # trim — each saved job is ~0.3 s of scheduling at gate scale)
+    dims = {"d": dim}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -592,8 +597,10 @@ def run_streaming_embedding_admission(stream_vecs: DataFrame,
         # self-check, the cross-check (new_signatures), and — filtered
         # to the admitted ids — the store write; batch vectors are
         # never re-projected
+        if dims["d"] is None:
+            dims["d"] = len(batch.select(vec_col).first()[0])
         batch_sigs = embedding_signatures(
-            batch, id_col=id_col, vec_col=vec_col,
+            batch, dim=dims["d"], id_col=id_col, vec_col=vec_col,
             n_planes=n_planes, bands=bands, seed=seed).persist()
         self_pairs = embedding_near_dup_lsh(
             batch, threshold, id_col=id_col, vec_col=vec_col,
