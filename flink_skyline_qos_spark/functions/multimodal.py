@@ -10,12 +10,13 @@ Two codec tiers:
 
 * the deterministic FAKE containers (`FIMG`/`FAUD`/`FVID` packets whose
   geometry derives from md5(doc_id)) — cheap, fully oracle-checkable;
-* REAL public formats, dependency-free: uncompressed 24-bit BMP and
-  16-bit PCM WAV encode/decode in pure NumPy (:func:`encode_bmp` /
-  :func:`decode_bmp` / :func:`encode_wav` / :func:`decode_wav`), wired
+* REAL public formats, dependency-free: uncompressed 24-bit BMP,
+  16-bit PCM WAV, and uncompressed-DIB RIFF AVI encode/decode in pure
+  NumPy (:func:`encode_bmp` / :func:`decode_bmp` / :func:`encode_wav` /
+  :func:`decode_wav` / :func:`encode_avi` / :func:`decode_avi`), wired
   through the same mapInPandas plumbing (:func:`pack_real_media` /
-  :func:`decode_media_real`).  Video stays on the fake container (no
-  dependency-free public video container is practical).
+  :func:`decode_media_real`).  Round 10 closed the video gap: blobs
+  are real AVIs any standard player opens.
 
 Geometry in both tiers is reproducible from the id alone, which is what
 lets the DuckDB oracle check the full pack→decode loop.
@@ -43,6 +44,8 @@ __all__ = [
     "decode_bmp",
     "encode_wav",
     "decode_wav",
+    "encode_avi",
+    "decode_avi",
     "pack_real_media",
     "decode_media_real",
     "decode_media_real_sql",
@@ -375,13 +378,110 @@ def decode_wav(data: bytes) -> "tuple[int, int, 'np.ndarray']":
     return sr, ch, np.frombuffer(body, dtype="<i2").copy()
 
 
+def encode_avi(frames: "np.ndarray", fps: int = 10) -> bytes:
+    """Encode an ``(n, h, w, 3)`` uint8 RGB array as an uncompressed
+    RIFF AVI ('vids'/'DIB ' stream: raw bottom-up 24-bit BGR frames in
+    '00db' chunks, BITMAPINFOHEADER strf, idx1 keyframe index) — the
+    video analogue of :func:`encode_bmp`/:func:`encode_wav`, readable
+    by any standard player/decoder.  Layout is public knowledge (the
+    RIFF AVI file format: 'hdrl' (avih + strl(strh, strf)) + 'movi' +
+    'idx1').  Total size is the closed form ``232 + n·(24 + stride·h)``
+    with the BMP 4-byte row stride — the DuckDB oracle recomputes it."""
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3 or fr.shape[0] < 1:
+        raise ValueError("encode_avi wants an (n, h, w, 3) uint8 array")
+    n, h, w, _ = fr.shape
+    stride = (3 * w + 3) // 4 * 4
+    fb = stride * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    def lst(form: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", form + payload)
+
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0,
+                       0, 1, fps, 0, n, fb, 0, 0, 0, 0, w, h)
+    avih = struct.pack("<14I", 1_000_000 // fps, fb * fps, 0, 0x10,
+                       n, 0, 1, fb, w, h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = np.zeros((n, h, stride), dtype=np.uint8)
+    body[:, :, : 3 * w] = fr[:, ::-1, :, ::-1].reshape(n, h, 3 * w)
+    movi_items = b"".join(chunk(b"00db", body[i].tobytes())
+                          for i in range(n))
+    movi = lst(b"movi", movi_items)
+    idx1 = b"".join(b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + fb),
+                                          fb) for i in range(n))
+    payload = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_avi(data: bytes) -> "tuple[int, int, 'np.ndarray']":
+    """Decode an uncompressed 24-bit 'DIB ' RIFF AVI →
+    ``(width, height, (n, h, w, 3) uint8 RGB array)``.  Walks the RIFF
+    chunk tree (extra chunks/LISTs are skipped); rejects compressed or
+    non-24-bit streams."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: missing RIFF/'AVI ' magic")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", data, pos + 4)
+            yield cid, pos + 8, clen
+            pos += 8 + clen + (clen & 1)
+
+    w = h = None
+    frames: list = []
+
+    def scan(lo: int, hi: int) -> None:
+        nonlocal w, h
+        for cid, off, clen in walk(lo, hi):
+            if cid == b"LIST":
+                scan(off + 4, off + clen)
+            elif cid == b"strf" and w is None:
+                (_sz, w_, h_, _pl, bpp, comp) = struct.unpack_from(
+                    "<IiiHHI", data, off)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI: bpp={bpp} compression={comp}")
+                w, h = w_, abs(h_)
+            elif cid == b"00db":
+                frames.append((off, clen))
+
+    scan(12, len(data))
+    if w is None or not frames:
+        raise ValueError("truncated AVI: missing strf/movi frames")
+    stride = (3 * w + 3) // 4 * 4
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, (off, clen) in enumerate(frames):
+        raw = np.frombuffer(data, dtype=np.uint8, count=h * stride,
+                            offset=off)
+        rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+        out[i] = rows[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+    return w, h, out
+
+
+def _video_geometry(w: int, h: int, nf: int) -> tuple[int, int, int]:
+    """Real-AVI bounded geometry from the md5 draws: 8..32 px frames,
+    1..8 frames — bounds the blob like the image/audio caps."""
+    return 8 + w % 25, 8 + h % 25, 1 + nf % 8
+
+
 def _real_pack_one(doc_id: int) -> tuple[str, bytes, int, int, int, int]:
     """Deterministic REAL-format blob per id: same md5 geometry as the
     fake codec (so the DuckDB oracle recomputes it from the id), but the
-    bytes are genuine BMP/WAV that any external decoder reads.  Video
-    stays on the fake `FVID` container (no dependency-free public
-    container is practical); images cap at 64×64 and audio at 4096
-    samples to bound blob size, mirroring the fake codec's 4096 cap."""
+    bytes are genuine BMP/WAV/AVI that any external decoder reads
+    (round 10 closed the video gap with the uncompressed-DIB AVI
+    codec).  Images cap at 64×64, audio at 4096 samples, video at
+    32×32×8 frames to bound blob size, mirroring the fake codec's cap."""
     import numpy as np
 
     kind, w, h, sr, nf = _geometry(doc_id)
@@ -395,8 +495,10 @@ def _real_pack_one(doc_id: int) -> tuple[str, bytes, int, int, int, int]:
         raw = _payload(doc_id, n_samples * 2)
         samples = np.frombuffer(raw, dtype="<i2")
         return kind, encode_wav(samples, sr), 0, 0, sr, 0
-    body = _payload(doc_id, min(nf * 16, 4096))
-    return kind, _MAGIC["video"] + struct.pack(">I", nf) + body, 0, 0, 0, nf
+    vw, vh, nfr = _video_geometry(w, h, nf)
+    raw = _payload(doc_id, nfr * vh * vw * 3)
+    fr = np.frombuffer(raw, dtype=np.uint8).reshape(nfr, vh, vw, 3)
+    return kind, encode_avi(fr), vw, vh, 0, nfr
 
 
 def pack_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -450,11 +552,16 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                         w, h, px = decode_bmp(blob)
                         rows.append((int(doc_id), "image", w, h, None, None,
                                      None, len(blob), float(px.mean())))
-                    elif blob[:4] == b"RIFF":
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                         sr, _ch, s = decode_wav(blob)
                         rows.append((int(doc_id), "audio", None, None, sr,
                                      len(s), None, len(blob),
                                      float(np.abs(s.astype(np.int64)).mean())))
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                        w, h, fr = decode_avi(blob)
+                        rows.append((int(doc_id), "video", w, h, None,
+                                     None, len(fr), len(blob),
+                                     float(fr.mean())))
                     elif blob[:4] == b"FVID":
                         (nf,) = struct.unpack(">I", blob[4:8])
                         rows.append((int(doc_id), "video", None, None, None,
@@ -473,7 +580,8 @@ def decode_media_real_sql(ids_table: str, id_col: str = "doc_id") -> str:
     """DuckDB oracle for the REAL pack→decode loop: recompute the
     md5-derived geometry AND the exact container byte length (BMP:
     14+40+h·stride with 4-byte-aligned stride; WAV: 44+2·n_samples;
-    fake video: 8+body) from the id alone.  Content stats (`mean_px`)
+    AVI: 232+n_frames·(24+stride·h) — headers + per-frame '00db'
+    chunk + idx1 entry) from the id alone.  Content stats (`mean_px`)
     are not SQL-reproducible and stay pytest-covered bit-exactly."""
     def h(salt: str) -> str:
         return (f"(('0x' || substr(md5({id_col}::VARCHAR || ':{salt}'), "
@@ -483,16 +591,23 @@ def decode_media_real_sql(ids_table: str, id_col: str = "doc_id") -> str:
     w = f"(8 + (16 + {h('w')} % 240) % 57)"
     hh = f"(8 + (16 + {h('h')} % 240) % 57)"
     sr = f"(8000 + ({h('sr')} % 5) * 8000)"
-    nf = f"(1 + {h('f')} % 300)"
+    nf = f"(1 + (1 + {h('f')} % 300) % 8)"
+    vw = f"(8 + (16 + {h('w')} % 240) % 25)"
+    vh = f"(8 + (16 + {h('h')} % 240) % 25)"
     ns = f"least({sr} // 4, 4096)"
     stride = f"((3 * {w} + 3) // 4 * 4)"
+    vstride = f"((3 * {vw} + 3) // 4 * 4)"
     nbytes = (f"CASE WHEN {kind} = 'image' THEN 54 + {hh} * {stride} "
               f"WHEN {kind} = 'audio' THEN 44 + 2 * {ns} "
-              f"ELSE 8 + least({nf} * 16, 4096) END")
+              f"ELSE 232 + {nf} * (24 + {vstride} * {vh}) END")
+    width = (f"CASE WHEN {kind} = 'image' THEN {w} "
+             f"WHEN {kind} = 'video' THEN {vw} END")
+    height = (f"CASE WHEN {kind} = 'image' THEN {hh} "
+              f"WHEN {kind} = 'video' THEN {vh} END")
     return (
         f"SELECT {id_col} AS doc_id, {kind} AS media_type, "
-        f"cast(CASE WHEN {kind} = 'image' THEN {w} END as int) AS width, "
-        f"cast(CASE WHEN {kind} = 'image' THEN {hh} END as int) AS height, "
+        f"cast({width} as int) AS width, "
+        f"cast({height} as int) AS height, "
         f"cast(CASE WHEN {kind} = 'audio' THEN {sr} END as int) "
         f"AS sample_rate, "
         f"cast(CASE WHEN {kind} = 'audio' THEN {ns} END as int) "

@@ -6,11 +6,13 @@ from pyspark.sql import functions as F
 
 from flink_skyline_qos_spark.functions.multimodal import (
     audio_features,
+    decode_avi,
     decode_bmp,
     decode_image_real,
     decode_media,
     decode_media_real,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_wav,
     pack_fake_media,
@@ -171,6 +173,46 @@ def test_wav_round_trip_and_chunk_walk():
         decode_wav(b"RIFFxxxxNOPE")
 
 
+def test_avi_round_trip_and_size_formula():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (8, 32, 9)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        blob = encode_avi(fr, fps=12)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+        w2, h2, fr2 = decode_avi(blob)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(fr, fr2)
+        # the closed-form size the DuckDB oracle recomputes
+        stride = (3 * w + 3) // 4 * 4
+        assert len(blob) == 232 + n * (24 + stride * h)
+
+
+def test_avi_rejects_and_skips_foreign_chunks():
+    import struct
+
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # wrong form type
+    fr = np.zeros((2, 2, 2, 3), dtype=np.uint8)
+    blob = bytes(encode_avi(fr))
+    # an AVI with a foreign JUNK chunk prepended to the tree must still
+    # decode (the walker skips unknown chunks)
+    junk = b"JUNK" + struct.pack("<I", 4) + b"xxxx"
+    payload = blob[8:12] + junk + blob[12:]
+    patched = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    w, h, fr2 = decode_avi(patched)
+    assert (w, h) == (2, 2) and np.array_equal(fr, fr2)
+    # compressed stream must be rejected, not mis-decoded
+    bad = bytes(blob).replace(
+        struct.pack("<IiiHHI", 40, 2, 2, 1, 24, 0),
+        struct.pack("<IiiHHI", 40, 2, 2, 1, 24, 1))
+    with pytest.raises(ValueError):
+        decode_avi(bad)
+
+
 @pytest.fixture(scope="module")
 def real_media(spark, documents):
     return pack_real_media(documents.limit(200)).cache()
@@ -191,7 +233,10 @@ def test_pack_real_blobs_are_genuine_formats(real_media):
             assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
             decode_wav(blob)
         else:
-            assert blob[:4] == b"FVID"
+            # round 10: video is a REAL uncompressed-DIB RIFF AVI
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+            w, h, fr = decode_avi(blob)
+            assert fr.shape == (len(fr), h, w, 3) and len(fr) >= 1
 
 
 def test_decode_media_real_bit_exact(real_media):
@@ -218,6 +263,11 @@ def test_decode_media_real_bit_exact(real_media):
             assert got["n_samples"] == len(s)
             assert got["mean_px"] == float(
                 np.abs(s.astype(np.int64)).mean())
+        else:
+            w, h, fr = decode_avi(blob)
+            assert (got["width"], got["height"]) == (w, h)
+            assert got["n_frames"] == len(fr)
+            assert got["mean_px"] == float(fr.mean())
 
 
 def test_decode_image_real_projects_images(real_media):
