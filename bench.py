@@ -172,9 +172,27 @@ def main() -> None:
     t_cold = time.perf_counter()
     warm_arrow_pool(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Same-shape minhash warm run (round 10): the banded-LSH plan's
+    # generated code is enormous (64 md5 permutation columns) and its
+    # C2 JIT soak is ~45 s of wall — long enough that TWO successive
+    # 100k samples both land inside it and "converge" at ~31 s when
+    # the true steady state is ~12 s (probe table in BENCHMARKS.md
+    # round 10).  A 2k-doc run generates the SAME codegen classes and
+    # absorbs most of the soak outside the timed region; the cost is
+    # recorded in cold_start like the Arrow pool spin-up.
+    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_docs_hash,
+    )
+
+    minhash_lsh_pairs(
+        generate_docs_hash(spark, 2000, vocab_size=20_000, doc_len=30,
+                           dup="near", num_partitions=2 * cpus),
+        num_hashes=64, bands=16, shingle_k=3, shingle_unit="word",
+        threshold=0.5).count()
     cold_start = round(time.perf_counter() - t_cold, 3)
-    print(f"# cold_start (JVM + Arrow worker-pool spin-up): {cold_start}s",
-          file=sys.stderr)
+    print(f"# cold_start (JVM + Arrow pool + minhash codegen/JIT): "
+          f"{cold_start}s", file=sys.stderr)
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
@@ -241,11 +259,6 @@ def main() -> None:
     from flink_skyline_qos_spark.operators.clustering import (
         connected_components,
     )
-    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
-    from flink_skyline_qos_spark.sources.generators import (
-        generate_docs_hash,
-    )
-
     from pyspark.sql import functions as F  # noqa: E402
 
     def _pairs(docs):
@@ -256,19 +269,36 @@ def main() -> None:
     def _pairs_count(docs) -> int:
         return _pairs(docs).count()
 
+    recall_hits = {}
+
     def _dedup_count(docs) -> int:
         # full dedup pipeline: pairs → connected components → canonical
         # corpus size (each component keeps its min doc_id; unpaired
-        # documents are isolated components of themselves and survive)
-        comp = connected_components(_pairs(docs), "id_a", "id_b")
-        dup_ids = comp.join(
-            comp.groupBy("component").agg(F.min("node").alias("keep")),
-            on="component").filter(F.col("node") != F.col("keep"))
-        return docs.count() - dup_ids.count()
+        # documents are isolated components of themselves and survive).
+        # Pairs are pinned for the run: components iterates over them,
+        # and the planted-pair recall count below reads the same cache
+        # instead of paying a second full LSH pass.
+        pairs = _pairs(docs).persist()
+        try:
+            comp = connected_components(pairs, "id_a", "id_b")
+            dup_ids = comp.join(
+                comp.groupBy("component").agg(
+                    F.min("node").alias("keep")),
+                on="component").filter(F.col("node") != F.col("keep"))
+            n = docs.count() - dup_ids.count()
+            recall_hits["hit"] = pairs.filter(
+                (F.col("id_b") == F.col("id_a") + 1)
+                & (F.col("id_b") % 10 == 0)).count()
+            return n
+        finally:
+            pairs.unpersist(False)
 
     for name, n_docs, max_s, run_count in (
         ("synth_minhash_100k", 100_000, 6, _pairs_count),
-        ("synth_dedup_1m", 1_000_000, 3, _dedup_count),
+        # 2 samples: the >=60 s expensive-row exit governs this row
+        # anyway (each sample is ~3 min); recall is read from the run's
+        # own cached pairs, costing no extra LSH pass
+        ("synth_dedup_1m", 1_000_000, 2, _dedup_count),
     ):
         docs = generate_docs_hash(spark, n_docs, vocab_size=20_000,
                                   doc_len=30, dup="near",
@@ -289,12 +319,10 @@ def main() -> None:
         timings[name] = min(runs)
         loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
         if name == "synth_dedup_1m":
-            # planted-pair recall (untimed): every 10th document is a
-            # near-dup of its predecessor — those pairs must be found
+            # planted-pair recall: every 10th document is a near-dup of
+            # its predecessor — those pairs must be found
             planted = n_docs // 10 - 1
-            hit = _pairs(docs).filter(
-                (F.col("id_b") == F.col("id_a") + 1)
-                & (F.col("id_b") % 10 == 0)).count()
+            hit = recall_hits.get("hit", 0)
             print(f"# {name}: planted-pair recall {hit}/{planted} = "
                   f"{hit / planted:.4f}", file=sys.stderr)
         docs.unpersist(True)
