@@ -91,6 +91,8 @@ from flink_skyline_qos_spark.functions.multimodal import (  # noqa: E402
     decode_media_sql,
     pack_fake_media,
     pack_real_media,
+    sample_frames_real,
+    sample_frames_real_sql,
 )
 from flink_skyline_qos_spark.operators.clustering import (  # noqa: E402
     dedup_clusters,
@@ -1695,6 +1697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_decode_real_documents"] = lambda s, d: decode_media_real(
         pack_real_media(load_table(s, d, "documents"))
     ).drop("mean_px")
+    # real video frame sampling: decode the AVI, every-2nd decoded
+    # frame + its pixel aHash; the hash (content stat) is pytest-only
+    q["video_frames_real_documents"] = lambda s, d: sample_frames_real(
+        pack_real_media(load_table(s, d, "documents")), every_k=2
+    ).drop("frame_ahash")
 
     # --- similarity search over embeddings ---
     def _ann(s: SparkSession, d: str) -> DataFrame:
@@ -2500,6 +2507,8 @@ WHERE l.event_type = 'purchase' AND r.event_type = 'view'
         "(SELECT doc_id FROM documents)")
     o["media_decode_real_documents"] = decode_media_real_sql(
         "(SELECT doc_id FROM documents)")
+    o["video_frames_real_documents"] = sample_frames_real_sql(
+        "(SELECT doc_id FROM documents)", every_k=2)
 
     for dist in ("uniform", "correlated", "anti_correlated"):
         o[f"gen_{dist}_2d"] = generate_points_sql(GEN_N, 2, dist=dist)

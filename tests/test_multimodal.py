@@ -270,6 +270,27 @@ def test_decode_media_real_bit_exact(real_media):
             assert got["mean_px"] == float(fr.mean())
 
 
+def test_sample_frames_real_bit_exact(real_media):
+    """Every sampled frame's aHash must equal the local decode's hash
+    of the same frame; indices are every-2nd below the real frame
+    count; non-video rows contribute nothing."""
+    from flink_skyline_qos_spark.functions.multimodal import (
+        ahash64,
+        sample_frames_real,
+    )
+
+    out = sample_frames_real(real_media, every_k=2).collect()
+    vids = {r["doc_id"]: bytes(r["media"])
+            for r in real_media.filter("media_type = 'video'").collect()}
+    assert {r["doc_id"] for r in out} == set(vids)
+    for r in out:
+        _w, _h, fr = decode_avi(vids[r["doc_id"]])
+        assert r["n_frames"] == len(fr)
+        assert 0 <= r["frame_idx"] < len(fr) and r["frame_idx"] % 2 == 0
+        a = ahash64(fr[r["frame_idx"]])
+        assert r["frame_ahash"] == (a - (1 << 64) if a >= (1 << 63) else a)
+
+
 def test_decode_image_real_projects_images(real_media):
     out = decode_image_real(real_media)
     n_img = real_media.filter(F.col("media_type") == "image").count()
