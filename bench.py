@@ -215,7 +215,13 @@ def main() -> None:
         (ADVICE r6 — a >20% spread above the 30 s line would otherwise
         pass silently)."""
         lo, lo2 = sorted(runs)[:2]
-        if lo2 <= 1.2 * lo:
+        # 20% relative agreement, with a 0.3 s absolute floor: at the
+        # ~1-2 s row scale the scheduler/GC jitter alone is ±0.3-0.5 s
+        # and the pure-relative rule flagged sub-2 s rows as
+        # "unconverged" while 100× heavier rows converged fine
+        # (r10b: anticorr_1m_2d at [1.55, 1.26, 1.65, 2.06]).  The
+        # absolute floor is far below any row's signal threshold.
+        if lo2 <= max(1.2 * lo, lo + 0.3):
             return True
         if lo >= 30.0 and steady.get(name, 0.0) >= 30.0:
             if name not in floor_exited:

@@ -1002,6 +1002,7 @@ def _verify_scatter(pruned: DataFrame, cols: Sequence[str], *,
 def skyline_auto(df: DataFrame, cols: Sequence[str], *,
                  broadcast_threshold: int = 100_000,
                  scatter_threshold: "int | None" = None,
+                 envelope_cells: "int | bool | None" = None,
                  width_safe: bool | None = None) -> DataFrame:
     """Adaptive skyline: measure the local-pruned survivor count, then
     pick the physical strategy it calls for.
@@ -1018,6 +1019,11 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
     shuffle boundaries, applied to the one operator Catalyst cannot
     see into.
 
+    `envelope_cells` (truthy/int): apply the lossless all-JVM
+    :func:`~.variants.grid_envelope_prefilter` before the local prune
+    (see :func:`skyline_broadcast_verify`); launches its two eager
+    stats jobs at construction time.
+
     `width_safe` (default auto, :func:`_narrow_rewrite`): wide rows
     take the dims-only prune/verify + semi-join-back rewrite.
     """
@@ -1026,8 +1032,15 @@ def skyline_auto(df: DataFrame, cols: Sequence[str], *,
         vecs = skyline_auto(df.select(*cols), cols,
                             broadcast_threshold=broadcast_threshold,
                             scatter_threshold=scatter_threshold,
+                            envelope_cells=envelope_cells,
                             width_safe=False)
         return _join_back(df, vecs, cols)
+    if envelope_cells:
+        from .variants import grid_envelope_prefilter
+
+        df = grid_envelope_prefilter(
+            df, cols,
+            cells=None if envelope_cells is True else int(envelope_cells))
     pruned = _local_prune(df, cols).persist()
     n = pruned.count()
     if n > broadcast_threshold:

@@ -243,6 +243,9 @@ def test_skyline_auto_both_branches(lineitem, oracle_2d):
     got_s = skyline_auto(lineitem, DIMS2, broadcast_threshold=0,
                          scatter_threshold=0)
     assert spark_rows(got_s, all_cols(lineitem)) == oracle_2d
+    # + the lossless grid-envelope prefilter (r10): same answer
+    got_e = skyline_auto(lineitem, DIMS2, envelope_cells=True)
+    assert spark_rows(got_e, all_cols(lineitem)) == oracle_2d
 
 
 def test_verify_paths_agree_on_4d_anticorr(spark):
