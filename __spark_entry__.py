@@ -324,6 +324,26 @@ inter AS (
 )"""
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _small_shuffle(s: SparkSession, n: int = 8):
+    """Tiny-fixture shuffle parallelism (r10): the streaming gate
+    fixtures move a few hundred rows through ~a dozen shuffle stages
+    per micro-batch; at the session's default partition count that is
+    pure task-scheduling overhead (A/B on the embedding admission
+    query: 17.3 s at 64 partitions → 8.2 s at 8, identical output).
+    Scoped: restores the session value on exit, so only the fixture —
+    never the operator — is tuned."""
+    old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        s.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: two-phase MR-Angle skyline of lineitem (minimize price+discount)."""
     df = _li(spark, "/root/testdata/sf0.001")
@@ -1318,7 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.utime(dst, (now - 10 + 10 * i,) * 2)
         stream = (s.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
-        run_streaming_ingest_pipeline(stream, work, unit_tokens=8)
+        with _small_shuffle(s):
+            run_streaming_ingest_pipeline(stream, work, unit_tokens=8)
         return (s.read.option("recursiveFileLookup", "true")
                 .parquet(os.path.join(work, "cleaned"))
                 .select(F.col("id").alias("doc_id"), "kept", "failed",
@@ -1375,9 +1396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate's slowest query; the compaction + replay path stays
         # EXECUTED in tests/test_streaming.py's cross-batch pytest,
         # and dim=64 skips the per-batch vector-length probe job)
-        run_streaming_embedding_admission(
-            stream, work, threshold=0.35, n_planes=32, bands=8,
-            compact_every=4, dim=64)
+        with _small_shuffle(s):
+            run_streaming_embedding_admission(
+                stream, work, threshold=0.35, n_planes=32, bands=8,
+                compact_every=4, dim=64)
         return (s.read.option("recursiveFileLookup", "true")
                 .parquet(os.path.join(work, "admitted"))
                 .select("vec_id"))
@@ -1458,10 +1480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         local = continuous_local_skylines(
             stream, dims=2, algo="mr-dim", num_partitions=NUM_PARTS,
             domain_max=10000.0)
-        query = start_continuous_global(
-            local, dims=2, out_dir=os.path.join(work, "out"),
-            num_partitions=NUM_PARTS)
-        query.awaitTermination()
+        with _small_shuffle(s, NUM_PARTS):
+            query = start_continuous_global(
+                local, dims=2, out_dir=os.path.join(work, "out"),
+                num_partitions=NUM_PARTS)
+            query.awaitTermination()
         emitted = s.read.option("recursiveFileLookup", "true").parquet(
             os.path.join(work, "out", "global"))
         last = emitted.agg(F.max("batch_id")).first()[0]
