@@ -247,6 +247,44 @@ def main() -> None:
             return True
         return False
 
+    # every-third-round rotation (BENCHMARKS.md "headline rotation"):
+    # set SPARK_GRAFT_BENCH_ROTATE=1 to time the rotated-out stable set
+    # too (the line budget absorbs it only with the coarsening valve,
+    # so rotation runs are for BENCHMARKS.md, not the driver line)
+    names = HEADLINE + (ROTATED_OUT
+                        if os.environ.get("SPARK_GRAFT_BENCH_ROTATE")
+                        else [])
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        # best of two: first run pays codegen/JIT + page-cache warmup and
+        # is dominated by machine noise (observed 4× run-to-run swings);
+        # steady-state is what a long-lived cluster job sees.  When the
+        # two runs disagree the sample is contention-polluted (the
+        # text-dedup trio swings 2-4× on this shared host with unchanged
+        # code — BENCHMARKS.md probes), so keep sampling up to 5 runs
+        # until two agree within 20%; min of the set is the steady-state.
+        # Queries that never converge are flagged in the output JSON
+        # instead of silently recording the min of polluted samples.
+        runs = []
+        load_pre = os.getloadavg()[0]
+        for _ in range(5):
+            spark.catalog.clearCache()  # drop persists leaked by operators
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            if len(runs) >= 2 and _converged(name, runs):
+                break
+        else:
+            if len(runs) >= 2 and not _converged(name, runs):
+                unconverged.append(name)
+        timings[name] = min(runs)
+        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
+        print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs}, "
+              f"load: {loads[name]})", file=sys.stderr)
+
     # Synthetic-corpus dedup at scale: MinHash+LSH near-dup pairs over
     # generated documents with planted near-dup pairs as ground truth.
     # Extends the scale evidence from the skyline stack to the dedup
@@ -301,10 +339,12 @@ def main() -> None:
 
     for name, n_docs, max_s, run_count in (
         ("synth_minhash_100k", 100_000, 6, _pairs_count),
-        # 2 samples: the >=60 s expensive-row exit governs this row
-        # anyway (each sample is ~3 min); recall is read from the run's
-        # own cached pairs, costing no extra LSH pass
-        ("synth_dedup_1m", 1_000_000, 2, _dedup_count),
+        # 3 samples: the >=60 s expensive-row exit takes 2 in the
+        # normal case but NEEDS a third when the first two diverge
+        # >2x (its tiebreaker; r10c observed [109, 280] under
+        # self-load); recall is read from the run's own cached pairs,
+        # costing no extra LSH pass
+        ("synth_dedup_1m", 1_000_000, 3, _dedup_count),
     ):
         docs = generate_docs_hash(spark, n_docs, vocab_size=20_000,
                                   doc_len=30, dup="near",
@@ -335,44 +375,12 @@ def main() -> None:
         print(f"# {name}: out={n} in {timings[name]}s (runs: {runs}, "
               f"load: {loads[name]})", file=sys.stderr)
 
-    # every-third-round rotation (BENCHMARKS.md "headline rotation"):
-    # set SPARK_GRAFT_BENCH_ROTATE=1 to time the rotated-out stable set
-    # too (the line budget absorbs it only with the coarsening valve,
-    # so rotation runs are for BENCHMARKS.md, not the driver line)
-    names = HEADLINE + (ROTATED_OUT
-                        if os.environ.get("SPARK_GRAFT_BENCH_ROTATE")
-                        else [])
-    for name in names:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        # best of two: first run pays codegen/JIT + page-cache warmup and
-        # is dominated by machine noise (observed 4× run-to-run swings);
-        # steady-state is what a long-lived cluster job sees.  When the
-        # two runs disagree the sample is contention-polluted (the
-        # text-dedup trio swings 2-4× on this shared host with unchanged
-        # code — BENCHMARKS.md probes), so keep sampling up to 5 runs
-        # until two agree within 20%; min of the set is the steady-state.
-        # Queries that never converge are flagged in the output JSON
-        # instead of silently recording the min of polluted samples.
-        runs = []
-        load_pre = os.getloadavg()[0]
-        for _ in range(5):
-            spark.catalog.clearCache()  # drop persists leaked by operators
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs.append(round(time.perf_counter() - t0, 3))
-            if len(runs) >= 2 and _converged(name, runs):
-                break
-        else:
-            if len(runs) >= 2 and not _converged(name, runs):
-                unconverged.append(name)
-        timings[name] = min(runs)
-        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
-        print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs}, "
-              f"load: {loads[name]})", file=sys.stderr)
-
+    # (The synthetic dedup rows run AFTER the headline queries and
+    # BEFORE the anticorr family: r10c showed that running the 1M-doc
+    # row first leaves enough GC/memory wake to pollute the first
+    # headline rows after it (skyline_3d_lineitem 17.5 s vs 1.8
+    # steady), while the explicit minhash JIT warmup now makes sweep
+    # position irrelevant for the 100k row's own convergence.)
     # Reference-comparable synthetic workloads (BASELINE.md): 1M
     # anti-correlated points at 2-D / 3-D / 4-D.  Reference totals:
     # 17.3 s / 27.0 s / 691.9 s (graph_paper_figures.py:28-32).  2-D uses

@@ -144,6 +144,12 @@ def grid_envelope_prefilter(df: DataFrame, cols: Sequence[str], *,
     Degenerate inputs (a non-finite or constant grid dimension) return
     `df` unchanged — the guard mirrors :func:`grid_prefilter`'s
     witness check.
+
+    Caller contract (same as :func:`~.skyline.sampled_dominator_prefilter`):
+    rows must have COMPLETE dominance vectors — a NaN in the last dim
+    compares false against the envelope and would be dropped.  Every
+    skyline entry point applies its `_complete` filter first; apply
+    the same when using this standalone on dirty data.
     """
     import numpy as np
 
