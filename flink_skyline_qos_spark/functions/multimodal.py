@@ -464,6 +464,16 @@ def decode_avi(data: bytes) -> "tuple[int, int, 'np.ndarray']":
     stride = (3 * w + 3) // 4 * 4
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, (off, clen) in enumerate(frames):
+        # Validate each '00db' chunk against the strf geometry BEFORE
+        # reading: a truncated or inconsistent AVI would otherwise read
+        # bytes from adjacent chunks (clen too small) or die with an
+        # opaque numpy buffer error (chunk runs past EOF) instead of
+        # the clean ValueError the other malformed paths raise
+        # (ADVICE r10).
+        if clen < h * stride or off + h * stride > len(data):
+            raise ValueError(
+                f"truncated AVI frame {i}: chunk len {clen} / "
+                f"{len(data) - off} bytes available, need {h * stride}")
         raw = np.frombuffer(data, dtype=np.uint8, count=h * stride,
                             offset=off)
         rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)

@@ -149,7 +149,14 @@ def grid_envelope_prefilter(df: DataFrame, cols: Sequence[str], *,
     rows must have COMPLETE dominance vectors — a NaN in the last dim
     compares false against the envelope and would be dropped.  Every
     skyline entry point applies its `_complete` filter first; apply
-    the same when using this standalone on dirty data.
+    the same when using this standalone on dirty data.  Dirty rows can
+    never POISON the envelope itself, though (ADVICE r10): the witness
+    aggregate excludes rows with a NULL/NaN value in ANY gridded dim
+    or in the last dim (a NaN grid coord floor-casts to cell 0 where
+    the row could become a witness that does not actually dominate; an
+    all-NaN cell would put a NaN in the envelope and silently drop
+    every row in strictly-greater cells), and NULL cell ids are
+    skipped when the grid is built.
     """
     import numpy as np
 
@@ -182,8 +189,15 @@ def grid_envelope_prefilter(df: DataFrame, cols: Sequence[str], *,
     for i, c in enumerate(gdims):
         flat = flat * F.lit(k) + cell_idx(c, i)
 
-    cellmins = (df.groupBy(flat.alias("__cell"))
-                .agg(F.min(F.col(last).cast("double")).alias("__m"))
+    lastd = F.col(last).cast("double")
+    witness_ok = lastd.isNotNull() & ~F.isnan(lastd)
+    for c in gdims:
+        cd = F.col(c).cast("double")
+        witness_ok = witness_ok & cd.isNotNull() & ~F.isnan(cd)
+    cellmins = (df.filter(witness_ok)
+                .groupBy(flat.alias("__cell"))
+                .agg(F.min(lastd).alias("__m"))
+                .filter(F.col("__cell").isNotNull())
                 .collect())
     grid = np.full((k,) * len(gdims), np.inf)
     for r in cellmins:
@@ -223,7 +237,13 @@ def grid_envelope_prefilter_sql(table: str, cols: Sequence[str], *,
          for i, c in enumerate(gdims)])
     degenerate = " OR ".join(
         [f"s.mn{i} IS NULL OR s.mx{i} IS NULL OR s.mn{i} = s.mx{i} "
-         f"OR isinf(s.mn{i}) OR isinf(s.mx{i})"
+         f"OR isinf(s.mn{i}) OR isinf(s.mx{i}) "
+         # isnan too (ADVICE r10): a NaN grid dim poisons the min/max
+         # stats as NaN; without this DuckDB errors on
+         # CAST(floor(NaN) AS BIGINT) while the Spark side's
+         # `mn <= mx < inf` guard silently keeps all rows — the twins
+         # must fall back to keep-all identically
+         f"OR isnan(s.mn{i}) OR isnan(s.mx{i})"
          for i in range(len(gdims))])
 
     def cell(i: int, c: str, alias: str) -> str:
