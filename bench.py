@@ -29,40 +29,17 @@ HEADLINE = [
     "skyline_2d_mr_dim",
     "skyline_2d_mr_grid",
     "skyline_2d_mr_angle",
-    "grouped_skyline_events",
     "prefix_query_skyline_events",
     "minhash_dedup_documents",
     "ngram_jaccard_documents",
     "dedup_corpus_documents",
     "repetition_stats_documents",
     "embedding_dedup_corpus",
-    "ann_topk_embeddings",
-    "ann_topk_gemm_embeddings",
     "skyline_metrics_mr_dim",
-    # round-4 additions: sketches, runtime filter, layout, profiling,
-    # compaction, graph centrality, skyline maintenance/peeling
-    "hll_users_events",
-    "quantile_sketch_events",
-    "bloom_semi_join_orders",
     "link_rank_suppliers",
-    "skyline_layers_lineitem",
-    # round-4 (cont.): exact-integer ML ops + graph + frequency sketch
-    "kmeans_clusters_embeddings",
-    "pq_codes_embeddings",
-    "triangles_suppliers",
-    "count_min_tokens_documents",
-    # round-4 (cont.): incremental dedup
     "incremental_dedup_documents",
-    # round-5 additions: delete absorption, tree merge, real codecs,
-    # composed capstone + two-stage ANN (post literal-parse fix),
-    # temperature mix rebalance
-    "skyline_delta_delete_lineitem",
-    "skyline_3d_tree_merge_lineitem",
-    "media_decode_real_documents",
     "curation_capstone_embeddings",
     "pq_adc_rerank_embeddings",
-    # round-7: kNN graph
-    "knn_graph_embeddings",
     # round-8 (VERDICT r7 #1): the seven round-7 corpus/dedup operators
     # — the ops where sf0.1 exposes what sf0.01 hides (the r2 minhash
     # per-row-fold regression was invisible at sf0.01)
@@ -72,35 +49,53 @@ HEADLINE = [
     "streaming_paragraph_admission_documents",
     # round-8: the composed ingest capstone (gate -> span dedup)
     "streaming_ingest_pipeline_documents",
+    # round-11 rotation (the scheduled every-third-round re-time,
+    # VERDICT r10 #1): the 15 rows rotated out in round 10 swap back IN
+    # so BENCH_r11 re-times them against their recorded steady values
+    "paragraph_dedup_documents",
+    "c4_filter_documents",
+    "passage_contamination_documents",
+    "pack_sequences_documents",
+    "text_stats_documents",
+    "tfidf_documents",
+    "contamination_documents",
+    "temperature_sample_documents",
+    "funnel_events",
+    "retention_events",
+    "mad_outliers_events",
+    "quantile_bins_events",
+    "zorder_keys_lineitem",
+    "latest_events_per_user",
+    "corr_profile_lineitem",
 ]
 
-# Long-stable sub-second scan/agg rows rotated OUT of HEADLINE to keep
-# the output line inside the driver's 2000-char capture tail (each
-# entry costs ~name+8 chars; see tests/test_bench_output.py).  Rotation
-# schedule: re-headline this set every third round (BENCHMARKS.md
-# "headline rotation") by swapping it with an equal-length stable set;
-# their steady-state timings are recorded in BENCHMARKS.md and their
-# correctness stays gated every round via queries()/oracle_sql().
+# Long-stable rows rotated OUT of HEADLINE to keep the output line
+# inside the driver's 2000-char capture tail (each entry costs
+# ~name+8 chars; see tests/test_bench_output.py).  Rotation schedule:
+# re-headline this set every third round (BENCHMARKS.md "headline
+# rotation") by SWAPPING it with an equal-length stable set — the line
+# budget cannot absorb an append; their steady-state timings are
+# recorded in BENCHMARKS.md and their correctness stays gated every
+# round via queries()/oracle_sql().
 ROTATED_OUT = [
-    # round-10 rotations: r8 additions that proved stable + sub-second
-    # for two straight rounds, swapped out to fit the two new scale
-    # rows (synth_dedup_1m, plus scatter/1B already counted) in the
-    # line budget
-    "paragraph_dedup_documents",      # 0.23 s r8-r9
-    "c4_filter_documents",            # 0.24 s r8-r9
-    "passage_contamination_documents",  # 0.43-0.85 s r8-r9
-    "pack_sequences_documents",       # 1.10-1.24 s across r5-r8
-    "text_stats_documents",   # 0.39 s across r4-r7
-    "tfidf_documents",        # 0.85 s
-    "contamination_documents",        # 0.30 s
-    "temperature_sample_documents",   # 0.26 s
-    "funnel_events",          # 0.24-0.31 s across r4-r7
-    "retention_events",       # 0.31 s
-    "mad_outliers_events",    # 0.34 s
-    "quantile_bins_events",   # 0.37 s
-    "zorder_keys_lineitem",   # 0.26 s
-    "latest_events_per_user", # 0.20 s
-    "corr_profile_lineitem",  # 0.51 s
+    # round-11 rotations: stable low-variance rows for >=2 straight
+    # rounds, swapped out 1:1 for the returning round-10 set above
+    # (steady bands from BENCH_r08-r10)
+    "hll_users_events",               # 0.21-0.30 s r8-r10
+    "quantile_sketch_events",         # 0.36-0.51 s r8-r10
+    "grouped_skyline_events",         # 0.55-0.58 s r8-r10
+    "ann_topk_embeddings",            # 0.41-0.50 s r8-r10
+    "ann_topk_gemm_embeddings",       # 0.48-0.56 s r8-r10
+    "count_min_tokens_documents",     # 0.60-0.75 s r8-r10
+    "triangles_suppliers",            # 0.69-0.86 s r8-r10
+    "media_decode_real_documents",    # 0.65-0.73 s r8-r10
+    "knn_graph_embeddings",           # 0.91-1.46 s r8-r10
+    "kmeans_clusters_embeddings",     # 1.23-1.68 s r8-r10
+    "pq_codes_embeddings",            # 1.59-1.92 s r8-r10
+    "skyline_3d_tree_merge_lineitem", # 1.95-2.45 s r8-r10
+    "bloom_semi_join_orders",         # 1.81-2.51 s r8-r10
+    "skyline_layers_lineitem",        # 2.77-2.89 s r8-r10
+    "skyline_delta_delete_lineitem",  # 1.73-2.18 s r8-r10
 ]
 
 
@@ -139,6 +134,105 @@ def _steady_floor(sf: float) -> dict[str, float]:
             if isinstance(t, (int, float)):
                 best[q] = min(best.get(q, float("inf")), float(t))
     return best
+
+
+def converged(name: str, runs: "list[float]", steady: "dict[str, float]",
+              floor_exited: "list[str]") -> bool:
+    """Two samples within 20% (or 0.3 s absolute) = converged.
+
+    The 30 s floor (skip re-sampling genuinely long queries) applies
+    ONLY when the query's best prior-round record at this SF is also
+    >= 30 s — otherwise host contention pushing a normally-10 s query
+    past 30 s would lock in the polluted sample after two runs (that
+    is exactly how r5 recorded dedup_corpus_documents at 87.1 s vs a
+    10-20 s steady band; VERDICT r5 #1).  Unknown-to-prior-rounds
+    queries get no floor and sample to the cap.  Floor exits are
+    recorded separately (``floor_exited`` in the output JSON) so the
+    judge can tell them from truly converged samples (ADVICE r6).
+
+    Round 11 (VERDICT r10 #2): a floor exit whose best sample lands
+    >1.5x the recorded steady value takes ONE extra sample before
+    exiting — the >=60 s rows get effectively one sample exactly when
+    variance is highest (r10's anticorr_100m_4d shipped 78 s off a
+    single contended sample vs a 35 s steady); the min of three is
+    reported and all runs land on stderr.
+    """
+    lo, lo2 = sorted(runs)[:2]
+    # 20% relative agreement, with a 0.3 s absolute floor: at the
+    # ~1-2 s row scale the scheduler/GC jitter alone is +-0.3-0.5 s
+    # and the pure-relative rule flagged sub-2 s rows as
+    # "unconverged" while 100x heavier rows converged fine
+    # (r10b: anticorr_1m_2d at [1.55, 1.26, 1.65, 2.06]).  The
+    # absolute floor is far below any row's signal threshold.
+    if lo2 <= max(1.2 * lo, lo + 0.3):
+        return True
+    st = steady.get(name, 0.0)
+    if lo >= 30.0 and st >= 30.0:
+        if lo > 1.5 * st and len(runs) < 3:
+            return False  # single contended sample — one more chance
+        if name not in floor_exited:
+            floor_exited.append(name)
+        return True
+    if lo >= 60.0:
+        # very expensive rows (the 100M 3-D verify and the 1B 2-D
+        # row run 40 s - minutes per sample): sampling to the cap
+        # costs more wall-clock than the contamination risk
+        # justifies, and the prior-round floor can't apply the
+        # first time a row ships (r9: anticorr_1b_2d's maiden
+        # samples spread 98-122 s — 21%, a hair past the 20% rule
+        # — with no steady record to grant the 30 s floor).  Exit
+        # after two samples — but when those two disagree by more
+        # than 2x, take ONE extra sample first (a min of two
+        # wildly divergent runs is still contention-pollutable;
+        # ADVICE r7 bench.py:181), and likewise when the best
+        # sample sits >1.5x the recorded steady value (VERDICT r10
+        # #2).  Always flagged floor_exited so the judge sees the
+        # spread wasn't certified.
+        if lo2 > 2.0 * lo and len(runs) < 3:
+            return False
+        if st > 0.0 and lo > 1.5 * st and len(runs) < 3:
+            return False
+        if name not in floor_exited:
+            floor_exited.append(name)
+        return True
+    return False
+
+
+def sample_pinned(name: str, pts, run, max_samples: int,
+                  steady: "dict[str, float]", floor_exited: "list[str]",
+                  unconverged: "list[str]"):
+    """Best-of-N sampling loop for a workload over a PINNED input.
+
+    The pinned input is ALWAYS unpersisted (blocking) before this
+    returns — even when a sample raises — so one workload's pinned
+    blocks (the 1B row pins ~24 GB) can never leak memory pressure
+    into the next row's samples: that leak is the band-widening
+    mechanism behind the 95-207 s 1B spread (VERDICT r10 #5).
+    ``run(pts)`` may return a DataFrame (counted to materialize) or a
+    bare int from a composite pipeline.  Returns
+    ``(best, runs, n, dispatch)``.
+    """
+    runs: "list[float]" = []
+    n = disp = None
+    try:
+        for _ in range(max_samples):
+            t0 = time.perf_counter()
+            res = run(pts)
+            n = res.count() if hasattr(res, "count") else res
+            runs.append(round(time.perf_counter() - t0, 3))
+            disp = getattr(res, "_verify_strategy", None)
+            del res
+            gc.collect()  # release operator-internal persists only
+            if len(runs) >= 2 and converged(name, runs, steady,
+                                            floor_exited):
+                break
+        else:
+            if len(runs) >= 2 and not converged(name, runs, steady,
+                                                floor_exited):
+                unconverged.append(name)
+    finally:
+        pts.unpersist(True)
+    return min(runs), runs, n, disp
 
 
 def main() -> None:
@@ -201,51 +295,24 @@ def main() -> None:
     floor_exited: list[str] = []
     steady = _steady_floor(sf)
 
-    def _converged(name: str, runs: list[float]) -> bool:
-        """Two samples within 20% = converged.  The 30 s floor (skip
-        re-sampling genuinely long queries) applies ONLY when the
-        query's best prior-round record at this SF is also >= 30 s —
-        otherwise host contention pushing a normally-10 s query past
-        30 s would lock in the polluted sample after two runs (that is
-        exactly how r5 recorded dedup_corpus_documents at 87.1 s vs a
-        10-20 s steady band; VERDICT r5 #1).  Unknown-to-prior-rounds
-        queries get no floor and sample to the cap.  Floor exits are
-        recorded separately (``floor_exited`` in the output JSON) so
-        the judge can tell them from truly converged samples
-        (ADVICE r6 — a >20% spread above the 30 s line would otherwise
-        pass silently)."""
-        lo, lo2 = sorted(runs)[:2]
-        # 20% relative agreement, with a 0.3 s absolute floor: at the
-        # ~1-2 s row scale the scheduler/GC jitter alone is ±0.3-0.5 s
-        # and the pure-relative rule flagged sub-2 s rows as
-        # "unconverged" while 100× heavier rows converged fine
-        # (r10b: anticorr_1m_2d at [1.55, 1.26, 1.65, 2.06]).  The
-        # absolute floor is far below any row's signal threshold.
-        if lo2 <= max(1.2 * lo, lo + 0.3):
-            return True
-        if lo >= 30.0 and steady.get(name, 0.0) >= 30.0:
-            if name not in floor_exited:
-                floor_exited.append(name)
-            return True
-        if lo >= 60.0:
-            # very expensive rows (the 100M 3-D verify and the 1B 2-D
-            # row run 40 s - minutes per sample): sampling to the cap
-            # costs more wall-clock than the contamination risk
-            # justifies, and the prior-round floor can't apply the
-            # first time a row ships (r9: anticorr_1b_2d's maiden
-            # samples spread 98-122 s — 21%, a hair past the 20% rule
-            # — with no steady record to grant the 30 s floor).  Exit
-            # after two samples — but when those two disagree by more
-            # than 2×, take ONE extra sample first (a min of two
-            # wildly divergent runs is still contention-pollutable;
-            # ADVICE r7 bench.py:181).  Always flagged floor_exited so
-            # the judge sees the spread wasn't certified.
-            if lo2 > 2.0 * lo and len(runs) < 3:
-                return False
-            if name not in floor_exited:
-                floor_exited.append(name)
-            return True
-        return False
+    def _converged(name: str, runs: "list[float]") -> bool:
+        return converged(name, runs, steady, floor_exited)
+
+    # ------------------------------------------------------------------
+    # SWEEP ORDER (VERDICT r10 #1/#5): the generated anticorr/scale
+    # family runs FIRST — before any self-load, page-cache or GC wake
+    # from the sf0.1 headline queries and (especially) the dedup scale
+    # rows can accumulate.  r10's driver sweep ran this family LAST at
+    # load 15-33 and recorded 37/78 s for rows whose quiet steady band
+    # is 8/35 s; the family's own inputs are generated + pinned per row
+    # and blocking-unpersisted before the next row starts
+    # (sample_pinned), so running it first taints nothing after it.
+    # Order within the family stays smallest-to-largest with the 1B row
+    # in a FIXED final-family slot: its ~24 GB input is released before
+    # the first headline row runs.
+    # ------------------------------------------------------------------
+    _scale_workloads(spark, cpus, timings, loads, unconverged,
+                     floor_exited, steady)
 
     # every-third-round rotation (BENCHMARKS.md "headline rotation"):
     # set SPARK_GRAFT_BENCH_ROTATE=1 to time the rotated-out stable set
@@ -285,21 +352,34 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs}, "
               f"load: {loads[name]})", file=sys.stderr)
 
+    _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
+                      floor_exited, steady)
+
+    _emit(timings, loads, unconverged, floor_exited, cold_start, sf)
+
+
+def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
+                      floor_exited, steady) -> None:
     # Synthetic-corpus dedup at scale: MinHash+LSH near-dup pairs over
     # generated documents with planted near-dup pairs as ground truth.
     # Extends the scale evidence from the skyline stack to the dedup
     # stack: the banded LSH plan's cost is signatures (one Arrow pass)
     # + band groupBy, never all-pairs, so the rows scale linearly like
-    # the anticorr rows do.  Inputs pinned once, like the workloads
-    # below.  These run FIRST in the sweep (VERDICT r9 #3): the 100k
-    # row spent three rounds flagged `unconverged` while LAST in the
-    # sweep — after the 1B row's ~24 GB generation + cache peak —
-    # converging fine on quiet hosts (7.4-10.5 s band).  Running it
-    # before any self-load accumulates (plus 6 samples instead of 4)
-    # is the convergence policy; the 20%-agreement rule is unchanged.
-    # The 1M-doc row (VERDICT r9 #6) gives the dedup stack one decade
-    # of scale evidence: the full pipeline (pairs → connected
-    # components → canonical survivors) over a 10× corpus.
+    # the anticorr rows do.  Inputs pinned once, like the scale
+    # workloads.  These run LAST in the sweep (round 11): the anticorr
+    # family needs the quietest slots (VERDICT r10 #1) and the 1M-doc
+    # row's GC/memory wake polluted whatever followed it (r10c:
+    # skyline_3d_lineitem 17.5 s vs 1.8 steady when dedup ran first) —
+    # last means it taints nothing.  The 100k row's own convergence is
+    # position-independent since the explicit minhash JIT warmup
+    # (cold_start) absorbed the ~45 s C2 soak; the 20%-agreement rule
+    # is unchanged.  The 1M-doc row (VERDICT r9 #6) gives the dedup
+    # stack one decade of scale evidence: the full pipeline (pairs →
+    # connected components → canonical survivors) over a 10× corpus.
+    from flink_skyline_qos_spark.operators.dedup import minhash_lsh_pairs
+    from flink_skyline_qos_spark.sources.generators import (
+        generate_docs_hash,
+    )
     from flink_skyline_qos_spark.operators.clustering import (
         connected_components,
     )
@@ -350,19 +430,11 @@ def main() -> None:
                                   doc_len=30, dup="near",
                                   num_partitions=2 * cpus).persist()
         docs.count()
-        runs = []
         load_pre = os.getloadavg()[0]
-        for _ in range(max_s):
-            t0 = time.perf_counter()
-            n = run_count(docs)
-            runs.append(round(time.perf_counter() - t0, 3))
-            gc.collect()
-            if len(runs) >= 2 and _converged(name, runs):
-                break
-        else:
-            if len(runs) >= 2 and not _converged(name, runs):
-                unconverged.append(name)
-        timings[name] = min(runs)
+        best, runs, n, _ = sample_pinned(name, docs, run_count, max_s,
+                                         steady, floor_exited,
+                                         unconverged)
+        timings[name] = best
         loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
         if name == "synth_dedup_1m":
             # planted-pair recall: every 10th document is a near-dup of
@@ -371,16 +443,12 @@ def main() -> None:
             hit = recall_hits.get("hit", 0)
             print(f"# {name}: planted-pair recall {hit}/{planted} = "
                   f"{hit / planted:.4f}", file=sys.stderr)
-        docs.unpersist(True)
         print(f"# {name}: out={n} in {timings[name]}s (runs: {runs}, "
               f"load: {loads[name]})", file=sys.stderr)
 
-    # (The synthetic dedup rows run AFTER the headline queries and
-    # BEFORE the anticorr family: r10c showed that running the 1M-doc
-    # row first leaves enough GC/memory wake to pollute the first
-    # headline rows after it (skyline_3d_lineitem 17.5 s vs 1.8
-    # steady), while the explicit minhash JIT warmup now makes sweep
-    # position irrelevant for the 100k row's own convergence.)
+
+def _scale_workloads(spark, cpus, timings, loads, unconverged,
+                     floor_exited, steady) -> None:
     # Reference-comparable synthetic workloads (BASELINE.md): 1M
     # anti-correlated points at 2-D / 3-D / 4-D.  Reference totals:
     # 17.3 s / 27.0 s / 691.9 s (graph_paper_figures.py:28-32).  2-D uses
@@ -495,7 +563,6 @@ def main() -> None:
         # pinned input untouched.
         pts = base.persist()
         pts.count()  # materialize generation outside the timed skyline
-        runs = []
         load_pre = os.getloadavg()[0]
         # 100M rows get 6 samples (vs 4): the samples are cheap
         # relative to generation (already outside the timed region) and
@@ -503,29 +570,23 @@ def main() -> None:
         # rounds running while converging on quiet hosts (VERDICT r7
         # #4) — more chances for two agreeing samples under contention.
         # 1B samples are ~2 min each — 3 chances bound the row's wall
-        # time; 100M rows keep 6 (their contention history, VERDICT r7)
+        # time (and give the >1.5x-steady floor-exit guard its extra
+        # sample); 100M rows keep 6 (contention history, VERDICT r7).
+        # sample_pinned blocking-unpersists the input before returning:
+        # the 1B row's ~24 GB must be gone before the next row starts.
         max_samples = (3 if n_rows >= 1_000_000_000
                        else 6 if n_rows >= 100_000_000 else 4)
-        disp = None
-        for _ in range(max_samples):
-            t0 = time.perf_counter()
-            res = run(pts)
-            n = res.count()
-            runs.append(round(time.perf_counter() - t0, 3))
-            disp = getattr(res, "_verify_strategy", None)
-            del res
-            gc.collect()  # release operator-internal persists only
-            if len(runs) >= 2 and _converged(name, runs):
-                break
-        else:
-            if len(runs) >= 2 and not _converged(name, runs):
-                unconverged.append(name)
-        pts.unpersist(True)
-        timings[name] = min(runs)
+        best, runs, n, disp = sample_pinned(name, pts, run, max_samples,
+                                            steady, floor_exited,
+                                            unconverged)
+        timings[name] = best
         loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
         print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs}, "
               f"load: {loads[name]}, dispatch: {disp})", file=sys.stderr)
 
+
+def _emit(timings, loads, unconverged, floor_exited, cold_start,
+          sf) -> None:
     total = round(sum(timings.values()), 2)
     # Per-query 1-min load averages [before-first-run, after-last-run]
     # go to STDERR only (local[32] alone reads ~<=32 during a query;

@@ -1059,3 +1059,139 @@ FROM {corpus} d
 LEFT JOIN sizes s ON s.id = d.{id_col}
 LEFT JOIN hits h ON h.id = d.{id_col}
 """.strip()
+
+
+def substring_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8,
+                          min_span: int = 20,
+                          max_df: int = 50) -> DataFrame:
+    """Exact substring (long verbatim match) deduplication — document
+    pairs sharing a verbatim token run of ≥ `min_span` whitespace
+    tokens, with the length of the longest shared run (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr semantics at bounded shingle size k).  This is the one
+    standard training-data dedup modality the near-dup stack cannot
+    express: MinHash/SimHash/Jaccard score GLOBAL similarity (a 50-token
+    verbatim quote inside two otherwise-unrelated 5k-token documents
+    scores ~0), and winnowing reports containment of sampled
+    fingerprints, not the exact maximal run length.
+
+    Construction (suffix-array-free, Spark-expressible):
+
+    1. hash every k-token shingle with its position → (id, pos, h)
+       rows, one explode over the corpus (docs shorter than k tokens
+       cannot contain a ≥ min_span ≥ k run and are skipped);
+    2. drop fingerprints occurring once (no witness) or more than
+       `max_df` times (corpus boilerplate + the quadratic hot-bucket
+       risk — same cap discipline as the LSH band join), then
+       self-join on the hash: each match is an ALIGNED shingle
+       (id_a, id_b, pa, pb) with id_a < id_b;
+    3. a shared verbatim run of L tokens is exactly a maximal set of
+       consecutive matches at constant alignment offset pa − pb:
+       gaps-and-islands per (id_a, id_b, off) — island key
+       pa − row_number() over pa — merges each run, length
+       |island| + k − 1;
+    4. report max run length per pair, kept at ≥ min_span.
+
+    Returns (id_a, id_b, span_tokens), span_tokens = the longest
+    shared verbatim run in whitespace tokens.
+
+    Exactness bound: runs are detected iff every interior k-shingle
+    survives the `max_df` cap — a boilerplate shingle INSIDE a long
+    run splits it into two shorter reported islands (never a false
+    positive, conservative on length).  Raise `max_df` for
+    adversarial corpora; md5 shingle-hash collisions (60-bit) are the
+    only other false-match source and are engine-identical, so the
+    DuckDB twin is exact.
+
+    Scale shape: one explode (O(total tokens) rows, never a suffix
+    array); the df-cap aggregate is map-side combined and bounds
+    self-join fan-out at max_df² per fingerprint; the islands window
+    partitions by (pair, offset) — bounded by document length, not
+    corpus size; no all-pairs stage anywhere.  At 100 TB this is the
+    shuffle-bounded shape: tokens → capped fingerprint buckets →
+    per-pair windows.
+    """
+    from pyspark.sql.window import Window as W
+
+    kk = int(k)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (_scale_out(df, probe=df)
+            .select(F.col(id_col).alias("id"), toks.alias("__t"))
+            .filter(F.size("__t") >= kk))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - kk),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, kk)),
+    )
+    ex = base.select("id", F.posexplode(shingle_hashes(sh))
+                     .alias("pos", "h"))
+    ok = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
+          .filter((F.col("fdf") >= 2) & (F.col("fdf") <= int(max_df)))
+          .select("h"))
+    live = ex.join(ok, "h")
+    a = live.select("h", F.col("id").alias("id_a"),
+                    F.col("pos").alias("pa"))
+    b = live.select("h", F.col("id").alias("id_b"),
+                    F.col("pos").alias("pb"))
+    m = (a.join(b, "h")
+         .filter(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b", "pa",
+                 (F.col("pa") - F.col("pb")).alias("off")))
+    w = W.partitionBy("id_a", "id_b", "off").orderBy("pa")
+    runs = m.select("id_a", "id_b", "off",
+                    (F.col("pa") - F.row_number().over(w)).alias("isl"))
+    spans = (runs.groupBy("id_a", "id_b", "off", "isl")
+             .agg((F.count(F.lit(1)) + kk - 1).alias("span")))
+    return (spans.groupBy("id_a", "id_b")
+            .agg(F.max("span").cast("long").alias("span_tokens"))
+            .filter(F.col("span_tokens") >= int(min_span)))
+
+
+def substring_dedup_pairs_sql(table: str, *, id_col: str = "doc_id",
+                              text_col: str = "text", k: int = 8,
+                              min_span: int = 20,
+                              max_df: int = 50) -> str:
+    """DuckDB twin of :func:`substring_dedup_pairs` — identical
+    tokenization (`string_split_regex('\\s+')` on trimmed text), the
+    shared md5 shingle-hash reduction, the same df-cap gates and the
+    same islands arithmetic, so the pair multiset and every
+    span_tokens value match exactly."""
+    kk = int(k)
+    return f"""
+WITH __tok AS (
+  SELECT {id_col} AS id,
+         string_split_regex(trim({text_col}), '\\s+') AS toks
+  FROM {table}
+),
+__ex AS (
+  SELECT id, unnest(generate_series(0, len(toks) - {kk})) AS pos,
+         unnest(list_transform(
+           generate_series(0, len(toks) - {kk}),
+           i -> ('0x' || substr(md5(array_to_string(
+                  toks[(i+1):(i+{kk})], ' ')), 1, 15))::BIGINT
+                % {_MERSENNE})) AS h
+  FROM __tok WHERE len(toks) >= {kk}
+),
+__ok AS (
+  SELECT h FROM __ex GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {int(max_df)}
+),
+__m AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, a.pos - b.pos AS off
+  FROM __ex a JOIN __ok USING (h) JOIN __ex b ON b.h = a.h
+  WHERE a.id < b.id
+),
+__r AS (
+  SELECT id_a, id_b, off,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, off ORDER BY pa) AS isl
+  FROM __m
+),
+__s AS (
+  SELECT id_a, id_b, count(*) + {kk} - 1 AS span
+  FROM __r GROUP BY id_a, id_b, off, isl
+)
+SELECT id_a, id_b, CAST(max(span) AS BIGINT) AS span_tokens
+FROM __s GROUP BY id_a, id_b
+HAVING max(span) >= {int(min_span)}
+""".strip()

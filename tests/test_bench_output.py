@@ -91,6 +91,98 @@ def test_headline_and_rotation_names_are_registered():
         assert n in q, n
 
 
+def test_headline_rotation_is_a_swap_not_an_append():
+    """The rotation schedule swaps equal-length sets — appending the
+    rotated rows would blow the 2000-char capture line (a 64-row
+    worst-case line measures ~2190 chars).  HEADLINE and ROTATED_OUT
+    must stay disjoint and the union must cover both r10 sets."""
+    assert set(bench.HEADLINE).isdisjoint(bench.ROTATED_OUT)
+    # the 15 rows rotated out in round 10 are back in for the r11
+    # scheduled re-time (VERDICT r10 #1)
+    for n in ("paragraph_dedup_documents", "tfidf_documents",
+              "funnel_events", "corr_profile_lineitem"):
+        assert n in bench.HEADLINE, n
+
+
+def test_converged_floor_exit_takes_extra_sample_over_steady():
+    """VERDICT r10 #2: a floor-exited row whose best sample lands
+    >1.5x its recorded steady value must take one extra sample instead
+    of shipping a single contended measurement (r10's anticorr_100m_4d
+    recorded 78 s off one sample vs a 35 s steady band)."""
+    # 30 s-floor branch: within 1.5x steady -> immediate floor exit
+    fl: list = []
+    assert bench.converged("a", [45.0, 80.0], {"a": 40.0}, fl)
+    assert fl == ["a"]
+    # >1.5x steady -> NOT converged at two samples; exits (flagged) at 3
+    fl = []
+    assert not bench.converged("a", [80.0, 100.0], {"a": 40.0}, fl)
+    assert fl == []
+    assert bench.converged("a", [80.0, 100.0, 99.0], {"a": 40.0}, fl)
+    assert fl == ["a"]
+    # >=60 s no-steady branch: two agreeing-ish samples exit flagged...
+    fl = []
+    assert bench.converged("b", [100.0, 130.0], {}, fl)
+    assert fl == ["b"]
+    # ...but a >2x divergence forces a third sample (pre-existing rule)
+    fl = []
+    assert not bench.converged("b", [100.0, 250.0], {}, fl)
+    # >=60 s WITH a steady record: >1.5x steady forces the extra sample
+    fl = []
+    assert not bench.converged("c", [100.0, 130.0], {"c": 60.0}, fl)
+    assert bench.converged("c", [100.0, 130.0, 128.0], {"c": 60.0}, fl)
+    assert fl == ["c"]
+    # plain 20%/0.3s agreement needs no flags
+    fl = []
+    assert bench.converged("d", [1.55, 1.26], {}, fl)
+    assert fl == []
+
+
+class _FakePinned:
+    def __init__(self):
+        self.unpersisted = None
+
+    def unpersist(self, blocking=False):
+        self.unpersisted = blocking
+
+
+class _FakeResult:
+    def __init__(self, n):
+        self._n = n
+        self._verify_strategy = ("broadcast", n, 0)
+
+    def count(self):
+        return self._n
+
+
+def test_sample_pinned_always_unpersists_input():
+    """VERDICT r10 #5: the pinned workload input (the 1B row pins
+    ~24 GB) must be blocking-unpersisted before sample_pinned returns —
+    i.e. before the NEXT row's samples start — including when a sample
+    raises."""
+    pts = _FakePinned()
+    best, runs, n, disp = bench.sample_pinned(
+        "w", pts, lambda p: _FakeResult(7), 4, {}, [], [])
+    assert pts.unpersisted is True  # blocking unpersist happened
+    assert n == 7 and disp == ("broadcast", 7, 0)
+    assert best == min(runs) and len(runs) >= 2
+
+    # int-returning composite pipelines (the dedup rows) work too
+    pts = _FakePinned()
+    best, runs, n, disp = bench.sample_pinned(
+        "w2", pts, lambda p: 3, 4, {}, [], [])
+    assert pts.unpersisted is True and n == 3 and disp is None
+
+    # a raising sample still releases the pinned input
+    pts = _FakePinned()
+    def boom(p):
+        raise RuntimeError("sample died")
+    try:
+        bench.sample_pinned("w3", pts, boom, 4, {}, [], [])
+    except RuntimeError:
+        pass
+    assert pts.unpersisted is True
+
+
 def test_stream_query_registry_guards_drift():
     """STREAM_QUERIES (the oracle gate's streaming-warmup metadata,
     ADVICE r9) must match exactly the registered queries whose source

@@ -341,3 +341,128 @@ def test_winnow_contamination_duckdb_parity(documents, sf_dir):
     overlaps = {r[0]: r[3] for r in sp}
     assert all(overlaps[i] == 1.0 for i in overlaps if i % 10 == 7)
     assert any(v == 0.0 for i, v in overlaps.items() if i % 10 != 7)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022 ExactSubstr at bounded k)
+# ---------------------------------------------------------------------------
+
+def _tok(prefix, n):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def planted_span_corpus(spark):
+    """Globally-unique filler tokens around planted verbatim spans, so
+    every reported span is exactly the planted run."""
+    span30 = _tok("s", 30)           # shared 30-token span (docs 0, 1)
+    span10 = _tok("u", 10)           # shared 10-token span (docs 2, 3)
+    rows = [
+        (0, " ".join(_tok("a", 10) + span30 + _tok("b", 10))),
+        (1, " ".join(_tok("c", 15) + span30 + _tok("d", 5))),
+        (2, " ".join(_tok("e", 12) + span10 + _tok("f", 12))),
+        (3, " ".join(span10 + _tok("g", 20))),
+        (4, " ".join(_tok("h", 40))),            # shares nothing
+        (5, "short doc"),                        # < k tokens: skipped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dedup_planted_span_recall(planted_span_corpus):
+    """The planted ≥min_span pair must be found with the EXACT maximal
+    run length; sub-threshold and unrelated docs must not pair."""
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs,
+    )
+
+    out = substring_dedup_pairs(planted_span_corpus, k=8, min_span=12,
+                                max_df=50)
+    got = {(r.id_a, r.id_b): r.span_tokens for r in out.collect()}
+    # full recall on the planted 30-token span, exact length
+    assert got == {(0, 1): 30}
+
+    # lowering min_span below the 10-token span still can't surface it:
+    # a 10-token run has no k=8 shingle pair chain longer than 3 and
+    # span = run; it IS found once min_span <= 10
+    out2 = substring_dedup_pairs(planted_span_corpus, k=8, min_span=10,
+                                 max_df=50)
+    got2 = {(r.id_a, r.id_b): r.span_tokens for r in out2.collect()}
+    assert got2 == {(0, 1): 30, (2, 3): 10}
+
+
+def test_substring_dedup_multiple_runs_reports_longest(spark):
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs,
+    )
+
+    run_a = _tok("x", 14)
+    run_b = _tok("y", 22)
+    rows = [
+        (0, " ".join(run_a + _tok("p", 9) + run_b)),
+        (1, " ".join(run_b + _tok("q", 7) + run_a)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dedup_pairs(df, k=8, min_span=12, max_df=50)
+    got = {(r.id_a, r.id_b): r.span_tokens for r in out.collect()}
+    # two distinct shared runs at different offsets; the max is reported
+    assert got == {(0, 1): 22}
+
+
+def test_substring_dedup_oracle_parity(spark, planted_span_corpus):
+    """Spark result == DuckDB twin on the same crafted corpus."""
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs,
+        substring_dedup_pairs_sql,
+    )
+
+    pdf = planted_span_corpus.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for min_span in (10, 12, 24):
+        want = sorted(con.execute(substring_dedup_pairs_sql(
+            "documents", k=8, min_span=min_span, max_df=50)).fetchall())
+        got = sorted(
+            (r.id_a, r.id_b, r.span_tokens)
+            for r in substring_dedup_pairs(
+                planted_span_corpus, k=8, min_span=min_span,
+                max_df=50).collect())
+        assert got == want, (min_span, got, want)
+
+
+def test_substring_dedup_max_df_splits_boilerplate_runs(spark):
+    """A shingle above the df cap inside a run splits the reported
+    island (conservative on length, never a false positive): plant the
+    same 9-token window in 4 docs so its shingles exceed max_df=3 while
+    the surrounding 30-token run is shared by only two docs."""
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs,
+    )
+
+    boiler = _tok("bp", 9)
+    left, right = _tok("L", 12), _tok("R", 12)
+    rows = [
+        (0, " ".join(left + boiler + right)),
+        (1, " ".join(left + boiler + right)),
+        (2, " ".join(_tok("m", 5) + boiler + _tok("n", 5))),
+        (3, " ".join(_tok("o", 5) + boiler + _tok("w", 5))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # df cap 3: every shingle fully inside `boiler` occurs 4 times ->
+    # dropped; the (0,1) run splits but both halves still exceed
+    # min_span=12 via their flanks, so the pair survives with a
+    # SHORTER reported span than the true 33
+    out = substring_dedup_pairs(df, k=8, min_span=12, max_df=3)
+    got = {(r.id_a, r.id_b): r.span_tokens for r in out.collect()}
+    assert set(got) == {(0, 1)}
+    assert 12 <= got[(0, 1)] < 33
+    # with the cap relaxed the full run is reported and the boiler-only
+    # pairs appear at their true 9-token length only when min_span drops
+    out2 = substring_dedup_pairs(df, k=8, min_span=12, max_df=50)
+    got2 = {(r.id_a, r.id_b): r.span_tokens for r in out2.collect()}
+    assert got2[(0, 1)] == 33
+    assert (2, 3) not in got2
+    out3 = substring_dedup_pairs(df, k=8, min_span=9, max_df=50)
+    got3 = {(r.id_a, r.id_b): r.span_tokens for r in out3.collect()}
+    assert got3[(2, 3)] == 9
