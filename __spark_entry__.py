@@ -1061,11 +1061,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunks feed pack_sequences' three passes (bounds agg, bucket
         # totals, final join).  Unpinned, every pass lazily re-derives
         # the whole quality→dedup→decontaminate→redact pipeline — the
-        # r6 sf0.01 cost outlier (VERDICT r6 #2).  Pin both; released
-        # on result GC.
-        canon = qual.join(
+        # r6 sf0.01 cost outlier (VERDICT r6 #2).  Round 11: canon is
+        # an eager localCheckpoint, not a persist — a persist caches
+        # the BLOCKS but every downstream action still re-plans the
+        # tall quality→LSH→components DAG (AQE re-optimization +
+        # broadcast re-build measured ~0.7-3 s PER ACTION at sf0.01
+        # even fully cached), and v2 takes five actions after this
+        # point; truncating the lineage here flattens them (VERDICT
+        # r10 #4 — v2 was the 8.0 s slowest-gate-row).  Released on
+        # result GC with the other checkpoints.
+        canon = pinned_local_checkpoint(qual.join(
             labeled.filter(F.col("is_canonical")).select("doc_id"),
-            "doc_id").persist()
+            "doc_id"))
         bench = docs.filter((F.col("doc_id") % 10) == 7)
         contam = contamination_check(canon, bench, n=3)
         clean = canon.join(
@@ -1085,7 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 pack_sequences(chunks, seq_len=64).select(
                     "doc_id", "chunk_idx", "chunk_text", "n_tokens",
                     "start_offset", "seq_id", "seq_offset"),
-                canon, chunks), labeled, red)
+                chunks), labeled, red, canon)
     q["llm_corpus_v2_documents"] = _llm_corpus_v2
 
     # --- capstone v3: the round-7 cleaning suite composed end-to-end —

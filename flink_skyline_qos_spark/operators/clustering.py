@@ -358,6 +358,14 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, *,
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
     out._checkpoint_rdd_ids = getattr(cc, "_checkpoint_rdd_ids", ())
+    # Keep the cc frame ALIVE for as long as this derived frame is: the
+    # driver-path cc carries a weakref.finalize that unpersists the
+    # canonicalized edge cache, and select() above creates a NEW Python
+    # object — without this strong ref the next driver GC drops cc,
+    # fires the finalizer, and every later action on the returned frame
+    # silently re-derives the FULL pair DAG (measured ~3 s per action
+    # on the sf0.01 minhash capstones; round 11).
+    out._pin_parent = cc
     return out
 
 
