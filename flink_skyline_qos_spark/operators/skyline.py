@@ -367,6 +367,81 @@ def _local_prune(df: DataFrame, cols: Sequence[str], cpu_acc=None,
         _prune_batches(cols, cpu_acc, **buf), schema=df.schema)
 
 
+def _grouped_prune_arrow_chunked(df: DataFrame, by: Sequence[str],
+                                 cols: Sequence[str],
+                                 cpu_acc=None) -> DataFrame:
+    """Chunked grouped-Arrow host (round 11 — the VERDICT r10 #6
+    alternative to BOTH grouped hosts): grouped `applyInArrow`
+    materializes each group as ONE giant RecordBatch (2.3× slower than
+    pandas at 100M×128 groups, r10 A/B) and `applyInPandas` pays
+    pandas construction per group.  This host takes the grouping from
+    the EXCHANGE instead: hash-repartition on the (single) group key,
+    sort within partitions, and stream ordinary-sized Arrow batches
+    through `mapInArrow`, detecting group boundaries inside the sorted
+    stream — per-group kernel calls over zero-copy table slices, no
+    giant batch, no pandas, payload columns untouched.  Buffered state
+    per task is one group (the same bound the pandas host holds as a
+    group frame).
+
+    A/B RESULT (round 11, quiet host, 100M×128 mr-angle groups,
+    best-of-2): pandas grouped host 12.9/17.1 s vs this host
+    56.2/38.9 s — it LOSES ~3×: ~10k Arrow batches each pay Python
+    boundary detection + table slicing, and the explicit
+    sortWithinPartitions shows up where the grouped-pandas exchange
+    amortizes its sort; raising maxRecordsPerBatch did not close the
+    gap before host contention ended the probe (BENCHMARKS.md round
+    11).  NOT wired into :func:`_grouped_prune` — kept as the
+    documented negative result with a parity test, per the
+    ship-only-if-it-wins rule."""
+    import pyarrow as pa
+
+    key = by[0]
+    parts = (df.repartition(*[F.col(b) for b in by])
+             .sortWithinPartitions(*by))
+
+    def fn(batches) -> "Iterator":
+        cpu_ns = 0
+        bufs: list = []      # table slices of the current group
+        cur = None           # current group key scalar
+        have = False
+
+        def flush():
+            nonlocal cpu_ns, bufs
+            if not bufs:
+                return None
+            tbl = bufs[0] if len(bufs) == 1 else pa.concat_tables(bufs)
+            t0 = time.perf_counter_ns()
+            mask = skyline_mask(_arrow_values(tbl, cols))
+            out = tbl.filter(pa.array(mask))
+            cpu_ns += time.perf_counter_ns() - t0
+            bufs = []
+            return out
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            k = rb.column(rb.schema.get_field_index(key)).to_numpy(
+                zero_copy_only=False)
+            idx = np.flatnonzero(k[1:] != k[:-1]) + 1
+            bounds = [0, *idx.tolist(), len(k)]
+            tbl = pa.Table.from_batches([rb])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                kv = k[s]
+                if not have or kv != cur:
+                    out = flush()
+                    if out is not None and out.num_rows:
+                        yield from out.to_batches(max_chunksize=1 << 20)
+                    cur, have = kv, True
+                bufs.append(tbl.slice(s, e - s))
+        out = flush()
+        if cpu_acc is not None:
+            cpu_acc.add(cpu_ns)
+        if out is not None and out.num_rows:
+            yield from out.to_batches(max_chunksize=1 << 20)
+
+    return parts.mapInArrow(fn, schema=df.schema)
+
+
 def _grouped_prune(df: DataFrame, by: Sequence[str], cols: Sequence[str],
                    cpu_acc=None) -> DataFrame:
     """Exact per-group skyline (`groupBy(by)` → kernel).
@@ -377,7 +452,8 @@ def _grouped_prune(df: DataFrame, by: Sequence[str], cols: Sequence[str],
     Spark 4.1's grouped-Arrow path materializes each group as one
     giant RecordBatch where the pandas host streams group slices;
     BENCHMARKS.md round 10).  The ungrouped `mapInArrow` hosts are the
-    ones that won their A/B."""
+    ones that won their A/B.  Round 11 adds the chunked sorted-stream
+    Arrow host above; its A/B is in BENCHMARKS.md round 11."""
     return df.groupBy(*by).applyInPandas(
         _group_prune(cols, cpu_acc), schema=df.schema)
 

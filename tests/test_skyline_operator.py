@@ -690,3 +690,32 @@ def test_grouped_skyline_kernel_width_safe_rewrite(spark):
                          df, ["d0", "d1"], "grp", strategy="kernel",
                          width_safe=False).collect()), key=key)
     assert direct == got
+
+
+def test_grouped_prune_arrow_chunked_parity(spark):
+    """The round-11 chunked sorted-stream grouped-Arrow host (kept as a
+    documented negative A/B result — see its docstring) must stay
+    value-identical to the shipped pandas grouped host: same per-group
+    skyline multiset including duplicates and group boundaries that
+    split across Arrow batches."""
+    from pyspark.sql import functions as F
+
+    from flink_skyline_qos_spark.operators.partitioners import (
+        partitioner_expr,
+    )
+    from flink_skyline_qos_spark.operators.skyline import (
+        _grouped_prune,
+        _grouped_prune_arrow_chunked,
+    )
+    from flink_skyline_qos_spark.sources.generators import generate_points
+
+    pts = generate_points(spark, 50_000, 3, dist="anti_correlated",
+                          num_partitions=8)
+    dims = [F.col(c) for c in ("d0", "d1", "d2")]
+    tagged = pts.withColumn(
+        "__pid", partitioner_expr("mr-angle", dims, 16, 10000.0))
+    cols = ["d0", "d1", "d2"]
+    a = sorted(map(tuple, _grouped_prune(tagged, ["__pid"], cols).collect()))
+    b = sorted(map(tuple, _grouped_prune_arrow_chunked(
+        tagged, ["__pid"], cols).collect()))
+    assert a == b and len(a) > 0
