@@ -876,6 +876,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return release_checkpoints_on_gc(out, labeled)
     q["dedup_corpus_documents"] = _dedup_corpus
 
+    # --- the exact-substring twin of the pipeline above (round 11):
+    # ≥min_span verbatim-run pairs → connected components → keep-first
+    # canonical corpus — ExactSubstr dedup end-to-end, catching the
+    # long-quote duplicates global-similarity banding under-scores.
+    def _substring_dedup_corpus(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        pairs = substring_dedup_pairs(docs, k=8, min_span=12, max_df=50)
+        labeled = dedup_clusters(docs, pairs)
+        out = (docs.join(labeled, "doc_id")
+               .filter(F.col("is_canonical"))
+               .select("doc_id", "cluster_id"))
+        return release_checkpoints_on_gc(out, labeled)
+    q["substring_dedup_corpus_documents"] = _substring_dedup_corpus
+
     # --- text analysis over documents ---
     q["text_stats_documents"] = lambda s, d: text_stats(
         load_table(s, d, "documents")
@@ -2215,6 +2229,23 @@ FROM reach GROUP BY node
         "documents", k=4, window=4, threshold=0.5)
     o["substring_dedup_documents"] = substring_dedup_pairs_sql(
         "documents", k=8, min_span=12, max_df=50)
+    o["substring_dedup_corpus_documents"] = f"""
+WITH RECURSIVE sp AS (
+{substring_dedup_pairs_sql("documents", k=8, min_span=12, max_df=50)}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM sp
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM sp
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id
+FROM reach GROUP BY node HAVING min(comp) = node
+""".strip()
     o["langid_confusion_documents"] = langid_confusion_sql("documents")
     o["passage_contamination_documents"] = winnow_contamination_sql(
         "documents", "(SELECT * FROM documents WHERE doc_id % 10 = 7)")
