@@ -385,6 +385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reduction); result is value-identical to the plain 3-D skyline.
     q["skyline_3d_envelope_lineitem"] = lambda s, d: \
         skyline_broadcast_verify(_li(s, d), LI_DIMS3, envelope_cells=True)
+    # two-phase WITH the envelope prefilter (round 11: the knob reached
+    # the reference-parity plan — it cuts both shuffle #1 and the
+    # grouped Python transport); value-identical to the plain 2-D
+    # skyline.
+    q["skyline_2d_envelope_lineitem"] = lambda s, d: skyline_two_phase(
+        _li(s, d), LI_DIMS2, algo="mr-angle", num_partitions=8,
+        envelope_cells=True)
     q["skyline_part"] = lambda s, d: skyline(
         load_table(s, d, "part").select("p_partkey", "p_size", "p_retailprice"),
         ["p_retailprice", "p_size"],
@@ -1992,6 +1999,7 @@ FROM ranked WHERE rn <= {k}
         li, LI_DIMS3)
     o["skyline_3d_envelope_lineitem"] = skyline_not_exists_sql(
         li, LI_DIMS3)
+    o["skyline_2d_envelope_lineitem"] = sky2
     # delta maintenance answers EXACTLY the full recompute
     o["skyline_delta_lineitem"] = skyline_not_exists_sql(
         f"(SELECT l_orderkey, {', '.join(LI_DIMS2)} FROM lineitem)",

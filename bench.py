@@ -487,10 +487,20 @@ def _scale_workloads(spark, cpus, timings, loads, unconverged,
         (4, 10_000_000, "anticorr_10m_4d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
                                             pre_merge_partitions=cpus)),
+        # Round 11: + the lossless grid-envelope JVM prefilter (same
+        # knob the 3-D/4-D verify rows gained in round 10, now on the
+        # reference-parity two-phase plan).  The plain path's 100M
+        # cost was DOMINATED by pushing every row through the grouped
+        # pandas transport and swung 11-65 s run-to-run; the envelope
+        # kills the dominated bulk in two whole-stage-codegen scans
+        # and the row converges ([21.0, 12.2, 11.4, 11.9] vs plain
+        # [22.4, 64.8] same session — BENCHMARKS.md round 11).  The
+        # 1M/10M 2-D rows keep the plain path benchmarked.
         (2, 100_000_000, "anticorr_100m_2d",
          lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
                                      num_partitions=4 * cpus,
-                                     domain_max=10000.0)),
+                                     domain_max=10000.0,
+                                     envelope_cells=True)),
         # 100M 3-D (VERDICT r6 #6): broadcast-verify at 10× its largest
         # measured input — the first row where survivor count, not scan,
         # could dominate.  Strategy dispatched is noted in BENCHMARKS.md.

@@ -1159,7 +1159,9 @@ def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,
                       algo: str = "mr-dim", num_partitions: int = 8,
                       domain_max: float | None = None,
                       partition_col: str | None = None,
-                      prefilter: bool = False) -> DataFrame:
+                      prefilter: bool = False,
+                      envelope_cells: "int | bool | None" = None
+                      ) -> DataFrame:
     """Reference-parity two-phase skyline with an explicit space partitioner.
 
     Mirrors shuffle #1 + local BNL + global merge
@@ -1170,6 +1172,16 @@ def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,
     witness-guarded dominated-region prune (P4 — the filter the
     reference ships disabled, FlinkSkyline.java:120-124) before the
     shuffle, cutting shuffle #1 volume losslessly.
+
+    `envelope_cells` (truthy/int, round 11): apply the lossless
+    all-JVM :func:`~.variants.grid_envelope_prefilter` before the
+    shuffle — the same knob the verify strategies gained in round 10.
+    On the two-phase plan it cuts BOTH shuffle #1 volume AND the
+    Python transport of the grouped local prune (the leg whose 100M
+    2-D cost swung 11-30 s run-to-run: every row crossed into pandas;
+    with the envelope only the near-frontier shell does).  Lossless by
+    the same witness argument; the 1M/10M bench rows keep the plain
+    path measured.
     """
     if domain_max is None:
         # The reference takes --domain from the CLI; infer from data when absent.
@@ -1181,6 +1193,12 @@ def skyline_two_phase(df: DataFrame, cols: Sequence[str], *,
 
         df = grid_prefilter(df, cols, domain_max)
     df = _complete(df, cols)
+    if envelope_cells:
+        from .variants import grid_envelope_prefilter
+
+        df = grid_envelope_prefilter(
+            df, cols,
+            cells=None if envelope_cells is True else int(envelope_cells))
     pid_name = partition_col or "__pid"
     dims = [F.col(c) for c in cols]
     tagged = df.withColumn(

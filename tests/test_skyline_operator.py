@@ -719,3 +719,20 @@ def test_grouped_prune_arrow_chunked_parity(spark):
     b = sorted(map(tuple, _grouped_prune_arrow_chunked(
         tagged, ["__pid"], cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_two_phase_envelope_lossless(spark):
+    """skyline_two_phase(envelope_cells=True) (round 11) must equal the
+    plain two-phase result exactly — the envelope prefilter is lossless
+    under the same witness argument the verify strategies rely on."""
+    from flink_skyline_qos_spark.operators.skyline import skyline_two_phase
+    from flink_skyline_qos_spark.sources.generators import generate_points
+
+    pts = generate_points(spark, 30_000, 2, dist="anti_correlated",
+                          num_partitions=8)
+    kw = dict(algo="mr-angle", num_partitions=8, domain_max=10000.0)
+    plain = sorted(map(tuple, skyline_two_phase(
+        pts, ["d0", "d1"], **kw).collect()))
+    env = sorted(map(tuple, skyline_two_phase(
+        pts, ["d0", "d1"], envelope_cells=True, **kw).collect()))
+    assert plain == env and len(plain) > 0
