@@ -111,6 +111,8 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_near_dup_pairs_sql,
+    substring_contamination,
+    substring_contamination_sql,
     substring_dedup_pairs,
     substring_dedup_pairs_sql,
     winnow_contamination,
@@ -843,6 +845,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["substring_dedup_documents"] = lambda s, d: substring_dedup_pairs(
         load_table(s, d, "documents"), k=8, min_span=12, max_df=50,
     )
+    # ExactSubstr decontamination: corpus docs sharing a >=12-token
+    # verbatim run with the pseudo-benchmark subset, exact span length
+    # per hit (the leakage evidence fraction-based checks dilute)
+    q["substring_contamination_documents"] = lambda s, d: \
+        substring_contamination(
+            load_table(s, d, "documents").filter(
+                (F.col("doc_id") % 10) != 7),
+            load_table(s, d, "documents").filter(
+                (F.col("doc_id") % 10) == 7),
+            k=8, min_span=12, max_df=50,
+        )
     # language-ID confusion matrix: labelled lang vs the stopword-
     # heuristic prediction (the classifier eval before filtering on it)
     q["langid_confusion_documents"] = lambda s, d: langid_confusion(
@@ -2237,6 +2250,10 @@ FROM reach GROUP BY node
         "documents", k=4, window=4, threshold=0.5)
     o["substring_dedup_documents"] = substring_dedup_pairs_sql(
         "documents", k=8, min_span=12, max_df=50)
+    o["substring_contamination_documents"] = substring_contamination_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
+        k=8, min_span=12, max_df=50)
     o["substring_dedup_corpus_documents"] = f"""
 WITH RECURSIVE sp AS (
 {substring_dedup_pairs_sql("documents", k=8, min_span=12, max_df=50)}

@@ -1061,6 +1061,41 @@ LEFT JOIN hits h ON h.id = d.{id_col}
 """.strip()
 
 
+def _positioned_shingles(df: DataFrame, id_col: str, text_col: str,
+                         k: int) -> DataFrame:
+    """(id, pos, h) rows: md5-derived hash of the k-token shingle at
+    every position of every document with ≥ k whitespace tokens — the
+    shared front end of the ExactSubstr operators."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+            .filter(F.size("__t") >= k))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k)),
+    )
+    return base.select("id", F.posexplode(shingle_hashes(sh))
+                       .alias("pos", "h"))
+
+
+def _max_span_per_pair(m: DataFrame, k: int, min_span: int,
+                       out_a: str, out_b: str) -> DataFrame:
+    """Gaps-and-islands maximal-run merge over aligned shingle matches
+    `m` = (id_a, id_b, pa, off): max shared verbatim run per pair,
+    kept at ≥ min_span tokens."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("id_a", "id_b", "off").orderBy("pa")
+    runs = m.select("id_a", "id_b", "off",
+                    (F.col("pa") - F.row_number().over(w)).alias("isl"))
+    spans = (runs.groupBy("id_a", "id_b", "off", "isl")
+             .agg((F.count(F.lit(1)) + k - 1).alias("span")))
+    return (spans.groupBy("id_a", "id_b")
+            .agg(F.max("span").cast("long").alias("span_tokens"))
+            .filter(F.col("span_tokens") >= int(min_span))
+            .select(F.col("id_a").alias(out_a),
+                    F.col("id_b").alias(out_b), "span_tokens"))
+
+
 def substring_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 8,
                           min_span: int = 20,
@@ -1112,19 +1147,9 @@ def substring_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     shuffle-bounded shape: tokens → capped fingerprint buckets →
     per-pair windows.
     """
-    from pyspark.sql.window import Window as W
-
     kk = int(k)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = (_scale_out(df, probe=df)
-            .select(F.col(id_col).alias("id"), toks.alias("__t"))
-            .filter(F.size("__t") >= kk))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("__t") - kk),
-        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, kk)),
-    )
-    ex = base.select("id", F.posexplode(shingle_hashes(sh))
-                     .alias("pos", "h"))
+    ex = _positioned_shingles(_scale_out(df, probe=df), id_col,
+                              text_col, kk)
     ok = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
           .filter((F.col("fdf") >= 2) & (F.col("fdf") <= int(max_df)))
           .select("h"))
@@ -1137,14 +1162,7 @@ def substring_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
          .filter(F.col("id_a") < F.col("id_b"))
          .select("id_a", "id_b", "pa",
                  (F.col("pa") - F.col("pb")).alias("off")))
-    w = W.partitionBy("id_a", "id_b", "off").orderBy("pa")
-    runs = m.select("id_a", "id_b", "off",
-                    (F.col("pa") - F.row_number().over(w)).alias("isl"))
-    spans = (runs.groupBy("id_a", "id_b", "off", "isl")
-             .agg((F.count(F.lit(1)) + kk - 1).alias("span")))
-    return (spans.groupBy("id_a", "id_b")
-            .agg(F.max("span").cast("long").alias("span_tokens"))
-            .filter(F.col("span_tokens") >= int(min_span)))
+    return _max_span_per_pair(m, kk, min_span, "id_a", "id_b")
 
 
 def substring_dedup_pairs_sql(table: str, *, id_col: str = "doc_id",
@@ -1192,6 +1210,101 @@ __s AS (
   FROM __r GROUP BY id_a, id_b, off, isl
 )
 SELECT id_a, id_b, CAST(max(span) AS BIGINT) AS span_tokens
+FROM __s GROUP BY id_a, id_b
+HAVING max(span) >= {int(min_span)}
+""".strip()
+
+
+def substring_contamination(corpus: DataFrame, bench: DataFrame, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 8,
+                            min_span: int = 20,
+                            max_df: int = 50) -> DataFrame:
+    """ExactSubstr eval-set decontamination: corpus documents sharing a
+    ≥ `min_span`-token VERBATIM run with a benchmark document, with the
+    exact maximal run length per (corpus, bench) pair — the
+    long-quote leakage evidence the fraction-based checks dilute
+    (:func:`~..functions.corpus.contamination_check` reports gram
+    collision fractions; :func:`winnow_contamination` reports sampled
+    fingerprint containment; neither returns the span itself).
+
+    Returns (doc_id, bench_id, span_tokens), span_tokens = longest
+    shared verbatim run in whitespace tokens, kept at ≥ min_span.
+
+    Scale shape: same as :func:`substring_dedup_pairs` but the join is
+    corpus×bench on the shingle hash — the bench side is an eval
+    suite, small by contract, and its per-hash occurrence cap
+    (`max_df`, boilerplate guard) bounds fan-out at |corpus hits| ×
+    max_df per fingerprint; left un-hinted so AQE broadcasts the
+    bench side.  No corpus self-join anywhere.
+    """
+    kk = int(k)
+    ce = _positioned_shingles(_scale_out(corpus, probe=corpus), id_col,
+                              text_col, kk)
+    be = _positioned_shingles(bench, id_col, text_col, kk)
+    ok = (be.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
+          .filter(F.col("fdf") <= int(max_df)).select("h"))
+    a = ce.select("h", F.col("id").alias("id_a"),
+                  F.col("pos").alias("pa"))
+    b = be.join(ok, "h").select("h", F.col("id").alias("id_b"),
+                                F.col("pos").alias("pb"))
+    m = (a.join(b, "h")
+         .select("id_a", "id_b", "pa",
+                 (F.col("pa") - F.col("pb")).alias("off")))
+    return _max_span_per_pair(m, kk, min_span, "doc_id", "bench_id")
+
+
+def _substr_ex_cte(table: str, id_col: str, text_col: str,
+                   k: int) -> str:
+    """DuckDB fragment: the positioned-shingle-hash rows of `table`
+    (same expressions as :func:`substring_dedup_pairs_sql`)."""
+    return f"""
+  SELECT id, unnest(generate_series(0, len(toks) - {k})) AS pos,
+         unnest(list_transform(
+           generate_series(0, len(toks) - {k}),
+           i -> ('0x' || substr(md5(array_to_string(
+                  toks[(i+1):(i+{k})], ' ')), 1, 15))::BIGINT
+                % {_MERSENNE})) AS h
+  FROM (SELECT {id_col} AS id,
+               string_split_regex(trim({text_col}), '\\s+') AS toks
+        FROM {table})
+  WHERE len(toks) >= {k}""".strip()
+
+
+def substring_contamination_sql(corpus: str, bench: str, *,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", k: int = 8,
+                                min_span: int = 20,
+                                max_df: int = 50) -> str:
+    """DuckDB twin of :func:`substring_contamination` (`corpus` /
+    `bench` may be any table expression)."""
+    kk = int(k)
+    return f"""
+WITH __ce AS (
+{_substr_ex_cte(corpus, id_col, text_col, kk)}
+),
+__be AS (
+{_substr_ex_cte(bench, id_col, text_col, kk)}
+),
+__ok AS (
+  SELECT h FROM __be GROUP BY h HAVING count(*) <= {int(max_df)}
+),
+__m AS (
+  SELECT c.id AS id_a, b.id AS id_b, c.pos AS pa, c.pos - b.pos AS off
+  FROM __ce c JOIN __ok USING (h) JOIN __be b ON b.h = c.h
+),
+__r AS (
+  SELECT id_a, id_b, off,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, off ORDER BY pa) AS isl
+  FROM __m
+),
+__s AS (
+  SELECT id_a, id_b, count(*) + {kk} - 1 AS span
+  FROM __r GROUP BY id_a, id_b, off, isl
+)
+SELECT id_a AS doc_id, id_b AS bench_id,
+       CAST(max(span) AS BIGINT) AS span_tokens
 FROM __s GROUP BY id_a, id_b
 HAVING max(span) >= {int(min_span)}
 """.strip()

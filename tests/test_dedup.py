@@ -466,3 +466,40 @@ def test_substring_dedup_max_df_splits_boilerplate_runs(spark):
     out3 = substring_dedup_pairs(df, k=8, min_span=9, max_df=50)
     got3 = {(r.id_a, r.id_b): r.span_tokens for r in out3.collect()}
     assert got3[(2, 3)] == 9
+
+
+def test_substring_contamination_planted_passage(spark):
+    """A corpus doc embedding a verbatim benchmark passage is flagged
+    with the exact span length regardless of surrounding length; clean
+    docs and sub-threshold overlaps are not."""
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_contamination,
+        substring_contamination_sql,
+    )
+
+    passage = _tok("bench", 16)
+    corpus = spark.createDataFrame([
+        (0, " ".join(_tok("a", 40) + passage + _tok("b", 40))),
+        (1, " ".join(_tok("c", 30))),                 # clean
+        (2, " ".join(passage[:9] + _tok("d", 20))),   # 9 < min_span=12
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, " ".join(_tok("e", 5) + passage + _tok("f", 3))),
+        (101, " ".join(_tok("g", 25))),
+    ], "doc_id long, text string")
+
+    out = substring_contamination(corpus, bench, k=8, min_span=12,
+                                  max_df=50)
+    got = {(r.doc_id, r.bench_id): r.span_tokens for r in out.collect()}
+    assert got == {(0, 100): 16}
+
+    # DuckDB twin parity on the same frames
+    con = duckdb.connect()
+    con.register("corp", corpus.toPandas())
+    con.register("bench_t", bench.toPandas())
+    want = sorted(con.execute(substring_contamination_sql(
+        "corp", "bench_t", k=8, min_span=12, max_df=50)).fetchall())
+    assert sorted((r.doc_id, r.bench_id, r.span_tokens)
+                  for r in out.collect()) == want
