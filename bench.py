@@ -395,6 +395,31 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
 
     recall_hits = {}
 
+    def _substr_count(docs) -> int:
+        # exact substring dedup at 100k docs (round 11: the new
+        # ExactSubstr operator gets the same scale evidence as the
+        # minhash row).  Ground truth: each planted near-dup differs
+        # only in its FIRST token, so the pair shares one >=29-token
+        # verbatim run (29; 30 for the ~1/vocab pairs whose replacement
+        # token collides with the original, making an exact dup) —
+        # recall counts pairs found with that full span, read from the
+        # run's own cached pairs.
+        from flink_skyline_qos_spark.operators.dedup import (
+            substring_dedup_pairs,
+        )
+
+        pairs = substring_dedup_pairs(docs, k=8, min_span=12,
+                                      max_df=50).persist()
+        try:
+            n = pairs.count()
+            recall_hits["substr"] = pairs.filter(
+                (F.col("id_b") == F.col("id_a") + 1)
+                & (F.col("id_b") % 10 == 0)
+                & (F.col("span_tokens") >= 29)).count()
+            return n
+        finally:
+            pairs.unpersist(False)
+
     def _dedup_count(docs) -> int:
         # full dedup pipeline: pairs → connected components → canonical
         # corpus size (each component keeps its min doc_id; unpaired
@@ -419,6 +444,7 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
 
     for name, n_docs, max_s, run_count in (
         ("synth_minhash_100k", 100_000, 6, _pairs_count),
+        ("synth_substring_100k", 100_000, 4, _substr_count),
         # 3 samples: the >=60 s expensive-row exit takes 2 in the
         # normal case but NEEDS a third when the first two diverge
         # >2x (its tiebreaker; r10c observed [109, 280] under
@@ -436,11 +462,13 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
                                          unconverged)
         timings[name] = best
         loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
-        if name == "synth_dedup_1m":
+        if name in ("synth_dedup_1m", "synth_substring_100k"):
             # planted-pair recall: every 10th document is a near-dup of
-            # its predecessor — those pairs must be found
+            # its predecessor — those pairs must be found (for the
+            # substring row: with the exact 29-token span)
             planted = n_docs // 10 - 1
-            hit = recall_hits.get("hit", 0)
+            hit = recall_hits.get(
+                "substr" if name == "synth_substring_100k" else "hit", 0)
             print(f"# {name}: planted-pair recall {hit}/{planted} = "
                   f"{hit / planted:.4f}", file=sys.stderr)
         print(f"# {name}: out={n} in {timings[name]}s (runs: {runs}, "
