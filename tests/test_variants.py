@@ -96,6 +96,59 @@ def test_grid_envelope_prefilter_degenerate_and_twin(spark):
     assert 0 < len(srows) < 3000  # it actually filtered something
 
 
+def test_grid_envelope_prefilter_dirty_rows_cannot_poison(spark):
+    """ADVICE r10 / round 11: NULL or NaN in ANY gridded dim (or the
+    last dim) must be excluded from the witness aggregate — a NaN grid
+    coord floor-casts toward cell 0 where the row could become a
+    witness that does not actually dominate, and an all-NaN cell would
+    put a NaN in the envelope, silently dropping every row in
+    strictly-greater cells.  Dirty rows themselves are KEPT by the
+    filter (NULL cell → no envelope match), and the clean subset's
+    result is unchanged by adding dirty rows."""
+    import math
+
+    from flink_skyline_qos_spark.operators.variants import (
+        grid_envelope_prefilter,
+    )
+
+    nan = float("nan")
+    clean = [(i, 1.0 + i % 7, 1.0 + (i * 3) % 11, 1.0 + i % 5)
+             for i in range(60)]
+    schema = "id long, d0 double, d1 double, d2 double"
+    cols = ["d0", "d1", "d2"]
+    base = spark.createDataFrame(clean, schema)
+
+    # (a) NaN in a GRIDDED dim poisons the min/max stats → the guard
+    # disables the filter entirely: keep-all (the SQL twin's isnan
+    # degenerate branch does the same — the engines must agree)
+    for bad in ((100, nan, 0.5, 0.5), (101, 0.5, nan, 0.5)):
+        both = spark.createDataFrame(clean + [bad], schema)
+        assert grid_envelope_prefilter(both, cols, cells=4).count() \
+            == len(clean) + 1
+
+    # (b) filter ACTIVE: a NaN-last row sitting ALONE in the strictly
+    # smallest cell must not become an all-NaN cell min (that envelope
+    # value would drop every row in greater cells), and NULL rows must
+    # not crash the null-cell grid build; all three dirty rows are
+    # themselves kept (no legitimate witness can compare against them)
+    dirty = [
+        (102, 0.5, 0.5, nan),    # own smallest cell, NaN last dim
+        (103, None, 0.5, 0.5),   # NULL grid dim → NULL cell id
+        (104, 0.5, 0.5, None),   # NULL last dim
+    ]
+    both = spark.createDataFrame(clean + dirty, schema)
+    out = grid_envelope_prefilter(both, cols, cells=4).collect()
+    kept = {r["id"] for r in out}
+    assert {102, 103, 104} <= kept
+    # lossless for the clean rows: every clean row NOT strictly
+    # dominated by another clean row must survive (the NaN cell would
+    # have wiped ALL of them before the witness-hygiene fix)
+    sky = {r["id"] for r in skyline(base, cols).collect()}
+    assert sky <= kept
+    # sanity: the NaN row really did come back as NaN, not coerced
+    assert any(r["id"] == 102 and math.isnan(r["d2"]) for r in out)
+
+
 def test_top_k_dominating(spark):
     df = spark.createDataFrame(
         [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, 3.0), (4, 0.0, 9.0)],
