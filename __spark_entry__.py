@@ -115,6 +115,8 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     substring_contamination_sql,
     substring_dedup_pairs,
     substring_dedup_pairs_sql,
+    substring_remove,
+    substring_remove_sql,
     winnow_contamination,
     winnow_contamination_sql,
     winnow_pairs,
@@ -843,6 +845,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # global-similarity near-dup scoring cannot express (round 11,
     # VERDICT r10 "What's missing" #3)
     q["substring_dedup_documents"] = lambda s, d: substring_dedup_pairs(
+        load_table(s, d, "documents"), k=8, min_span=12, max_df=50,
+    )
+    # ExactSubstr span REMOVAL (round 12, VERDICT r11 "What's missing"
+    # #3 -- Lee et al.'s production semantics): cut every >=12-token
+    # verbatim run from all but its first corpus-wide occurrence and
+    # reassemble the affected documents token-exactly
+    q["substring_remove_documents"] = lambda s, d: substring_remove(
         load_table(s, d, "documents"), k=8, min_span=12, max_df=50,
     )
     # ExactSubstr decontamination: corpus docs sharing a >=12-token
@@ -2249,6 +2258,8 @@ FROM reach GROUP BY node
     o["winnow_pairs_documents"] = winnow_pairs_sql(
         "documents", k=4, window=4, threshold=0.5)
     o["substring_dedup_documents"] = substring_dedup_pairs_sql(
+        "documents", k=8, min_span=12, max_df=50)
+    o["substring_remove_documents"] = substring_remove_sql(
         "documents", k=8, min_span=12, max_df=50)
     o["substring_contamination_documents"] = substring_contamination_sql(
         "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",

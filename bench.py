@@ -136,6 +136,44 @@ def _steady_floor(sf: float) -> dict[str, float]:
     return best
 
 
+def _cpu_snap() -> "tuple[int, int] | None":
+    """(total, idle) jiffies from /proc/stat line 1 (idle+iowait)."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(x) for x in f[1:]]
+        return sum(vals), vals[3] + (vals[4] if len(vals) > 4 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def load_ctx_start() -> tuple:
+    """Snapshot host load context before a bench row (VERDICT r11 #1:
+    driver-run regressions must be attributable in-artifact — whichever
+    block runs in the shared host's contended window reads 2-3x high,
+    and adjudication previously required builder quiet re-sweeps)."""
+    return (os.getloadavg()[0], _cpu_snap())
+
+
+def load_ctx_end(start: tuple) -> "list[float]":
+    """[loadavg_pre, loadavg_post, host_busy_cores] for one bench row.
+
+    host_busy_cores = host-WIDE CPU busy fraction over the row's wall
+    time × cpu count, from /proc/stat deltas — unlike the 1-min
+    loadavg (which lags short rows), this is exact over the row's own
+    window: a 3 s-steady row reading 9 s with busy-cores well above
+    what local[32] can drive is attributed to external contention by
+    the artifact alone."""
+    pre, snap0 = start
+    post = os.getloadavg()[0]
+    out = [round(pre, 1), round(post, 1)]
+    snap1 = _cpu_snap()
+    if snap0 and snap1 and snap1[0] > snap0[0]:
+        dt, di = snap1[0] - snap0[0], snap1[1] - snap0[1]
+        out.append(round((dt - di) / dt * (os.cpu_count() or 1), 1))
+    return out
+
+
 def converged(name: str, runs: "list[float]", steady: "dict[str, float]",
               floor_exited: "list[str]") -> bool:
     """Two samples within 20% (or 0.3 s absolute) = converged.
@@ -335,7 +373,7 @@ def main() -> None:
         # Queries that never converge are flagged in the output JSON
         # instead of silently recording the min of polluted samples.
         runs = []
-        load_pre = os.getloadavg()[0]
+        ctx = load_ctx_start()
         for _ in range(5):
             spark.catalog.clearCache()  # drop persists leaked by operators
             t0 = time.perf_counter()
@@ -348,14 +386,15 @@ def main() -> None:
             if len(runs) >= 2 and not _converged(name, runs):
                 unconverged.append(name)
         timings[name] = min(runs)
-        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
+        loads[name] = load_ctx_end(ctx)
         print(f"# {name}: {n} rows in {timings[name]}s (runs: {runs}, "
               f"load: {loads[name]})", file=sys.stderr)
 
     _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
                       floor_exited, steady)
 
-    _emit(timings, loads, unconverged, floor_exited, cold_start, sf)
+    _emit(timings, loads, unconverged, floor_exited, cold_start, sf,
+          steady)
 
 
 def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
@@ -456,12 +495,12 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
                                   doc_len=30, dup="near",
                                   num_partitions=2 * cpus).persist()
         docs.count()
-        load_pre = os.getloadavg()[0]
+        ctx = load_ctx_start()
         best, runs, n, _ = sample_pinned(name, docs, run_count, max_s,
                                          steady, floor_exited,
                                          unconverged)
         timings[name] = best
-        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
+        loads[name] = load_ctx_end(ctx)
         if name in ("synth_dedup_1m", "synth_substring_100k"):
             # planted-pair recall: every 10th document is a near-dup of
             # its predecessor — those pairs must be found (for the
@@ -601,7 +640,7 @@ def _scale_workloads(spark, cpus, timings, loads, unconverged,
         # pinned input untouched.
         pts = base.persist()
         pts.count()  # materialize generation outside the timed skyline
-        load_pre = os.getloadavg()[0]
+        ctx = load_ctx_start()
         # 100M rows get 6 samples (vs 4): the samples are cheap
         # relative to generation (already outside the timed region) and
         # anticorr_100m_2d was flagged unconverged by the driver three
@@ -618,24 +657,33 @@ def _scale_workloads(spark, cpus, timings, loads, unconverged,
                                             steady, floor_exited,
                                             unconverged)
         timings[name] = best
-        loads[name] = [round(load_pre, 2), round(os.getloadavg()[0], 2)]
+        loads[name] = load_ctx_end(ctx)
         print(f"# {name}: skyline={n} in {timings[name]}s (runs: {runs}, "
               f"load: {loads[name]}, dispatch: {disp})", file=sys.stderr)
 
 
 def _emit(timings, loads, unconverged, floor_exited, cold_start,
-          sf) -> None:
+          sf, steady=None) -> None:
     total = round(sum(timings.values()), 2)
-    # Per-query 1-min load averages [before-first-run, after-last-run]
-    # go to STDERR only (local[32] alone reads ~<=32 during a query;
-    # substantially higher = another evaluator shared the host and the
-    # sample is contention-polluted — VERDICT r5 #8).  They stay OUT of
-    # the stdout JSON entirely: the driver keeps only a 2000-char stdout
-    # tail, and r6's in-JSON load dict pushed the line to ~3.7 KB ->
-    # BENCH_r06 recorded parsed:null, losing the round's timings
-    # (VERDICT r6 #1).
+    # Per-query load context [loadavg_pre, loadavg_post, busy_cores]
+    # goes to STDERR in full (local[32] alone reads ~<=32 during a
+    # query; substantially higher = another evaluator shared the host
+    # and the sample is contention-polluted — VERDICT r5 #8).  The
+    # FULL dict stays out of the stdout JSON (the driver keeps only a
+    # 2000-char stdout tail, and r6's in-JSON load dict pushed the
+    # line to ~3.7 KB -> BENCH_r06 recorded parsed:null); instead the
+    # rows that NEED attribution — recorded min >1.25x the cross-round
+    # steady floor — carry their context in-line as `load_hot`
+    # (VERDICT r11 #1: every >1.25x row-level delta must be in-band or
+    # attributed by its recorded load, without a builder re-sweep).
     print(f"# load: {json.dumps(loads, separators=(',', ':'))}",
           file=sys.stderr)
+    load_hot = {
+        name: loads[name]
+        for name, t in timings.items()
+        if (steady or {}).get(name) and name in loads
+        and t > 1.25 * steady[name]
+    }
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -647,6 +695,8 @@ def _emit(timings, loads, unconverged, floor_exited, cold_start,
         "cold_start_sec": round(cold_start, 2),
         "sf": sf,
     }
+    if load_hot:
+        out["load_hot"] = load_hot
     if unconverged:
         # no two of the max samples agreed within 20% — the recorded min
         # is still the best steady-state estimate, but flag it rather
@@ -668,6 +718,13 @@ def _emit(timings, loads, unconverged, floor_exited, cold_start,
                           for k, v in timings.items()}
         out.pop("floor_exited", None)
         line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1800 and load_hot:
+            # keep only the 5 largest-delta rows' context — attribution
+            # beats completeness, but the line must parse first
+            keep = sorted(load_hot,
+                          key=lambda k: -timings[k] / steady[k])[:5]
+            out["load_hot"] = {k: load_hot[k] for k in keep}
+            line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 

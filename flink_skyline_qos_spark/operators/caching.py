@@ -61,6 +61,16 @@ def release_checkpoints_on_gc(result: DataFrame,
     derived plan, so they tie the RDD-id release to its lifetime here,
     the checkpoint analogue of :func:`release_on_gc`.
     """
+    # Keep the source frames (and anything THEY pin via _pin_parent —
+    # e.g. dedup_clusters' cc, whose own finalizer unpersists the
+    # canonical edge cache) alive for as long as this result is: the
+    # corpus builders return a frame DERIVED from `sources` and drop
+    # every other reference, so without this pin the next driver GC
+    # fires the upstream release_on_gc finalizers and every later
+    # action silently re-derives the full pair DAG (ADVICE r11
+    # clustering.py:368 — the r11 _pin_parent fix, propagated to
+    # derived results).
+    result._pin_parent = sources
     ids = tuple(i for s in sources
                 for i in getattr(s, "_checkpoint_rdd_ids", ()))
     if not ids:

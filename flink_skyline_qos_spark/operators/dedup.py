@@ -1063,9 +1063,16 @@ LEFT JOIN hits h ON h.id = d.{id_col}
 
 def _positioned_shingles(df: DataFrame, id_col: str, text_col: str,
                          k: int) -> DataFrame:
-    """(id, pos, h) rows: md5-derived hash of the k-token shingle at
-    every position of every document with ≥ k whitespace tokens — the
-    shared front end of the ExactSubstr operators."""
+    """(id, pos, h) rows: md5-derived 60-bit hash of the k-token
+    shingle at every position of every document with ≥ k whitespace
+    tokens — the shared front end of the ExactSubstr operators.
+
+    Deliberately NOT :func:`shingle_hashes` (ADVICE r11): that helper
+    reduces into [0, 2³¹-1) for the MinHash permutation arithmetic,
+    and a 31-bit space birthday-collides from ~50k distinct shingles —
+    at corpus scale most fingerprints would blow past ``max_df`` on
+    collisions alone and silently empty the match set.  The raw 60-bit
+    prefix keeps collisions negligible to ~10⁹ distinct shingles."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = (df.select(F.col(id_col).alias("id"), toks.alias("__t"))
             .filter(F.size("__t") >= k))
@@ -1073,24 +1080,33 @@ def _positioned_shingles(df: DataFrame, id_col: str, text_col: str,
         F.sequence(F.lit(0), F.size("__t") - k),
         lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k)),
     )
-    return base.select("id", F.posexplode(shingle_hashes(sh))
+    return base.select("id", F.posexplode(F.transform(sh, _md5_long))
                        .alias("pos", "h"))
+
+
+def _match_islands(m: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands maximal-run merge over aligned shingle matches
+    `m` = (id_a, id_b, pa, off): one row per maximal constant-offset
+    run — (id_a, id_b, off, a_start, span) where the run covers tokens
+    [a_start, a_start+span) in doc a and [a_start-off, ...) in doc b.
+    Shared middle of the ExactSubstr operators."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("id_a", "id_b", "off").orderBy("pa")
+    runs = m.select("id_a", "id_b", "off", "pa",
+                    (F.col("pa") - F.row_number().over(w)).alias("isl"))
+    return (runs.groupBy("id_a", "id_b", "off", "isl")
+            .agg(F.min("pa").alias("a_start"),
+                 (F.count(F.lit(1)) + k - 1).cast("long").alias("span"))
+            .drop("isl"))
 
 
 def _max_span_per_pair(m: DataFrame, k: int, min_span: int,
                        out_a: str, out_b: str) -> DataFrame:
-    """Gaps-and-islands maximal-run merge over aligned shingle matches
-    `m` = (id_a, id_b, pa, off): max shared verbatim run per pair,
+    """Max shared verbatim run per pair from the aligned matches `m`,
     kept at ≥ min_span tokens."""
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("id_a", "id_b", "off").orderBy("pa")
-    runs = m.select("id_a", "id_b", "off",
-                    (F.col("pa") - F.row_number().over(w)).alias("isl"))
-    spans = (runs.groupBy("id_a", "id_b", "off", "isl")
-             .agg((F.count(F.lit(1)) + k - 1).alias("span")))
-    return (spans.groupBy("id_a", "id_b")
-            .agg(F.max("span").cast("long").alias("span_tokens"))
+    return (_match_islands(m, k).groupBy("id_a", "id_b")
+            .agg(F.max("span").alias("span_tokens"))
             .filter(F.col("span_tokens") >= int(min_span))
             .select(F.col("id_a").alias(out_a),
                     F.col("id_b").alias(out_b), "span_tokens"))
@@ -1135,7 +1151,9 @@ def substring_dedup_pairs(df: DataFrame, *, id_col: str = "doc_id",
     survives the `max_df` cap — a boilerplate shingle INSIDE a long
     run splits it into two shorter reported islands (never a false
     positive, conservative on length).  Raise `max_df` for
-    adversarial corpora; md5 shingle-hash collisions (60-bit) are the
+    adversarial corpora; md5 shingle-hash collisions (true 60-bit —
+    NOT the MinHash stack's 31-bit Mersenne-reduced space, which would
+    birthday-collide from ~50k distinct shingles; ADVICE r11) are the
     only other false-match source and are engine-identical, so the
     DuckDB twin is exact.
 
@@ -1171,7 +1189,7 @@ def substring_dedup_pairs_sql(table: str, *, id_col: str = "doc_id",
                               max_df: int = 50) -> str:
     """DuckDB twin of :func:`substring_dedup_pairs` — identical
     tokenization (`string_split_regex('\\s+')` on trimmed text), the
-    shared md5 shingle-hash reduction, the same df-cap gates and the
+    same 60-bit md5-prefix shingle hash, the same df-cap gates and the
     same islands arithmetic, so the pair multiset and every
     span_tokens value match exactly."""
     kk = int(k)
@@ -1186,8 +1204,7 @@ __ex AS (
          unnest(list_transform(
            generate_series(0, len(toks) - {kk}),
            i -> ('0x' || substr(md5(array_to_string(
-                  toks[(i+1):(i+{kk})], ' ')), 1, 15))::BIGINT
-                % {_MERSENNE})) AS h
+                  toks[(i+1):(i+{kk})], ' ')), 1, 15))::BIGINT)) AS h
   FROM __tok WHERE len(toks) >= {kk}
 ),
 __ok AS (
@@ -1215,11 +1232,174 @@ HAVING max(span) >= {int(min_span)}
 """.strip()
 
 
+def substring_remove(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8,
+                     min_span: int = 20, max_df: int = 50) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 production semantics,
+    completing :func:`substring_dedup_pairs`): every cross-document
+    verbatim token run of ≥ `min_span` whitespace tokens is CUT from
+    all but its first occurrence corpus-wide, and the affected
+    documents are reassembled from their surviving tokens in order —
+    the same keep-first-by-(id, pos) rule :func:`~..functions.corpus.
+    dedup_paragraphs` applies at fixed unit granularity, here at
+    arbitrary token offsets.
+
+    Keep-first realization: aligned maximal runs come from the pair
+    construction with id_a < id_b, so within every detected run the
+    id_a occurrence is the earlier one and only the id_b token range
+    [a_start − off, a_start − off + span) is marked duplicate.  Chains
+    (doc₁~doc₂~doc₃) cut doc₂ and doc₃ via their own pairs while doc₁
+    — the corpus-wide first occurrence — survives; whenever a pair of
+    the chain is dropped by the `max_df` cap the span simply survives
+    in one extra document (conservative, never over-removes).
+    Overlapping marked ranges from different pairs/offsets union at
+    the token level.  Scope is CROSS-document: a run repeated twice
+    inside one document only is kept (the pair stage requires
+    id_a < id_b).
+
+    Returns one row per input document:
+    (id_col, clean_text, n_tokens, n_removed) — `clean_text` is the
+    original text for untouched documents and the space-joined
+    surviving tokens for cut ones (whitespace normalizes only where
+    text was edited); `n_tokens` the original whitespace token count.
+
+    Scale shape: the pair front end is :func:`substring_dedup_pairs`'s
+    (one explode, df-capped fingerprint join, per-pair islands
+    window); the removal tail explodes tokens ONLY for affected
+    documents (semi-join first), marks duplicates with one
+    (id, pos)-keyed left join, and reassembles with one groupBy(id) —
+    cost proportional to contaminated text, not corpus size.
+    """
+    kk = int(k)
+    ex = _positioned_shingles(_scale_out(df, probe=df), id_col,
+                              text_col, kk)
+    ok = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
+          .filter((F.col("fdf") >= 2) & (F.col("fdf") <= int(max_df)))
+          .select("h"))
+    live = ex.join(ok, "h")
+    a = live.select("h", F.col("id").alias("id_a"),
+                    F.col("pos").alias("pa"))
+    b = live.select("h", F.col("id").alias("id_b"),
+                    F.col("pos").alias("pb"))
+    m = (a.join(b, "h")
+         .filter(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b", "pa",
+                 (F.col("pa") - F.col("pb")).alias("off")))
+    iv = (_match_islands(m, kk)
+          .filter(F.col("span") >= int(min_span))
+          .select(F.col("id_b").alias("id"),
+                  (F.col("a_start") - F.col("off")).alias("s"), "span"))
+    dup_pos = iv.select(
+        "id", F.explode(F.sequence(
+            F.col("s"), F.col("s") + F.col("span") - 1)).alias("pos")
+    ).distinct()
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+        .otherwise(F.size(toks)).cast("long")
+    affected = (df.join(dup_pos.select("id").distinct(),
+                        F.col(id_col) == F.col("id"), "left_semi")
+                .select(F.col(id_col).alias("id"),
+                        F.posexplode(toks).alias("pos", "tok")))
+    marked = affected.join(
+        dup_pos.withColumn("__dup", F.lit(True)), ["id", "pos"], "left")
+    arr = F.array_sort(F.collect_list(F.struct("pos", "tok", "__dup")))
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.filter(arr, lambda x: x["__dup"].isNull()),
+                        lambda x: x["tok"]), " ").alias("__clean"),
+        F.sum(F.col("__dup").isNotNull().cast("long"))
+        .alias("__removed"))
+    return (df.join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+            .select(id_col,
+                    F.coalesce("__clean", F.col(text_col))
+                    .alias("clean_text"),
+                    n_tok.alias("n_tokens"),
+                    F.coalesce("__removed", F.lit(0)).cast("long")
+                    .alias("n_removed")))
+
+
+def substring_remove_sql(table: str, *, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8,
+                         min_span: int = 20, max_df: int = 50) -> str:
+    """DuckDB twin of :func:`substring_remove` — same 60-bit shingle
+    hash, df-cap, islands arithmetic, keep-first marking and
+    token-level reassembly, so every clean_text matches byte-for-byte."""
+    kk = int(k)
+    return f"""
+WITH __tok AS (
+  SELECT {id_col} AS id,
+         string_split_regex(trim({text_col}), '\\s+') AS toks
+  FROM {table}
+),
+__ex AS (
+  SELECT id, unnest(generate_series(0, len(toks) - {kk})) AS pos,
+         unnest(list_transform(
+           generate_series(0, len(toks) - {kk}),
+           i -> ('0x' || substr(md5(array_to_string(
+                  toks[(i+1):(i+{kk})], ' ')), 1, 15))::BIGINT)) AS h
+  FROM __tok WHERE len(toks) >= {kk}
+),
+__ok AS (
+  SELECT h FROM __ex GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {int(max_df)}
+),
+__m AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, a.pos - b.pos AS off
+  FROM __ex a JOIN __ok USING (h) JOIN __ex b ON b.h = a.h
+  WHERE a.id < b.id
+),
+__r AS (
+  SELECT id_a, id_b, off, pa,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, off ORDER BY pa) AS isl
+  FROM __m
+),
+__iv AS (
+  SELECT id_b AS id, min(pa) - off AS s,
+         count(*) + {kk} - 1 AS span
+  FROM __r GROUP BY id_a, id_b, off, isl
+  HAVING count(*) + {kk} - 1 >= {int(min_span)}
+),
+__dp AS (
+  SELECT DISTINCT id, pos FROM (
+    SELECT id, unnest(generate_series(s, s + span - 1)) AS pos
+    FROM __iv)
+),
+__tp AS (
+  SELECT t.id, t.i - 1 AS pos, t.toks[t.i] AS tok
+  FROM (SELECT id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM __tok
+        WHERE id IN (SELECT DISTINCT id FROM __dp)) t
+),
+__rb AS (
+  SELECT t.id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE d.pos IS NULL), '') AS clean_text,
+         count(d.pos)::BIGINT AS n_removed
+  FROM __tp t
+  LEFT JOIN __dp d ON d.id = t.id AND d.pos = t.pos
+  GROUP BY t.id
+)
+SELECT x.{id_col},
+       CASE WHEN r.id IS NULL THEN x.{text_col}
+            ELSE r.clean_text END AS clean_text,
+       (CASE WHEN trim(x.{text_col}) = '' THEN 0
+             ELSE len(string_split_regex(trim(x.{text_col}), '\\s+'))
+        END)::BIGINT AS n_tokens,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed
+FROM {table} x LEFT JOIN __rb r ON r.id = x.{id_col}
+""".strip()
+
+
+
 def substring_contamination(corpus: DataFrame, bench: DataFrame, *,
                             id_col: str = "doc_id",
                             text_col: str = "text", k: int = 8,
                             min_span: int = 20,
-                            max_df: int = 50) -> DataFrame:
+                            max_df: int = 50,
+                            corpus_max_df: "int | None" = None
+                            ) -> DataFrame:
     """ExactSubstr eval-set decontamination: corpus documents sharing a
     ≥ `min_span`-token VERBATIM run with a benchmark document, with the
     exact maximal run length per (corpus, bench) pair — the
@@ -1237,6 +1417,18 @@ def substring_contamination(corpus: DataFrame, bench: DataFrame, *,
     (`max_df`, boilerplate guard) bounds fan-out at |corpus hits| ×
     max_df per fingerprint; left un-hinted so AQE broadcasts the
     bench side.  No corpus self-join anywhere.
+
+    Corpus-side fan-out is UNBOUNDED BY DESIGN by default (ADVICE
+    r11): capping corpus-side fingerprint frequency would drop real
+    leaked spans whose interior shingles happen to be corpus-frequent
+    — decontamination must not trade recall for throughput silently.
+    The cost is linear in corpus occurrences of bench shingles (one
+    shuffle row each), never quadratic — the bench side of every hot
+    hash is still ≤ `max_df`.  For corpora where boilerplate overlaps
+    the bench set pathologically, set `corpus_max_df` to also cap the
+    corpus side (same conservative-shortening semantics as the dedup
+    twin's two-sided cap: a capped interior shingle can only split or
+    shorten a reported span, never fabricate one).
     """
     kk = int(k)
     ce = _positioned_shingles(_scale_out(corpus, probe=corpus), id_col,
@@ -1244,6 +1436,10 @@ def substring_contamination(corpus: DataFrame, bench: DataFrame, *,
     be = _positioned_shingles(bench, id_col, text_col, kk)
     ok = (be.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
           .filter(F.col("fdf") <= int(max_df)).select("h"))
+    if corpus_max_df is not None:
+        cok = (ce.groupBy("h").agg(F.count(F.lit(1)).alias("cdf"))
+               .filter(F.col("cdf") <= int(corpus_max_df)).select("h"))
+        ce = ce.join(cok, "h")
     a = ce.select("h", F.col("id").alias("id_a"),
                   F.col("pos").alias("pa"))
     b = be.join(ok, "h").select("h", F.col("id").alias("id_b"),
@@ -1263,8 +1459,7 @@ def _substr_ex_cte(table: str, id_col: str, text_col: str,
          unnest(list_transform(
            generate_series(0, len(toks) - {k}),
            i -> ('0x' || substr(md5(array_to_string(
-                  toks[(i+1):(i+{k})], ' ')), 1, 15))::BIGINT
-                % {_MERSENNE})) AS h
+                  toks[(i+1):(i+{k})], ' ')), 1, 15))::BIGINT)) AS h
   FROM (SELECT {id_col} AS id,
                string_split_regex(trim({text_col}), '\\s+') AS toks
         FROM {table})
@@ -1275,23 +1470,31 @@ def substring_contamination_sql(corpus: str, bench: str, *,
                                 id_col: str = "doc_id",
                                 text_col: str = "text", k: int = 8,
                                 min_span: int = 20,
-                                max_df: int = 50) -> str:
+                                max_df: int = 50,
+                                corpus_max_df: "int | None" = None
+                                ) -> str:
     """DuckDB twin of :func:`substring_contamination` (`corpus` /
     `bench` may be any table expression)."""
     kk = int(k)
+    ccap = ("" if corpus_max_df is None else f"""
+__cok AS (
+  SELECT h FROM __ce GROUP BY h
+  HAVING count(*) <= {int(corpus_max_df)}
+),""")
+    cjoin = "" if corpus_max_df is None else " JOIN __cok ON __cok.h = c.h"
     return f"""
 WITH __ce AS (
 {_substr_ex_cte(corpus, id_col, text_col, kk)}
 ),
 __be AS (
 {_substr_ex_cte(bench, id_col, text_col, kk)}
-),
+),{ccap}
 __ok AS (
   SELECT h FROM __be GROUP BY h HAVING count(*) <= {int(max_df)}
 ),
 __m AS (
   SELECT c.id AS id_a, b.id AS id_b, c.pos AS pa, c.pos - b.pos AS off
-  FROM __ce c JOIN __ok USING (h) JOIN __be b ON b.h = c.h
+  FROM __ce c JOIN __ok USING (h) JOIN __be b ON b.h = c.h{cjoin}
 ),
 __r AS (
   SELECT id_a, id_b, off,

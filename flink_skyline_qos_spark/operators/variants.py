@@ -155,8 +155,11 @@ def grid_envelope_prefilter(df: DataFrame, cols: Sequence[str], *,
     or in the last dim (a NaN grid coord floor-casts to cell 0 where
     the row could become a witness that does not actually dominate; an
     all-NaN cell would put a NaN in the envelope and silently drop
-    every row in strictly-greater cells), and NULL cell ids are
-    skipped when the grid is built.
+    every row in strictly-greater cells).  Note a NULL grid coord
+    cannot produce a NULL cell id: F.greatest/F.least skip NULLs, so
+    the index coerces to axis 0 — safe, because such rows fail the
+    witness filter and axis-0 cells never receive a finite envelope
+    (ADVICE r11: there is NO null-cell invariant to rely on).
     """
     import numpy as np
 
@@ -197,7 +200,6 @@ def grid_envelope_prefilter(df: DataFrame, cols: Sequence[str], *,
     cellmins = (df.filter(witness_ok)
                 .groupBy(flat.alias("__cell"))
                 .agg(F.min(lastd).alias("__m"))
-                .filter(F.col("__cell").isNotNull())
                 .collect())
     grid = np.full((k,) * len(gdims), np.inf)
     for r in cellmins:

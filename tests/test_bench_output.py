@@ -201,3 +201,51 @@ def test_stream_query_registry_guards_drift():
                if any(m in inspect.getsource(fn) for m in markers)}
     assert flagged == set(entrymod.STREAM_QUERIES), \
         flagged ^ set(entrymod.STREAM_QUERIES)
+
+
+def test_emit_load_hot_attribution(capsys):
+    """Rows recorded >1.25x their steady floor carry their load
+    context in the stdout JSON (VERDICT r11 #1); in-band rows do not,
+    keeping the line inside the driver capture tail."""
+    timings = {"q_inband": 10.0, "q_hot": 20.0, "q_new": 5.0}
+    loads = {"q_inband": [3.0, 4.0, 30.1], "q_hot": [12.0, 28.0, 61.5],
+             "q_new": [2.0, 2.0, 31.0]}
+    steady = {"q_inband": 9.0, "q_hot": 10.0}  # q_new: no prior record
+    bench._emit(timings, loads, [], [], 1.0, 0.1, steady)
+    out = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert out["load_hot"] == {"q_hot": [12.0, 28.0, 61.5]}
+    assert "q_inband" not in out["load_hot"]
+
+
+def test_load_ctx_roundtrip_shape():
+    """load_ctx_start/end produce [pre, post(, busy_cores)] with
+    busy_cores bounded by the host cpu count."""
+    import os
+    import time
+
+    ctx = bench.load_ctx_start()
+    time.sleep(0.05)
+    row = bench.load_ctx_end(ctx)
+    assert len(row) in (2, 3)
+    assert all(isinstance(v, float) for v in row)
+    if len(row) == 3:
+        assert 0.0 <= row[2] <= (os.cpu_count() or 1) + 0.1
+
+
+def test_bench_line_fits_with_load_hot_worst_case(capsys):
+    """Pathological sweep — every row 99.9 s, EVERY row >1.25x steady
+    so every row carries load context: the valve must coarsen and trim
+    load_hot until the final printed line fits the driver's 2000-char
+    capture tail, keeping the largest-delta rows' attribution."""
+    names = bench.HEADLINE + _synthetic_names()
+    timings = {n: bench.bench_fmt(99.94) for n in names}
+    loads = {n: [12.3, 28.1, 61.5] for n in names}
+    steady = {n: 10.0 for n in names}
+    bench._emit(timings, loads, sorted(names)[:2], [], 99.99, 0.1,
+                steady)
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    assert len(line) < 2000, len(line)
+    out = json.loads(line)
+    assert 1 <= len(out["load_hot"]) <= 5

@@ -503,3 +503,104 @@ def test_substring_contamination_planted_passage(spark):
         "corp", "bench_t", k=8, min_span=12, max_df=50)).fetchall())
     assert sorted((r.doc_id, r.bench_id, r.span_tokens)
                   for r in out.collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr span REMOVAL (round 12 — Lee et al.'s production semantics:
+# cut every duplicated run from all but its first corpus-wide occurrence)
+# ---------------------------------------------------------------------------
+
+def test_substring_remove_planted_span_exact_text(spark):
+    """Keep-first removal with the EXACT surviving text asserted: the
+    lower-id document keeps the planted run verbatim, every later
+    occurrence is cut token-exactly, untouched documents pass through
+    byte-identical."""
+    from flink_skyline_qos_spark.operators.dedup import substring_remove
+
+    span = _tok("s", 25)
+    d0 = " ".join(_tok("a", 6) + span + _tok("b", 4))
+    d1 = " ".join(_tok("c", 3) + span + _tok("d", 5))
+    d2 = " ".join(span)                      # run IS the whole doc
+    d3 = " ".join(_tok("z", 30))             # shares nothing
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (3, d3)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_remove(df, k=8, min_span=12, max_df=50).collect()}
+    # first occurrence survives verbatim (untouched doc: original text)
+    assert out[0].clean_text == d0 and out[0].n_removed == 0
+    # later occurrences: exactly the 25 run tokens cut, flanks survive
+    assert out[1].clean_text == " ".join(_tok("c", 3) + _tok("d", 5))
+    assert out[1].n_removed == 25 and out[1].n_tokens == 33
+    # all-duplicate doc reassembles to the empty string
+    assert out[2].clean_text == "" and out[2].n_removed == 25
+    assert out[3].clean_text == d3 and out[3].n_removed == 0
+
+
+def test_substring_remove_chain_keeps_one_copy(spark):
+    """3-way duplicate chain: only the minimal-id copy survives; the
+    other two are cut via their own pairs."""
+    from flink_skyline_qos_spark.operators.dedup import substring_remove
+
+    span = _tok("s", 20)
+    rows = [(i, " ".join([f"p{i}_{j}" for j in range(4)] + span
+                         + [f"q{i}_{j}" for j in range(3)]))
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_remove(df, k=8, min_span=12, max_df=50).collect()}
+    assert out[0].n_removed == 0 and " ".join(span) in out[0].clean_text
+    for i in (1, 2):
+        assert out[i].n_removed == 20
+        assert out[i].clean_text == " ".join(
+            [f"p{i}_{j}" for j in range(4)] + [f"q{i}_{j}" for j in range(3)])
+
+
+def test_substring_remove_overlapping_ranges_union(spark):
+    """Two overlapping duplicated runs (vs different earlier docs)
+    union at the token level — no double-count, no gap."""
+    from flink_skyline_qos_spark.operators.dedup import substring_remove
+
+    r1, mid, r2 = _tok("x", 14), _tok("m", 6), _tok("y", 14)
+    # doc 2 contains r1+mid+r2; doc 0 shares r1+mid, doc 1 shares mid+r2
+    rows = [
+        (0, " ".join(_tok("a", 5) + r1 + mid + _tok("b", 8))),
+        (1, " ".join(_tok("c", 8) + mid + r2 + _tok("d", 5))),
+        (2, " ".join(_tok("e", 4) + r1 + mid + r2 + _tok("f", 4))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_remove(df, k=8, min_span=12, max_df=50).collect()}
+    # doc 2's whole r1+mid+r2 region (34 tokens) is the union of the
+    # two marked ranges [r1+mid] and [mid+r2]
+    assert out[2].n_removed == 34
+    assert out[2].clean_text == " ".join(_tok("e", 4) + _tok("f", 4))
+    # doc 0 keeps everything (it is the first occurrence of r1+mid);
+    # doc 1 loses only the mid+r2 region it shares with doc 0? no —
+    # doc 1's mid+r2 has its mid shared with doc 0 (id 0 < 1): the
+    # mid-only island is 6 < min_span, so doc 1 is untouched too
+    assert out[0].n_removed == 0
+    assert out[1].n_removed == 0
+
+
+def test_substring_remove_oracle_parity(spark, planted_span_corpus):
+    """Spark clean_text/n_removed == DuckDB twin byte-for-byte."""
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_remove,
+        substring_remove_sql,
+    )
+
+    pdf = planted_span_corpus.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for min_span in (10, 12):
+        want = sorted(con.execute(substring_remove_sql(
+            "documents", k=8, min_span=min_span, max_df=50)).fetchall())
+        got = sorted(
+            (r.doc_id, r.clean_text, r.n_tokens, r.n_removed)
+            for r in substring_remove(
+                planted_span_corpus, k=8, min_span=min_span,
+                max_df=50).collect())
+        assert got == want, (min_span, got, want)
