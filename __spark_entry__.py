@@ -117,6 +117,8 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     substring_dedup_pairs_sql,
     substring_remove,
     substring_remove_sql,
+    substring_scrub,
+    substring_scrub_sql,
     winnow_contamination,
     winnow_contamination_sql,
     winnow_pairs,
@@ -865,6 +867,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("doc_id") % 10) == 7),
             k=8, min_span=12, max_df=50,
         )
+    # ExactSubstr benchmark-span SCRUBBING (round 12): the acting form
+    # of the contamination report -- every corpus occurrence of a
+    # >=12-token verbatim bench run is cut (ALL occurrences: eval text
+    # must not survive anywhere) and affected docs reassembled
+    q["substring_scrub_documents"] = lambda s, d: substring_scrub(
+        load_table(s, d, "documents").filter(
+            (F.col("doc_id") % 10) != 7),
+        load_table(s, d, "documents").filter(
+            (F.col("doc_id") % 10) == 7),
+        k=8, min_span=12, max_df=50,
+    )
     # language-ID confusion matrix: labelled lang vs the stopword-
     # heuristic prediction (the classifier eval before filtering on it)
     q["langid_confusion_documents"] = lambda s, d: langid_confusion(
@@ -2262,6 +2275,10 @@ FROM reach GROUP BY node
     o["substring_remove_documents"] = substring_remove_sql(
         "documents", k=8, min_span=12, max_df=50)
     o["substring_contamination_documents"] = substring_contamination_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
+        k=8, min_span=12, max_df=50)
+    o["substring_scrub_documents"] = substring_scrub_sql(
         "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
         "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
         k=8, min_span=12, max_df=50)

@@ -1511,3 +1511,141 @@ SELECT id_a AS doc_id, id_b AS bench_id,
 FROM __s GROUP BY id_a, id_b
 HAVING max(span) >= {int(min_span)}
 """.strip()
+
+
+def substring_scrub(corpus: DataFrame, bench: DataFrame, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 8, min_span: int = 20,
+                    max_df: int = 50) -> DataFrame:
+    """ExactSubstr benchmark-span SCRUBBING: every corpus occurrence of
+    a ≥ `min_span`-token verbatim run shared with a benchmark document
+    is CUT and the affected corpus documents are reassembled — the
+    acting form of :func:`substring_contamination` (which only reports
+    the leakage).  Unlike :func:`substring_remove`'s keep-first rule,
+    decontamination removes ALL occurrences: evaluation text must not
+    survive anywhere in the training corpus, including its first
+    appearance.
+
+    Returns one row per CORPUS document:
+    (id_col, clean_text, n_tokens, n_removed) — original text for
+    untouched documents, space-joined surviving tokens for scrubbed
+    ones, `n_tokens` the original whitespace token count.
+
+    Scale shape: the match front end is
+    :func:`substring_contamination`'s (corpus×bench hash join, bench
+    side df-capped and AQE-broadcast, corpus side deliberately
+    uncapped — recall over throughput, see the contamination
+    docstring); the removal tail explodes tokens ONLY for affected
+    documents (semi-join first) and reassembles with one groupBy —
+    cost proportional to contaminated text, not corpus size.
+    """
+    kk = int(k)
+    ce = _positioned_shingles(_scale_out(corpus, probe=corpus), id_col,
+                              text_col, kk)
+    be = _positioned_shingles(bench, id_col, text_col, kk)
+    ok = (be.groupBy("h").agg(F.count(F.lit(1)).alias("fdf"))
+          .filter(F.col("fdf") <= int(max_df)).select("h"))
+    a = ce.select("h", F.col("id").alias("id_a"),
+                  F.col("pos").alias("pa"))
+    b = be.join(ok, "h").select("h", F.col("id").alias("id_b"),
+                                F.col("pos").alias("pb"))
+    m = (a.join(b, "h")
+         .select("id_a", "id_b", "pa",
+                 (F.col("pa") - F.col("pb")).alias("off")))
+    iv = (_match_islands(m, kk)
+          .filter(F.col("span") >= int(min_span))
+          .select(F.col("id_a").alias("id"),
+                  F.col("a_start").alias("s"), "span"))
+    dup_pos = iv.select(
+        "id", F.explode(F.sequence(
+            F.col("s"), F.col("s") + F.col("span") - 1)).alias("pos")
+    ).distinct()
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+        .otherwise(F.size(toks)).cast("long")
+    affected = (corpus.join(dup_pos.select("id").distinct(),
+                            F.col(id_col) == F.col("id"), "left_semi")
+                .select(F.col(id_col).alias("id"),
+                        F.posexplode(toks).alias("pos", "tok")))
+    marked = affected.join(
+        dup_pos.withColumn("__dup", F.lit(True)), ["id", "pos"], "left")
+    arr = F.array_sort(F.collect_list(F.struct("pos", "tok", "__dup")))
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.filter(arr, lambda x: x["__dup"].isNull()),
+                        lambda x: x["tok"]), " ").alias("__clean"),
+        F.sum(F.col("__dup").isNotNull().cast("long"))
+        .alias("__removed"))
+    return (corpus.join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+            .select(id_col,
+                    F.coalesce("__clean", F.col(text_col))
+                    .alias("clean_text"),
+                    n_tok.alias("n_tokens"),
+                    F.coalesce("__removed", F.lit(0)).cast("long")
+                    .alias("n_removed")))
+
+
+def substring_scrub_sql(corpus: str, bench: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 8, min_span: int = 20,
+                        max_df: int = 50) -> str:
+    """DuckDB twin of :func:`substring_scrub` (`corpus` / `bench` may
+    be any table expression)."""
+    kk = int(k)
+    return f"""
+WITH __ce AS (
+{_substr_ex_cte(corpus, id_col, text_col, kk)}
+),
+__be AS (
+{_substr_ex_cte(bench, id_col, text_col, kk)}
+),
+__ok AS (
+  SELECT h FROM __be GROUP BY h HAVING count(*) <= {int(max_df)}
+),
+__m AS (
+  SELECT c.id AS id_a, b.id AS id_b, c.pos AS pa, c.pos - b.pos AS off
+  FROM __ce c JOIN __ok USING (h) JOIN __be b ON b.h = c.h
+),
+__r AS (
+  SELECT id_a, id_b, off, pa,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, off ORDER BY pa) AS isl
+  FROM __m
+),
+__iv AS (
+  SELECT id_a AS id, min(pa) AS s, count(*) + {kk} - 1 AS span
+  FROM __r GROUP BY id_a, id_b, off, isl
+  HAVING count(*) + {kk} - 1 >= {int(min_span)}
+),
+__dp AS (
+  SELECT DISTINCT id, pos FROM (
+    SELECT id, unnest(generate_series(s, s + span - 1)) AS pos
+    FROM __iv)
+),
+__tp AS (
+  SELECT t.id, t.i - 1 AS pos, t.toks[t.i] AS tok
+  FROM (SELECT {id_col} AS id,
+               string_split_regex(trim({text_col}), '\\s+') AS toks,
+               unnest(generate_series(1, len(string_split_regex(
+                 trim({text_col}), '\\s+')))) AS i
+        FROM {corpus}
+        WHERE {id_col} IN (SELECT DISTINCT id FROM __dp)) t
+),
+__rb AS (
+  SELECT t.id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE d.pos IS NULL), '') AS clean_text,
+         count(d.pos)::BIGINT AS n_removed
+  FROM __tp t
+  LEFT JOIN __dp d ON d.id = t.id AND d.pos = t.pos
+  GROUP BY t.id
+)
+SELECT x.{id_col},
+       CASE WHEN r.id IS NULL THEN x.{text_col}
+            ELSE r.clean_text END AS clean_text,
+       (CASE WHEN trim(x.{text_col}) = '' THEN 0
+             ELSE len(string_split_regex(trim(x.{text_col}), '\\s+'))
+        END)::BIGINT AS n_tokens,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed
+FROM {corpus} x LEFT JOIN __rb r ON r.id = x.{id_col}
+""".strip()

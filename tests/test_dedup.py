@@ -604,3 +604,57 @@ def test_substring_remove_oracle_parity(spark, planted_span_corpus):
                 planted_span_corpus, k=8, min_span=min_span,
                 max_df=50).collect())
         assert got == want, (min_span, got, want)
+
+
+def test_substring_scrub_removes_all_occurrences(spark):
+    """Decontamination semantics: EVERY corpus occurrence of a leaked
+    bench span is cut — including the corpus-wide first one — and
+    clean corpus docs pass through byte-identical."""
+    from flink_skyline_qos_spark.operators.dedup import substring_scrub
+
+    span = _tok("s", 22)
+    corpus = spark.createDataFrame([
+        (1, " ".join(_tok("a", 3) + span + _tok("b", 2))),
+        (2, " ".join(_tok("p", 2) + span + _tok("m", 2) + span)),
+        (3, " ".join(_tok("z", 25))),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, " ".join(_tok("i", 2) + span + _tok("o", 2)))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_scrub(
+        corpus, bench, k=8, min_span=12, max_df=50).collect()}
+    assert out[1].clean_text == " ".join(_tok("a", 3) + _tok("b", 2))
+    assert out[1].n_removed == 22
+    # BOTH occurrences in doc 2 are cut (no keep-first in decontam)
+    assert out[2].clean_text == " ".join(_tok("p", 2) + _tok("m", 2))
+    assert out[2].n_removed == 44
+    assert out[3].clean_text == " ".join(_tok("z", 25))
+    assert out[3].n_removed == 0
+
+
+def test_substring_scrub_oracle_parity(spark, planted_span_corpus):
+    """Spark scrub == DuckDB twin byte-for-byte (corpus = even ids,
+    bench = odd ids of the planted corpus)."""
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_scrub,
+        substring_scrub_sql,
+    )
+
+    corpus = planted_span_corpus.filter("doc_id % 2 = 0")
+    bench = planted_span_corpus.filter("doc_id % 2 = 1")
+    pdf = planted_span_corpus.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for min_span in (10, 12):
+        want = sorted(con.execute(substring_scrub_sql(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            k=8, min_span=min_span, max_df=50)).fetchall())
+        got = sorted(
+            (r.doc_id, r.clean_text, r.n_tokens, r.n_removed)
+            for r in substring_scrub(corpus, bench, k=8,
+                                     min_span=min_span,
+                                     max_df=50).collect())
+        assert got == want, (min_span, got, want)
