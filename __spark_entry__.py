@@ -352,6 +352,54 @@ def _small_shuffle(s: SparkSession, n: int = 8):
         s.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _batch_fixture_files(df: DataFrame, conds, data_dir: str,
+                         base_offset: float = None) -> None:
+    """Write the mtime-staggered parquet batch files a streaming
+    fixture replays — in ONE Spark job (round 12 gate-budget trim:
+    the per-side ``coalesce(1).write`` pattern cost one full job +
+    tmp-move per batch, ~0.5 s each at gate scale across five
+    streaming queries).
+
+    `conds` is one boolean Column per batch, in replay order; rows are
+    routed to the FIRST matching batch (rows matching none are
+    dropped, matching the old per-side filters).  A batch with no rows
+    still gets an (empty, schema-bearing) file — empty micro-batches
+    are part of the replay contract.  File ``part-{i}.parquet`` gets
+    mtime ``now - 10*(n-i)`` so the file-source replays ascending.
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    n = len(conds)
+    work = os.path.dirname(data_dir)
+    tmpd = os.path.join(work, "__batches")
+    idx = F.when(conds[0], 0)
+    for i, c in enumerate(conds[1:], start=1):
+        idx = idx.when(c, i)
+    (df.withColumn("__b", idx.cast("int"))
+       .filter(F.col("__b").isNotNull())
+       .repartition(n, "__b")
+       .write.mode("overwrite").partitionBy("__b").parquet(tmpd))
+    now = base_offset if base_offset is not None else _time.time()
+    empty = None
+    for i in range(n):
+        srcs = _glob.glob(os.path.join(tmpd, f"__b={i}",
+                                       "part-*.parquet"))
+        dst = os.path.join(data_dir, f"part-{i}.parquet")
+        if srcs:
+            _shutil.move(srcs[0], dst)
+        else:
+            if empty is None:  # lazily build ONE empty file, copy it
+                etmp = os.path.join(work, "__empty")
+                (df.sparkSession.createDataFrame([], df.schema)
+                 .coalesce(1).write.mode("overwrite").parquet(etmp))
+                empty = _glob.glob(os.path.join(etmp,
+                                                "part-*.parquet"))[0]
+            _shutil.copy(empty, dst)
+        os.utime(dst, (now - 10 * (n - i),) * 2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: two-phase MR-Angle skyline of lineitem (minimize price+discount)."""
     df = _li(spark, "/root/testdata/sf0.001")
@@ -1291,14 +1339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _streaming_paragraph_admission(s: SparkSession,
                                        d: str) -> DataFrame:
         import tempfile
-        import time as _time
 
         from flink_skyline_qos_spark.streaming.continuous import (
             run_streaming_paragraph_admission,
         )
-
-        import glob as _glob
-        import shutil as _shutil
 
         docs = load_table(s, d, "documents").select("doc_id", "text")
         med = docs.approxQuantile("doc_id", [0.5], 0.0)
@@ -1306,20 +1350,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         work = tempfile.mkdtemp(prefix="spanadm_")
         data_dir = os.path.join(work, "data")
         os.makedirs(data_dir)
-        now = _time.time()
         # parquet batch files (NOT an id|text text file: embedded
         # newlines in text would shear into truncated + null-id rows);
         # mtime stagger fixes replay order = ascending doc_id
-        for i, part in enumerate((
-                docs.filter(F.col("doc_id") <= cut),
-                docs.filter((F.col("doc_id") > cut)
-                            | F.col("doc_id").isNull()))):
-            tmpd = os.path.join(work, f"tmp{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
-            dst = os.path.join(data_dir, f"part-{i}.parquet")
-            _shutil.move(
-                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
-            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        _batch_fixture_files(docs, [
+            F.col("doc_id") <= cut,
+            (F.col("doc_id") > cut) | F.col("doc_id").isNull(),
+        ], data_dir)
         stream = (s.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
         run_streaming_paragraph_admission(stream, work, unit_tokens=8)
@@ -1337,10 +1374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline filters on quality rules before any dedup state).
     def _streaming_c4_admission(s: SparkSession, d: str) -> DataFrame:
         import tempfile
-        import time as _time
-
-        import glob as _glob
-        import shutil as _shutil
 
         from flink_skyline_qos_spark.streaming.continuous import (
             run_streaming_c4_admission,
@@ -1352,19 +1385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         work = tempfile.mkdtemp(prefix="c4adm_")
         data_dir = os.path.join(work, "data")
         os.makedirs(data_dir)
-        now = _time.time()
         # parquet batch files, mtime-staggered — same replay recipe as
         # the span-admission query (text columns can embed newlines)
-        for i, part in enumerate((
-                docs.filter(F.col("doc_id") <= cut),
-                docs.filter((F.col("doc_id") > cut)
-                            | F.col("doc_id").isNull()))):
-            tmpd = os.path.join(work, f"tmp{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
-            dst = os.path.join(data_dir, f"part-{i}.parquet")
-            _shutil.move(
-                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
-            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        _batch_fixture_files(docs, [
+            F.col("doc_id") <= cut,
+            (F.col("doc_id") > cut) | F.col("doc_id").isNull(),
+        ], data_dir)
         stream = (s.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
         run_streaming_c4_admission(stream, work)
@@ -1382,10 +1408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every input doc is emitted once with verdict + cleaned text.
     def _streaming_ingest_pipeline(s: SparkSession, d: str) -> DataFrame:
         import tempfile
-        import time as _time
-
-        import glob as _glob
-        import shutil as _shutil
 
         from flink_skyline_qos_spark.streaming.continuous import (
             run_streaming_ingest_pipeline,
@@ -1397,17 +1419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         work = tempfile.mkdtemp(prefix="ingestpipe_")
         data_dir = os.path.join(work, "data")
         os.makedirs(data_dir)
-        now = _time.time()
-        for i, part in enumerate((
-                docs.filter(F.col("doc_id") <= cut),
-                docs.filter((F.col("doc_id") > cut)
-                            | F.col("doc_id").isNull()))):
-            tmpd = os.path.join(work, f"tmp{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
-            dst = os.path.join(data_dir, f"part-{i}.parquet")
-            _shutil.move(
-                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
-            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        _batch_fixture_files(docs, [
+            F.col("doc_id") <= cut,
+            (F.col("doc_id") > cut) | F.col("doc_id").isNull(),
+        ], data_dir)
         stream = (s.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
         with _small_shuffle(s):
@@ -1430,10 +1445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _streaming_embedding_admission(s: SparkSession,
                                        d: str) -> DataFrame:
         import tempfile
-        import time as _time
-
-        import glob as _glob
-        import shutil as _shutil
 
         from flink_skyline_qos_spark.streaming.continuous import (
             run_streaming_embedding_admission,
@@ -1451,16 +1462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         work = tempfile.mkdtemp(prefix="embadm_")
         data_dir = os.path.join(work, "data")
         os.makedirs(data_dir)
-        now = _time.time()
-        for i, part in enumerate((
-                emb.filter(F.col("vec_id") <= cut),
-                emb.filter(F.col("vec_id") > cut))):
-            tmpd = os.path.join(work, f"tmp{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmpd)
-            dst = os.path.join(data_dir, f"part-{i}.parquet")
-            _shutil.move(
-                _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
-            os.utime(dst, (now - 10 + 10 * i,) * 2)
+        _batch_fixture_files(emb, [
+            F.col("vec_id") <= cut,
+            F.col("vec_id") > cut,
+        ], data_dir)
         stream = (s.readStream.schema(emb.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
         # compact_every=4: no compaction fires in this 2-batch fixture
@@ -1574,8 +1579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
         import uuid
 
-        import glob
-        import shutil
         import time
 
         work = tempfile.mkdtemp(prefix="swsketch_")
@@ -1597,22 +1600,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # availableNow's final commit — each extra micro-batch re-plans
         # the wide streaming aggregation (plan compile dominates these
         # tiny-data replays), so keep the batch count minimal
-        bounds = ["2024-01-16", None]
-        lo = None
-        now = time.time()
-        for i, hi in enumerate(bounds):
-            sl = ev
-            if lo is not None:
-                sl = sl.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
-            if hi is not None:
-                sl = sl.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-            tmpd = os.path.join(work, f"tmp{i}")
-            sl.coalesce(1).write.mode("overwrite").parquet(tmpd)
-            dst = os.path.join(data_dir, f"part-{i}.parquet")
-            shutil.move(glob.glob(os.path.join(tmpd, "part-*.parquet"))[0],
-                        dst)
-            os.utime(dst, (now - 40 + 10 * i,) * 2)
-            lo = hi
+        wm_cut = F.lit("2024-01-16").cast("timestamp")
+        _batch_fixture_files(ev, [
+            F.col("ts") < wm_cut,
+            F.col("ts") >= wm_cut,
+        ], data_dir)
         stream = (s.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
         out = build(stream)
@@ -1697,10 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full month, so the watermark is already at Jan 30 - 1h when the
     # late file arrives in batch 2).
     def _streaming_late_data(s: SparkSession, d: str) -> DataFrame:
-        import glob
-        import shutil
         import tempfile
-        import time
         import uuid
 
         work = tempfile.mkdtemp(prefix="swlate_")
@@ -1713,20 +1702,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("user_id") % 3 == 0)
         ontime = ev.where(~late)
         jan30 = F.col("ts") >= F.lit("2024-01-30").cast("timestamp")
-        now = time.time()
         # THREE chronological files: the middle (Jan 30) file advances
         # the watermark so the Jan 1-5 windows are EVICTED at the end
         # of batch 1 — only then does Spark guarantee dropping the late
         # file's rows (rows later than the watermark are admitted while
         # their window's state is still live; eviction is lazy)
-        for i, sl in enumerate([ontime.where(~jan30),
-                                ontime.where(jan30), ev.where(late)]):
-            tmpd = os.path.join(work, f"tmp{i}")
-            sl.coalesce(1).write.mode("overwrite").parquet(tmpd)
-            dst = os.path.join(data_dir, f"part-{i}.parquet")
-            shutil.move(
-                glob.glob(os.path.join(tmpd, "part-*.parquet"))[0], dst)
-            os.utime(dst, (now - 40 + 10 * i,) * 2)
+        _batch_fixture_files(ev, [
+            ~late & ~jan30,
+            ~late & jan30,
+            late,
+        ], data_dir)
         stream = (s.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(data_dir))
         agg = (stream.withWatermark("ts", "1 hour")
@@ -2018,7 +2003,6 @@ scored AS (
 SELECT {select}
 FROM ranked WHERE rn <= {k}
 """.strip()
-
 
     li = f"(SELECT {', '.join(LI_COLS)} FROM lineitem)"
     sky2 = skyline_not_exists_sql(li, LI_DIMS2)

@@ -459,6 +459,28 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
         finally:
             pairs.unpersist(False)
 
+    def _substr_rm_count(docs) -> int:
+        # ExactSubstr span REMOVAL at 100k docs (round 12: the new
+        # removal operator gets the same scale evidence as the pairs
+        # row).  Ground truth: every planted near-dup pair shares one
+        # >=29-token verbatim run; keep-first cuts it from the HIGHER
+        # id (the id_b = 10k-multiple doc), so removal recall = count
+        # of 10k-multiple docs that lost >=29 tokens.
+        from flink_skyline_qos_spark.operators.dedup import (
+            substring_remove,
+        )
+
+        out = substring_remove(docs, k=8, min_span=12,
+                               max_df=50).persist()
+        try:
+            affected = out.filter(F.col("n_removed") > 0).count()
+            recall_hits["rm"] = out.filter(
+                (F.col("doc_id") % 10 == 0)
+                & (F.col("n_removed") >= 29)).count()
+            return affected
+        finally:
+            out.unpersist(False)
+
     def _dedup_count(docs) -> int:
         # full dedup pipeline: pairs → connected components → canonical
         # corpus size (each component keeps its min doc_id; unpaired
@@ -484,6 +506,7 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
     for name, n_docs, max_s, run_count in (
         ("synth_minhash_100k", 100_000, 6, _pairs_count),
         ("synth_substring_100k", 100_000, 4, _substr_count),
+        ("synth_substr_rm_100k", 100_000, 4, _substr_rm_count),
         # 3 samples: the >=60 s expensive-row exit takes 2 in the
         # normal case but NEEDS a third when the first two diverge
         # >2x (its tiebreaker; r10c observed [109, 280] under
@@ -501,13 +524,16 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
                                          unconverged)
         timings[name] = best
         loads[name] = load_ctx_end(ctx)
-        if name in ("synth_dedup_1m", "synth_substring_100k"):
+        if name in ("synth_dedup_1m", "synth_substring_100k",
+                    "synth_substr_rm_100k"):
             # planted-pair recall: every 10th document is a near-dup of
-            # its predecessor — those pairs must be found (for the
-            # substring row: with the exact 29-token span)
+            # its predecessor — those pairs must be found (substring
+            # row: with the exact 29-token span; removal row: the
+            # higher-id doc of each pair must LOSE >=29 tokens)
             planted = n_docs // 10 - 1
             hit = recall_hits.get(
-                "substr" if name == "synth_substring_100k" else "hit", 0)
+                {"synth_substring_100k": "substr",
+                 "synth_substr_rm_100k": "rm"}.get(name, "hit"), 0)
             print(f"# {name}: planted-pair recall {hit}/{planted} = "
                   f"{hit / planted:.4f}", file=sys.stderr)
         print(f"# {name}: out={n} in {timings[name]}s (runs: {runs}, "

@@ -627,8 +627,11 @@ def run_streaming_embedding_admission(stream_vecs: DataFrame,
             admitted = survivors.join(dupes, on=id_col, how="left_anti")
         else:
             admitted = survivors
+        # persist WITHOUT an eager count (r12 gate trim): the sig
+        # write below is the first evaluator and populates this cache;
+        # the admitted write then reuses it — a separate count() job
+        # bought nothing but ~0.5 s of scheduling per batch
         admitted = admitted.persist()
-        admitted.count()
         # the sig store is written for EVERY committed batch — possibly
         # empty (review r9: skipping zero-admit batches made the
         # compaction cadence count admitting batches only, deferring

@@ -23,7 +23,8 @@ def _synthetic_names() -> list[str]:
         "anticorr_10m_2d", "anticorr_10m_3d", "anticorr_10m_4d",
         "anticorr_100m_2d", "anticorr_100m_3d", "anticorr_100m_4d",
         "scatter_5m_4d_frac", "anticorr_1b_2d",
-        "synth_minhash_100k", "synth_substring_100k", "synth_dedup_1m",
+        "synth_minhash_100k", "synth_substring_100k",
+        "synth_substr_rm_100k", "synth_dedup_1m",
     ]
 
 
