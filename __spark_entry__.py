@@ -117,6 +117,8 @@ from flink_skyline_qos_spark.operators.dedup import (  # noqa: E402
     substring_dedup_pairs_sql,
     substring_remove,
     substring_remove_sql,
+    substring_dedup_pairs_cross,
+    substring_dedup_pairs_cross_sql,
     substring_scrub,
     substring_scrub_sql,
     winnow_contamination,
@@ -897,6 +899,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["substring_dedup_documents"] = lambda s, d: substring_dedup_pairs(
         load_table(s, d, "documents"), k=8, min_span=12, max_df=50,
     )
+    # incremental ExactSubstr (round 12): new batch (doc_id % 3 = 0)
+    # vs standing corpus — cross-side verbatim-run pairs only,
+    # combined df cap, the daily-crawl admission check for the
+    # long-quote modality (mirrors incremental_dedup_documents)
+    q["incremental_substring_dedup_documents"] = lambda s, d: \
+        substring_dedup_pairs_cross(
+            load_table(s, d, "documents").filter(
+                (F.col("doc_id") % 3) == 0),
+            load_table(s, d, "documents").filter(
+                (F.col("doc_id") % 3) != 0),
+            k=8, min_span=12, max_df=50,
+        )
     # ExactSubstr span REMOVAL (round 12, VERDICT r11 "What's missing"
     # #3 -- Lee et al.'s production semantics): cut every >=12-token
     # verbatim run from all but its first corpus-wide occurrence and
@@ -2258,6 +2272,11 @@ FROM reach GROUP BY node
         "documents", k=8, min_span=12, max_df=50)
     o["substring_remove_documents"] = substring_remove_sql(
         "documents", k=8, min_span=12, max_df=50)
+    o["incremental_substring_dedup_documents"] = \
+        substring_dedup_pairs_cross_sql(
+            "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+            k=8, min_span=12, max_df=50)
     o["substring_contamination_documents"] = substring_contamination_sql(
         "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
         "(SELECT * FROM documents WHERE doc_id % 10 = 7)",

@@ -1649,3 +1649,108 @@ SELECT x.{id_col},
        coalesce(r.n_removed, 0)::BIGINT AS n_removed
 FROM {corpus} x LEFT JOIN __rb r ON r.id = x.{id_col}
 """.strip()
+
+
+def substring_dedup_pairs_cross(new_df: DataFrame = None,
+                                old_df: DataFrame = None, *,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", k: int = 8,
+                                min_span: int = 20, max_df: int = 50,
+                                new_shingles: DataFrame = None,
+                                old_shingles: DataFrame = None
+                                ) -> DataFrame:
+    """Incremental (cross-corpus) ExactSubstr detection: document pairs
+    BETWEEN a new batch and the existing corpus sharing a ≥ `min_span`-
+    token verbatim run — ``(new_id, old_id, span_tokens)`` — the
+    daily-crawl admission check for the long-verbatim-quote modality,
+    completing the ExactSubstr family the way
+    :func:`minhash_lsh_pairs_cross` completes MinHash.
+
+    The production shape the self-join cannot give: old×old matches
+    are never generated (the standing corpus was already substring-
+    deduped) and new×new is left to a separate (much smaller)
+    self-join; the fingerprint join here is new ⋈ old only.  The df
+    cap applies to the COMBINED (new+old) occurrence count of each
+    shingle hash — same conservative-shortening semantics as the
+    self-join form (a capped interior shingle splits a run, never
+    fabricates one) — and a hash must occur on BOTH sides to witness
+    a cross pair, so fan-out per fingerprint is bounded by
+    df_new × df_old < max_df².
+
+    At 100 TB the old side's positioned shingles are computed ONCE
+    (:func:`_positioned_shingles` is the public contract via this
+    parameter) and passed as ``old_shingles`` (columns (id, pos, h));
+    each batch then joins the standing fingerprint store instead of
+    re-tokenizing the corpus.  ``new_shingles`` accepts the same
+    precomputed form.
+    """
+    kk = int(k)
+    if new_df is None and new_shingles is None:
+        raise ValueError("need new_df or new_shingles")
+    if old_df is None and old_shingles is None:
+        raise ValueError("need old_df or old_shingles")
+    ne = (new_shingles if new_shingles is not None
+          else _positioned_shingles(new_df, id_col, text_col, kk))
+    oe = (old_shingles if old_shingles is not None
+          else _positioned_shingles(_scale_out(old_df, probe=old_df),
+                                    id_col, text_col, kk))
+    u = (ne.select("h", F.lit(0).alias("__old"))
+         .unionByName(oe.select("h", F.lit(1).alias("__old"))))
+    ok = (u.groupBy("h")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("__old").alias("n_old"))
+          .filter((F.col("n") <= int(max_df))
+                  & (F.col("n_old") >= 1)
+                  & (F.col("n") - F.col("n_old") >= 1))
+          .select("h"))
+    a = ne.join(ok, "h").select("h", F.col("id").alias("id_a"),
+                                F.col("pos").alias("pa"))
+    b = oe.select("h", F.col("id").alias("id_b"),
+                  F.col("pos").alias("pb"))
+    m = (a.join(b, "h")
+         .select("id_a", "id_b", "pa",
+                 (F.col("pa") - F.col("pb")).alias("off")))
+    return _max_span_per_pair(m, kk, min_span, "new_id", "old_id")
+
+
+def substring_dedup_pairs_cross_sql(new_sql: str, old_sql: str, *,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    k: int = 8, min_span: int = 20,
+                                    max_df: int = 50) -> str:
+    """DuckDB twin of :func:`substring_dedup_pairs_cross` (`new_sql` /
+    `old_sql` may be any table expressions)."""
+    kk = int(k)
+    return f"""
+WITH __ne AS (
+{_substr_ex_cte(new_sql, id_col, text_col, kk)}
+),
+__oe AS (
+{_substr_ex_cte(old_sql, id_col, text_col, kk)}
+),
+__ok AS (
+  SELECT h FROM (
+    SELECT h, 0 AS o FROM __ne UNION ALL SELECT h, 1 AS o FROM __oe)
+  GROUP BY h
+  HAVING count(*) <= {int(max_df)}
+     AND sum(o) >= 1 AND count(*) - sum(o) >= 1
+),
+__m AS (
+  SELECT n.id AS id_a, o.id AS id_b, n.pos AS pa, n.pos - o.pos AS off
+  FROM __ne n JOIN __ok USING (h) JOIN __oe o ON o.h = n.h
+),
+__r AS (
+  SELECT id_a, id_b, off,
+         pa - row_number() OVER (
+           PARTITION BY id_a, id_b, off ORDER BY pa) AS isl
+  FROM __m
+),
+__s AS (
+  SELECT id_a, id_b, count(*) + {kk} - 1 AS span
+  FROM __r GROUP BY id_a, id_b, off, isl
+)
+SELECT id_a AS new_id, id_b AS old_id,
+       CAST(max(span) AS BIGINT) AS span_tokens
+FROM __s GROUP BY id_a, id_b
+HAVING max(span) >= {int(min_span)}
+""".strip()

@@ -658,3 +658,61 @@ def test_substring_scrub_oracle_parity(spark, planted_span_corpus):
                                      min_span=min_span,
                                      max_df=50).collect())
         assert got == want, (min_span, got, want)
+
+
+def test_substring_cross_planted_span_and_no_old_pairs(spark):
+    """Cross form: new×old verbatim runs found with exact length;
+    old×old shared runs are NEVER paired (the standing corpus is
+    already deduped); precomputed old_shingles gives identical
+    results (the 100 TB standing-store path)."""
+    from flink_skyline_qos_spark.operators.dedup import (
+        _positioned_shingles,
+        substring_dedup_pairs_cross,
+    )
+
+    span = _tok("s", 18)
+    old_run = _tok("o", 16)          # shared between two OLD docs only
+    old = spark.createDataFrame([
+        (10, " ".join(_tok("a", 5) + span + _tok("b", 5))),
+        (11, " ".join(_tok("c", 4) + old_run)),
+        (12, " ".join(old_run + _tok("d", 4))),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (100, " ".join(_tok("p", 3) + span + _tok("q", 3))),
+        (101, " ".join(_tok("r", 30))),
+    ], "doc_id long, text string")
+    out = substring_dedup_pairs_cross(new, old, k=8, min_span=12,
+                                      max_df=50)
+    got = {(r.new_id, r.old_id): r.span_tokens for r in out.collect()}
+    assert got == {(100, 10): 18}    # old_run (11~12) never surfaces
+
+    pre = _positioned_shingles(old, "doc_id", "text", 8)
+    out2 = substring_dedup_pairs_cross(new, old_shingles=pre, k=8,
+                                       min_span=12, max_df=50)
+    got2 = {(r.new_id, r.old_id): r.span_tokens for r in out2.collect()}
+    assert got2 == got
+
+
+def test_substring_cross_oracle_parity(spark, planted_span_corpus):
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs_cross,
+        substring_dedup_pairs_cross_sql,
+    )
+
+    pdf = planted_span_corpus.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for ms in (10, 12):
+        want = sorted(con.execute(substring_dedup_pairs_cross_sql(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            k=8, min_span=ms, max_df=50)).fetchall())
+        got = sorted(
+            (r.new_id, r.old_id, r.span_tokens)
+            for r in substring_dedup_pairs_cross(
+                planted_span_corpus.filter("doc_id % 2 = 0"),
+                planted_span_corpus.filter("doc_id % 2 = 1"),
+                k=8, min_span=ms, max_df=50).collect())
+        assert got == want, (ms, got, want)
