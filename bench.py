@@ -128,9 +128,23 @@ def _steady_floor(sf: float) -> dict[str, float]:
                 rec = json.load(fh)
         except (OSError, ValueError):
             continue
-        if abs(float(rec.get("sf", -1.0)) - sf) > 1e-9:
+        # Driver rounds commit a WRAPPER {n, rc, cpus, sf, tail,
+        # parsed} with the bench JSON nested under `parsed`; builder
+        # sweeps write the bench JSON flat.  Reading only the flat
+        # shape left the steady table EMPTY for every driver round
+        # (found round 12: load_hot never fired and the >=30 s floor
+        # never applied) — accept both.
+        parsed = rec.get("parsed")
+        if not isinstance(parsed, dict):
+            parsed = {}
+        sf_rec = rec.get("sf", parsed.get("sf", -1.0))
+        try:
+            if abs(float(sf_rec) - sf) > 1e-9:
+                continue
+        except (TypeError, ValueError):
             continue
-        for q, t in (rec.get("queries") or {}).items():
+        qs = rec.get("queries") or parsed.get("queries") or {}
+        for q, t in qs.items():
             if isinstance(t, (int, float)):
                 best[q] = min(best.get(q, float("inf")), float(t))
     return best

@@ -250,3 +250,24 @@ def test_bench_line_fits_with_load_hot_worst_case(capsys):
     assert len(line) < 2000, len(line)
     out = json.loads(line)
     assert 1 <= len(out["load_hot"]) <= 5
+
+
+def test_steady_floor_reads_driver_wrapper_shape(tmp_path, monkeypatch):
+    """_steady_floor must read BOTH artifact shapes: the builder's
+    flat bench JSON and the driver's wrapper with the bench JSON
+    nested under `parsed` (found r12: the wrapper shape silently
+    yielded an EMPTY steady table — no 30 s floor, no load_hot)."""
+    import os
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({
+        "n": 1, "rc": 0, "cpus": 32, "sf": 0.1,
+        "parsed": {"queries": {"qa": 10.0, "qb": 3.0}, "sf": 0.1}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({
+        "queries": {"qa": 8.0}, "sf": 0.1}))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({
+        "queries": {"qa": 1.0}, "sf": 0.01}))   # other SF: ignored
+    monkeypatch.setattr(
+        "os.path.dirname", lambda _p, _real=os.path.dirname,
+        _t=str(tmp_path): _t)
+    floor = bench._steady_floor(0.1)
+    assert floor == {"qa": 8.0, "qb": 3.0}
