@@ -1498,6 +1498,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_embedding_admission_embeddings"] = \
         _streaming_embedding_admission
 
+    # --- ExactSubstr streaming admission (round 12): the long-
+    # verbatim-quote twin of the minhash/embedding admission loops —
+    # a doc is admitted iff it shares no >=12-token verbatim run with
+    # anything admitted before it (within-batch keep-first, then cross
+    # vs the standing positioned-shingle store).  Oracle: composed
+    # batch twins per side (self pairs + cross pairs), exact.
+    def _streaming_substring_admission(s: SparkSession,
+                                       d: str) -> DataFrame:
+        import tempfile
+
+        from flink_skyline_qos_spark.streaming.continuous import (
+            run_streaming_substring_admission,
+        )
+
+        docs = (load_table(s, d, "documents")
+                .select("doc_id", "text")
+                .filter(F.col("doc_id").isNotNull()))
+        # engine-portable cut (the oracle recomputes it as a scalar
+        # subquery): floor-half of the max id, like the embedding twin
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        cut = (mx // 2) if mx is not None else 0
+        work = tempfile.mkdtemp(prefix="substradm_")
+        data_dir = os.path.join(work, "data")
+        os.makedirs(data_dir)
+        _batch_fixture_files(docs, [
+            F.col("doc_id") <= cut,
+            F.col("doc_id") > cut,
+        ], data_dir)
+        stream = (s.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(data_dir))
+        # compact_every=4: no compaction fires in this 2-batch fixture
+        # (the compaction + replay path is pytest-exercised)
+        with _small_shuffle(s):
+            run_streaming_substring_admission(
+                stream, work, k=8, min_span=12, max_df=50,
+                compact_every=4)
+        return (s.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(work, "admitted"))
+                .select("doc_id"))
+
+    q["streaming_substring_admission_documents"] = \
+        _streaming_substring_admission
+
     # --- continuous keyed-state variant (applyInPandasWithState): the
     # merge of all emitted local skylines equals the batch skyline (every
     # evicted point's dominator is also emitted — dominance transitivity).
@@ -2658,6 +2701,40 @@ WHERE l.event_type = 'purchase' AND r.event_type = 'view'
     # survivors cross-checked against batch-1 admits (exactly the
     # loop's order: self first, store second).  The cut is the same
     # floor-half-of-max scalar both engines compute.
+    _doc_cut = "(SELECT max(doc_id) // 2 FROM documents)"
+    o["streaming_substring_admission_documents"] = f"""
+WITH b1 AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id <= {_doc_cut}
+),
+b2 AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id > {_doc_cut}
+),
+p1 AS (
+{substring_dedup_pairs_sql("b1", k=8, min_span=12, max_df=50)}
+),
+adm1 AS (
+  SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT id_b FROM p1)
+),
+p2 AS (
+{substring_dedup_pairs_sql("b2", k=8, min_span=12, max_df=50)}
+),
+surv2 AS (
+  SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_b FROM p2)
+),
+px AS (
+{substring_dedup_pairs_cross_sql(
+    "(SELECT d.* FROM b2 d JOIN surv2 USING (doc_id))",
+    "(SELECT d.* FROM b1 d JOIN adm1 USING (doc_id))",
+    k=8, min_span=12, max_df=50)}
+)
+SELECT doc_id FROM adm1
+UNION ALL
+SELECT doc_id FROM surv2
+WHERE doc_id NOT IN (SELECT new_id FROM px)
+""".strip()
+
     _emb_cut = "(SELECT max(vec_id) // 2 FROM embeddings)"
     o["streaming_embedding_admission_embeddings"] = f"""
 WITH b1 AS (

@@ -526,6 +526,109 @@ def run_streaming_minhash_admission(stream_docs: DataFrame,
     q.awaitTermination()
 
 
+def run_streaming_substring_admission(stream_docs: DataFrame,
+                                      work_dir: str, *,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text",
+                                      k: int = 8, min_span: int = 20,
+                                      max_df: int = 50,
+                                      compact_every: int = 8) -> None:
+    """Streaming ExactSubstr ADMISSION — the long-verbatim-quote twin
+    of :func:`run_streaming_minhash_admission` (round 12, completing
+    the admission-loop family): a document is admitted only if it
+    shares NO ≥ `min_span`-token verbatim run with anything admitted
+    before it — neither an earlier document in its own batch
+    (keep-first: the smaller id of each within-batch pair survives,
+    transitively via the rejection set) nor the standing corpus.
+
+    Per micro-batch: :func:`~..operators.dedup.substring_dedup_pairs`
+    rejects within-batch pairs, then
+    :func:`~..operators.dedup.substring_dedup_pairs_cross` checks the
+    survivors against the standing POSITIONED-SHINGLE store
+    (``_positioned_shingles`` of everything admitted so far — the
+    standing corpus text is never re-tokenized; the cross operator's
+    combined df cap spans batch + store exactly as in the batch
+    twin, so the composed SQL oracle is exact).  Same durability
+    discipline as the sibling loops: per-batch dirs sealed by a
+    framework-owned ``_COMMITTED`` marker written strictly after both
+    writes return (idempotent replay, orphan stores excluded), store
+    folded into ``{store_dir}/compact=B`` snapshots every
+    `compact_every` committed batches (admitted ids are disjoint
+    across batches, so the fold is a plain union rewrite).
+
+    State is O(admitted tokens) (id, pos, h) rows on disk — at scale a
+    bucketed table hashed on `h`, the same layout the fingerprint join
+    shuffles to anyway.  Results: ``{work_dir}/admitted`` and
+    ``{work_dir}/shingles``.
+    """
+    from ..operators.dedup import (
+        _positioned_shingles,
+        substring_dedup_pairs,
+        substring_dedup_pairs_cross,
+    )
+
+    adm_dir = os.path.join(work_dir, "admitted")
+    store_dir = os.path.join(work_dir, "shingles")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdir = os.path.join(adm_dir, f"batch={batch_id}")
+        if os.path.isfile(os.path.join(bdir, "_COMMITTED")):
+            return  # replayed batch: already committed
+        snap, snap_b = _latest_committed(store_dir, "compact=*")
+        batch = batch_df.select(id_col, text_col).persist()
+        if batch.count() == 0:
+            _commit_empty(spark, store_dir, bdir, batch_id,
+                          "id long, pos int, h long", batch.schema)
+            batch.unpersist()
+            _compact_store(spark, store_dir, adm_dir, snap, snap_b,
+                           batch_id, compact_every)
+            return
+        self_pairs = substring_dedup_pairs(
+            batch, id_col=id_col, text_col=text_col, k=k,
+            min_span=min_span, max_df=max_df)
+        rejected = self_pairs.select(F.col("id_b").alias(id_col))
+        survivors = batch.join(rejected.distinct(), on=id_col,
+                               how="left_anti").persist()
+        committed = [d for d in _committed_batch_stores(store_dir,
+                                                        adm_dir)
+                     if _dir_id(d) > snap_b]
+        if snap is not None:
+            committed = [snap] + committed
+        if committed:
+            old_sh = spark.read.parquet(*committed)
+            cross = substring_dedup_pairs_cross(
+                survivors, old_shingles=old_sh, id_col=id_col,
+                text_col=text_col, k=k, min_span=min_span,
+                max_df=max_df)
+            dupes = cross.select(F.col("new_id").alias(id_col))                 .distinct()
+            admitted = survivors.join(dupes, on=id_col,
+                                      how="left_anti")
+        else:
+            admitted = survivors
+        # persist WITHOUT an eager count (the r12 embedding-loop trim):
+        # the shingle-store write is the first evaluator
+        admitted = admitted.persist()
+        sh = _positioned_shingles(admitted, id_col, text_col, int(k))
+        # store first, docs last, marker after both (see the minhash
+        # loop: a crash before the marker replays into an overwrite)
+        sh.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}"))
+        admitted.write.mode("overwrite").parquet(bdir)
+        with open(os.path.join(bdir, "_COMMITTED"), "w"):
+            pass  # the framework-owned commit marker
+        admitted.unpersist()
+        survivors.unpersist()
+        batch.unpersist()
+        _compact_store(spark, store_dir, adm_dir, snap, snap_b,
+                       batch_id, compact_every)
+
+    q = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_streaming_embedding_admission(stream_vecs: DataFrame,
                                       work_dir: str, *,
                                       id_col: str = "vec_id",

@@ -1720,3 +1720,62 @@ def test_minhash_admission_empty_first_batch_store_schema(spark, tmp_path):
     s0 = spark.read.parquet(f"{work}/sigs/batch=0")
     s1 = spark.read.parquet(f"{work}/sigs/batch=1")
     assert s0.columns == s1.columns == ["doc_id", "sig"]
+
+
+def test_streaming_substring_admission_end_to_end(spark, tmp_path):
+    """The ExactSubstr ADMISSION loop executed as a stream: a doc is
+    admitted iff it shares no >=min_span verbatim run with anything
+    admitted before it — within-batch keep-first, cross-batch vs the
+    positioned-shingle store; a full replay admits nothing twice.
+    Crucially, a LONG QUOTE inside an otherwise-unrelated document
+    (which MinHash global similarity scores ~0) is rejected."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_substring_admission,
+    )
+
+    span = " ".join(f"s{i}" for i in range(20))
+    filler = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    # batch 1: 1 admitted; 2 shares the span (within-batch dup of 1);
+    # 3 admitted (clean)
+    (data_dir / "a.txt").write_text(
+        f"1|{filler('a', 5)} {span} {filler('b', 5)}\n"
+        f"2|{filler('c', 8)} {span}\n"
+        f"3|{filler('d', 40)}\n")
+    # batch 2: 10 quotes the span inside 60 unrelated tokens
+    # (cross-batch reject vs the store); 11 admitted
+    (data_dir / "b.txt").write_text(
+        f"10|{filler('e', 30)} {span} {filler('f', 30)}\n"
+        f"11|{filler('g', 40)}\n")
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(data_dir / "a.txt", (now - 10, now - 10))
+    _os.utime(data_dir / "b.txt", (now, now))
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1)
+               .load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    work = str(tmp_path / "work")
+    run_streaming_substring_admission(docs_stream(), work, k=8,
+                                      min_span=12, max_df=50)
+    admitted = spark.read.parquet(f"{work}/admitted/*")
+    got = sorted(r.doc_id for r in admitted.collect())
+    assert got == [1, 3, 11]
+    # the shingle store covers exactly the admitted docs
+    sh = spark.read.parquet(f"{work}/shingles/*")
+    assert sorted(set(r.id for r in sh.collect())) == [1, 3, 11]
+    # replay over the same work dir is idempotent (markers skip)
+    run_streaming_substring_admission(docs_stream(), work, k=8,
+                                      min_span=12, max_df=50)
+    again = spark.read.parquet(f"{work}/admitted/*")
+    assert sorted(r.doc_id for r in again.collect()) == [1, 3, 11]
