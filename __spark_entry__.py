@@ -291,6 +291,7 @@ STREAM_QUERIES = frozenset({
     "streaming_paragraph_admission_documents",
     "streaming_pipeline_skyline",
     "streaming_quantiles_windows_events",
+    "streaming_substring_admission_documents",
 })
 # the events table's closed vocabulary (TESTDATA.md) — the fixed
 # candidate set the windowed count-min sketch watches
