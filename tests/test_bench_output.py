@@ -44,6 +44,7 @@ def test_bench_json_line_fits_driver_capture():
         "queries": timings,
         "cold_start_sec": 99.99,
         "sf": 0.1,
+        "calib_sec": 9.999,
         "unconverged": long_names[:3],
         "floor_exited": long_names[3:5],
     }
@@ -271,3 +272,21 @@ def test_steady_floor_reads_driver_wrapper_shape(tmp_path, monkeypatch):
         _t=str(tmp_path): _t)
     floor = bench._steady_floor(0.1)
     assert floor == {"qa": 8.0, "qb": 3.0}
+
+
+def test_host_calibration_is_fast_and_stable():
+    """The GEMM fingerprint must cost well under a second and repeat
+    within 2x on an idle interpreter — it is a regime fingerprint,
+    not a benchmark row."""
+    a = bench.host_calibration()
+    b = bench.host_calibration()
+    assert 0.0 < a < 2.0 and 0.0 < b < 2.0
+    assert max(a, b) <= 2.0 * max(min(a, b), 0.05)
+
+
+def test_emit_includes_calibration(capsys):
+    bench._emit({"q": 1.0}, {"q": [1.0, 1.0]}, [], [], 1.0, 0.1,
+                {}, 0.143)
+    out = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert out["calib_sec"] == 0.143
