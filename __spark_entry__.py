@@ -1267,6 +1267,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            budget=2048), base)
     q["llm_corpus_v4_documents"] = _llm_corpus_v4
 
+    # --- capstone v5 (round 12): the ExactSubstr-family pipeline end
+    # to end — C4 quality gate -> intra-corpus span REMOVAL (keep-first
+    # cut of every duplicated >=12-token run) -> benchmark SCRUB (cut
+    # ALL occurrences of spans leaked from the held-out bench split).
+    # Byte-exact oracle: each stage's twin is byte-exact and the
+    # composition is deterministic.
+    def _llm_corpus_v5(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        corpus = docs.filter((F.col("doc_id") % 10) != 7)
+        bench = docs.filter((F.col("doc_id") % 10) == 7)
+        kept = (corpus.join(
+            c4_rules(corpus).filter("kept").select("doc_id"), "doc_id")
+            .select("doc_id", "text"))
+        # checkpoint the removal output: the scrub stage scans its
+        # corpus input ~4x (shingles, affected semi-join, rebuild,
+        # final restore join) and each scan would re-derive the whole
+        # gate+removal DAG (the v4 lesson: persist() != cheap actions)
+        r1 = pinned_local_checkpoint(
+            substring_remove(kept, k=8, min_span=12, max_df=50))
+        r2 = substring_scrub(
+            r1.select("doc_id", F.col("clean_text").alias("text")),
+            bench, k=8, min_span=12, max_df=50)
+        out = (r1.select("doc_id",
+                         F.col("n_tokens").alias("n_tokens_kept"),
+                         F.col("n_removed").alias("n_dup_removed"))
+               .join(r2.select("doc_id", "clean_text",
+                               F.col("n_removed")
+                               .alias("n_contam_removed")),
+                     "doc_id"))
+        return release_checkpoints_on_gc(out, r1)
+    q["llm_corpus_v5_documents"] = _llm_corpus_v5
+
     # --- deterministic sampling / splitting (content-stable md5
     # buckets; reproducible across engines/reruns/repartitioning) ---
     q["sample_documents"] = lambda s, d: deterministic_sample(
@@ -2513,6 +2545,30 @@ clean AS (
     # v4: v3's train split → quality floor (q=0.25 per lang) → source
     # cap (10/source) → per-lang token budget (3000) → shard manifest
     # (2048-token shards) — every stage the registered op's exact twin
+    o["llm_corpus_v5_documents"] = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+bench AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+c4 AS (
+{c4_rules_sql("corpus")}
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM corpus d
+  JOIN c4 ON c4.doc_id = d.doc_id WHERE c4.kept
+),
+r1 AS (
+{substring_remove_sql("kept", k=8, min_span=12, max_df=50)}
+),
+r2 AS (
+{substring_scrub_sql(
+    "(SELECT doc_id, clean_text AS text FROM r1)", "bench",
+    k=8, min_span=12, max_df=50)}
+)
+SELECT r1.doc_id, r1.n_tokens AS n_tokens_kept,
+       r1.n_removed AS n_dup_removed,
+       r2.clean_text, r2.n_removed AS n_contam_removed
+FROM r1 JOIN r2 ON r2.doc_id = r1.doc_id
+""".strip()
+
     o["llm_corpus_v4_documents"] = f"""
 WITH v3 AS (
 {o["llm_corpus_v3_documents"]}
