@@ -45,6 +45,9 @@ HEADLINE = [
     # per-row-fold regression was invisible at sf0.01)
     "winnow_pairs_documents",
     "llm_corpus_v3_documents",
+    # round-13 (VERDICT r12 #6): the remove->scrub ExactSubstr capstone
+    # gets a standing sf0.1 perf anchor before the r14 rotation
+    "llm_corpus_v5_documents",
     "langid_confusion_documents",
     "streaming_paragraph_admission_documents",
     # round-8: the composed ingest capstone (gate -> span dedup)

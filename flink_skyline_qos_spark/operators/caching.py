@@ -69,8 +69,14 @@ def release_checkpoints_on_gc(result: DataFrame,
     # fires the upstream release_on_gc finalizers and every later
     # action silently re-derives the full pair DAG (ADVICE r11
     # clustering.py:368 — the r11 _pin_parent fix, propagated to
-    # derived results).
-    result._pin_parent = sources
+    # derived results).  Accumulate rather than overwrite: composed
+    # helpers may each pin sources on the same frame (ADVICE r12).
+    # A pre-existing pin may be a bare frame (connected_components
+    # pins its cc slice that way) — normalize to a tuple first.
+    prev = getattr(result, "_pin_parent", ())
+    if isinstance(prev, DataFrame):
+        prev = (prev,)
+    result._pin_parent = tuple(prev) + tuple(sources)
     ids = tuple(i for s in sources
                 for i in getattr(s, "_checkpoint_rdd_ids", ()))
     if not ids:

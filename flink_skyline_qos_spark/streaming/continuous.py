@@ -532,7 +532,8 @@ def run_streaming_substring_admission(stream_docs: DataFrame,
                                       text_col: str = "text",
                                       k: int = 8, min_span: int = 20,
                                       max_df: int = 50,
-                                      compact_every: int = 8) -> None:
+                                      compact_every: int = 8,
+                                      unit: str = "token") -> None:
     """Streaming ExactSubstr ADMISSION — the long-verbatim-quote twin
     of :func:`run_streaming_minhash_admission` (round 12, completing
     the admission-loop family): a document is admitted only if it
@@ -560,6 +561,11 @@ def run_streaming_substring_admission(stream_docs: DataFrame,
     bucketed table hashed on `h`, the same layout the fingerprint join
     shuffles to anyway.  Results: ``{work_dir}/admitted`` and
     ``{work_dir}/shingles``.
+
+    ``unit="char"`` admits at character granularity (round 13 — the
+    whole ExactSubstr family shares :func:`_positioned_shingles`'
+    unit switch; a store written at one unit must be read back at the
+    same unit).
     """
     from ..operators.dedup import (
         _positioned_shingles,
@@ -586,7 +592,7 @@ def run_streaming_substring_admission(stream_docs: DataFrame,
             return
         self_pairs = substring_dedup_pairs(
             batch, id_col=id_col, text_col=text_col, k=k,
-            min_span=min_span, max_df=max_df)
+            min_span=min_span, max_df=max_df, unit=unit)
         rejected = self_pairs.select(F.col("id_b").alias(id_col))
         survivors = batch.join(rejected.distinct(), on=id_col,
                                how="left_anti").persist()
@@ -600,8 +606,9 @@ def run_streaming_substring_admission(stream_docs: DataFrame,
             cross = substring_dedup_pairs_cross(
                 survivors, old_shingles=old_sh, id_col=id_col,
                 text_col=text_col, k=k, min_span=min_span,
-                max_df=max_df)
-            dupes = cross.select(F.col("new_id").alias(id_col))                 .distinct()
+                max_df=max_df, unit=unit)
+            dupes = cross.select(
+                F.col("new_id").alias(id_col)).distinct()
             admitted = survivors.join(dupes, on=id_col,
                                       how="left_anti")
         else:
@@ -609,7 +616,8 @@ def run_streaming_substring_admission(stream_docs: DataFrame,
         # persist WITHOUT an eager count (the r12 embedding-loop trim):
         # the shingle-store write is the first evaluator
         admitted = admitted.persist()
-        sh = _positioned_shingles(admitted, id_col, text_col, int(k))
+        sh = _positioned_shingles(admitted, id_col, text_col, int(k),
+                                  unit=unit)
         # store first, docs last, marker after both (see the minhash
         # loop: a crash before the marker replays into an overwrite)
         sh.write.mode("overwrite").parquet(

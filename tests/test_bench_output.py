@@ -276,12 +276,15 @@ def test_steady_floor_reads_driver_wrapper_shape(tmp_path, monkeypatch):
 
 def test_host_calibration_is_fast_and_stable():
     """The GEMM fingerprint must cost well under a second and repeat
-    within 2x on an idle interpreter — it is a regime fingerprint,
-    not a benchmark row."""
-    a = bench.host_calibration()
-    b = bench.host_calibration()
+    within a loose bound on a shared host — it is a regime
+    fingerprint, not a benchmark row.  min-of-3 per sample + a 4x
+    repeatability bound absorb the 2-3x contention swings this repo
+    documents (ADVICE r12: the old single-shot 2x bound was a
+    plausible intermittent flake)."""
+    a = min(bench.host_calibration() for _ in range(3))
+    b = min(bench.host_calibration() for _ in range(3))
     assert 0.0 < a < 2.0 and 0.0 < b < 2.0
-    assert max(a, b) <= 2.0 * max(min(a, b), 0.05)
+    assert max(a, b) <= 4.0 * max(min(a, b), 0.05)
 
 
 def test_emit_includes_calibration(capsys):

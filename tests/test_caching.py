@@ -170,3 +170,23 @@ def test_capstone_composition_releases_all_caches(spark):
     # <=, not ==: a STALE pin from an earlier test draining
     # during this test legitimately lands below the baseline
     assert _settle(spark, base) <= base
+
+
+def test_release_checkpoints_accumulates_pins(spark):
+    """Composed helpers each pin sources on the same frame — earlier
+    pins must survive (ADVICE r12), including the bare-DataFrame form
+    connected_components uses for its cc slice (round 13: the naive
+    tuple-concat fix crashed every dedup_clusters caller)."""
+    from flink_skyline_qos_spark.operators.caching import (
+        release_checkpoints_on_gc,
+    )
+
+    a = spark.range(3)
+    b = spark.range(4)
+    out = spark.range(5)
+    out._pin_parent = a                     # bare frame (clustering.py)
+    out = release_checkpoints_on_gc(out, b)
+    assert out._pin_parent == (a, b)
+    c = spark.range(6)
+    out = release_checkpoints_on_gc(out, c)
+    assert out._pin_parent == (a, b, c)

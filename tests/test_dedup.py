@@ -716,3 +716,141 @@ def test_substring_cross_oracle_parity(spark, planted_span_corpus):
                 planted_span_corpus.filter("doc_id % 2 = 1"),
                 k=8, min_span=ms, max_df=50).collect())
         assert got == want, (ms, got, want)
+
+
+# ---------------------------------------------------------------------------
+# char-unit ExactSubstr (round 13, VERDICT r12 "What's missing" #3:
+# Lee et al. 2022 operate on bytes — the whitespace-token unit is blind
+# to scripts without whitespace segmentation and fragile to
+# punctuation-only edits)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cjk_corpus(spark):
+    """Whitespace-free CJK documents sharing one planted verbatim
+    quote — zero whitespace tokens of overlap, so the token unit sees
+    nothing and the char unit must report the exact quote span."""
+    quote = "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。"
+    rows = [
+        (0, "序文:" + quote + "何でも薄暗い所で泣いていた事だけは記憶している。"),
+        (1, "別の文書がここから始まる。" + quote + "結末の段落。"),
+        (2, "まったく無関係な本文であり重複は存在しない。"),
+    ]
+    return quote, spark.createDataFrame(rows,
+                                        "doc_id long, text string")
+
+
+def test_substring_char_planted_cjk_exact_span(cjk_corpus):
+    """The planted CJK quote is found at its EXACT character length;
+    token mode (the r12 default) finds nothing on the same corpus —
+    the fidelity gap the char unit closes."""
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs,
+    )
+
+    quote, df = cjk_corpus
+    out = substring_dedup_pairs(df, k=6, min_span=12, max_df=50,
+                                unit="char")
+    got = {(r.id_a, r.id_b): r.span_tokens for r in out.collect()}
+    assert got == {(0, 1): len(quote)}
+    # each doc is ONE whitespace token -> shorter than k=6 tokens:
+    # the token unit cannot even shingle these documents
+    assert substring_dedup_pairs(df, k=6, min_span=12,
+                                 max_df=50).count() == 0
+
+
+def test_substring_char_survives_punctuation_edit(spark):
+    """A punctuation-only edit breaks a token run ("foo." != "foo")
+    but not the surrounding char runs."""
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs,
+    )
+
+    a = "alpha bravo charlie delta. echo foxtrot golf hotel india"
+    b = "alpha bravo charlie delta echo foxtrot golf hotel india!"
+    df = spark.createDataFrame([(0, a), (1, b)],
+                               "doc_id long, text string")
+    # token unit: the edit splits the run into two halves below
+    # min_span=6 tokens
+    tok = substring_dedup_pairs(df, k=3, min_span=6, max_df=50)
+    assert tok.count() == 0
+    # char unit: both halves survive as long char runs
+    ch = substring_dedup_pairs(df, k=10, min_span=25, max_df=50,
+                               unit="char")
+    got = {(r.id_a, r.id_b): r.span_tokens for r in ch.collect()}
+    assert got[(0, 1)] >= 25
+
+
+def test_substring_char_remove_exact_substring_cut(cjk_corpus):
+    """Char-unit removal cuts the quote from doc 1 (keep-first: doc 0
+    keeps it) and reassembles doc 1 as an exact substring-cut — no
+    whitespace renormalizing anywhere."""
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_remove,
+    )
+
+    quote, df = cjk_corpus
+    out = substring_remove(df, k=6, min_span=12, max_df=50,
+                           unit="char")
+    rows = {r.doc_id: r for r in out.collect()}
+    texts = {r[0]: r[1] for r in df.collect()}
+    assert rows[0].clean_text == texts[0]          # first copy kept
+    assert rows[0].n_removed == 0
+    assert rows[1].clean_text == texts[1].replace(quote, "")
+    assert rows[1].n_removed == len(quote)
+    assert rows[1].n_tokens == len(texts[1])       # chars, not tokens
+    assert rows[2].clean_text == texts[2]
+
+
+def test_substring_char_oracle_parity(cjk_corpus):
+    """Spark == DuckDB at unit='char' for pairs, remove, scrub and
+    cross on the CJK corpus (multi-byte character offsets must agree
+    between Spark substring and DuckDB substr)."""
+    import duckdb
+
+    from flink_skyline_qos_spark.operators.dedup import (
+        substring_dedup_pairs,
+        substring_dedup_pairs_cross,
+        substring_dedup_pairs_cross_sql,
+        substring_dedup_pairs_sql,
+        substring_remove,
+        substring_remove_sql,
+        substring_scrub,
+        substring_scrub_sql,
+    )
+
+    _, df = cjk_corpus
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    kw = dict(k=6, min_span=12, max_df=50, unit="char")
+
+    want = sorted(con.execute(
+        substring_dedup_pairs_sql("documents", **kw)).fetchall())
+    got = sorted((r.id_a, r.id_b, r.span_tokens)
+                 for r in substring_dedup_pairs(df, **kw).collect())
+    assert got == want
+
+    want = sorted(con.execute(
+        substring_remove_sql("documents", **kw)).fetchall())
+    got = sorted((r.doc_id, r.clean_text, r.n_tokens, r.n_removed)
+                 for r in substring_remove(df, **kw).collect())
+    assert got == want
+
+    want = sorted(con.execute(substring_scrub_sql(
+        "(SELECT * FROM documents WHERE doc_id <> 1)",
+        "(SELECT * FROM documents WHERE doc_id = 1)", **kw)).fetchall())
+    got = sorted((r.doc_id, r.clean_text, r.n_tokens, r.n_removed)
+                 for r in substring_scrub(
+                     df.filter("doc_id <> 1"), df.filter("doc_id = 1"),
+                     **kw).collect())
+    assert got == want
+
+    want = sorted(con.execute(substring_dedup_pairs_cross_sql(
+        "(SELECT * FROM documents WHERE doc_id = 0)",
+        "(SELECT * FROM documents WHERE doc_id <> 0)", **kw)).fetchall())
+    got = sorted((r.new_id, r.old_id, r.span_tokens)
+                 for r in substring_dedup_pairs_cross(
+                     df.filter("doc_id = 0"), df.filter("doc_id <> 0"),
+                     **kw).collect())
+    assert got == want

@@ -1779,3 +1779,49 @@ def test_streaming_substring_admission_end_to_end(spark, tmp_path):
                                       min_span=12, max_df=50)
     again = spark.read.parquet(f"{work}/admitted/*")
     assert sorted(r.doc_id for r in again.collect()) == [1, 3, 11]
+
+
+def test_streaming_substring_admission_char_unit(spark, tmp_path):
+    """The admission loop at unit='char' (round 13): a whitespace-free
+    CJK quote embedded in an otherwise-unrelated later document is
+    rejected cross-batch — invisible at the token unit, where each doc
+    is ONE whitespace token and cannot even be shingled."""
+    from flink_skyline_qos_spark.streaming.continuous import (
+        run_streaming_substring_admission,
+    )
+
+    quote = "吾輩は猫である。名前はまだ無い。どこで生れたか見当がつかぬ。"
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    # batch 1: 1 admitted (carries the quote); 2 admitted (clean)
+    (data_dir / "a.txt").write_text(
+        f"1|序文:{quote}本文がここに続いている。\n"
+        f"2|まったく独立した内容の文書であり重複を含まない。\n")
+    # batch 2: 10 quotes it inside unrelated text (reject vs store);
+    # 11 admitted
+    (data_dir / "b.txt").write_text(
+        f"10|引用の例として{quote}という一節を掲げる。\n"
+        f"11|これも独立した新しい文書である。\n")
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(data_dir / "a.txt", (now - 10, now - 10))
+    _os.utime(data_dir / "b.txt", (now, now))
+
+    def docs_stream():
+        raw = (spark.readStream.format("text")
+               .option("maxFilesPerTrigger", 1)
+               .load(str(data_dir)))
+        parts = F.split(F.col("value"), r"\|", 2)
+        return raw.select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        ).where(F.col("doc_id").isNotNull())
+
+    work = str(tmp_path / "work")
+    run_streaming_substring_admission(docs_stream(), work, k=6,
+                                      min_span=12, max_df=50,
+                                      unit="char")
+    admitted = spark.read.parquet(f"{work}/admitted/*")
+    assert sorted(r.doc_id for r in admitted.collect()) == [1, 2, 11]
