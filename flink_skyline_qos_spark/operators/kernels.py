@@ -343,6 +343,54 @@ def merge_skylines(old: np.ndarray, new: np.ndarray) -> tuple[np.ndarray, np.nda
     old_keep = ~dominated_by_any(new[new_keep], old)
     return old_keep, new_keep
 
+def _sweep_block_3d(sub: np.ndarray) -> np.ndarray:
+    """Exact skyline mask of one lex-sorted UNIQUE block — Kung's
+    divide-and-conquer with a vectorized staircase cross-filter:
+    split in lex order, solve the left half, kill right-half rows
+    dominated by a LEFT SURVIVOR via one `searchsorted` against the
+    survivors' (y asc, min-z) staircase (sound: dominance is
+    transitive, so left survivors are dominator-complete for the left
+    half; every left row lex-precedes every right row, so d0 ≤ holds
+    and uniqueness rules out the all-equal tie), recurse on what's
+    left.  T(b) = 2·T(b/2) + O(b log b).
+
+    Round 13: this replaces the O(b·s) `_skyline_mask_forward` call
+    inside :func:`sweep_mask_3d` — on the 100M-point 3-D
+    anti-correlated candidate set (1.86M unique, 604k skyline, ~1/3
+    survivors per block) that scan was 4.8 s of the 7.9 s driver
+    sweep; the D&C runs the same blocks in ~0.3 s."""
+    b = len(sub)
+    if b <= 256:
+        return _skyline_mask_forward(sub)
+    mid = b // 2
+    mask = np.zeros(b, dtype=bool)
+    m_left = _sweep_block_3d(sub[:mid])
+    mask[:mid] = m_left
+    surv = sub[:mid][m_left]
+    # (y asc, min z per y, strict running-min) staircase — same
+    # arithmetic as sweep_mask_3d's merge step
+    o = np.lexsort((surv[:, 2], surv[:, 1]))
+    y_s, z_s = surv[o, 1], surv[o, 2]
+    firsts = np.empty(len(y_s), dtype=bool)
+    firsts[0] = True
+    np.not_equal(y_s[1:], y_s[:-1], out=firsts[1:])
+    y_u, z_u = y_s[firsts], z_s[firsts]
+    run = np.minimum.accumulate(z_u)
+    kp = np.empty(len(z_u), dtype=bool)
+    kp[0] = True
+    np.less(run[1:], run[:-1], out=kp[1:])
+    ys, zs = y_u[kp], z_u[kp]
+    right = sub[mid:]
+    idx = np.searchsorted(ys, right[:, 1], side="right")
+    z_star = zs[np.maximum(idx - 1, 0)]
+    alive = ~((idx > 0) & (z_star <= right[:, 2]))
+    if alive.any():
+        ai = np.flatnonzero(alive)
+        m_right = _sweep_block_3d(right[alive])
+        mask[mid + ai[m_right]] = True
+    return mask
+
+
 def sweep_mask_3d(values: np.ndarray) -> np.ndarray:
     """Exact 3-D skyline mask via the plane-sweep of Kung, Luccia &
     Preparata (JACM 1975): sort lexicographically by (d0, d1, d2) and
@@ -357,11 +405,11 @@ def sweep_mask_3d(values: np.ndarray) -> np.ndarray:
     the difference between seconds and minutes.  Vectorized in blocks:
     the staircase test is one `searchsorted` per block (the staircase
     is y-ascending with strictly decreasing z, so "min z among y ≤ Y"
-    is the last entry with y ≤ Y), intra-block dominance uses
-    :func:`_skyline_mask_forward` DIRECTLY (calling the dispatching
-    :func:`skyline_mask` here would recurse straight back into this
-    sweep for blocks ≥ `_SWEEP_3D_MIN` rows), and the staircase merge
-    is a sort + running-min envelope rebuild.
+    is the last entry with y ≤ Y), intra-block dominance uses the
+    divide-and-conquer :func:`_sweep_block_3d` (round 13 — the direct
+    `_skyline_mask_forward` scan was O(b·s) and dominated the sweep on
+    high-survivor-density anti-correlated blocks), and the staircase
+    merge is a sort + running-min envelope rebuild.
     """
     n = values.shape[0]
     if n == 0:
@@ -390,7 +438,7 @@ def sweep_mask_3d(values: np.ndarray) -> np.ndarray:
         if not alive.any():
             continue
         sub = blk[alive]
-        m = _skyline_mask_forward(sub)
+        m = _sweep_block_3d(sub)
         ai = np.flatnonzero(alive)
         keep_sorted[lo + ai[m]] = True
         # merge survivors into the staircase: sort by (y asc, z asc),

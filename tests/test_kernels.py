@@ -231,3 +231,30 @@ def test_skyline_mask_3d_sweep_dispatch_above_threshold():
     assert (got == want).all()
     # duplicates share their representative's verdict
     assert (got[dup_idx] == got[n:]).all()
+
+
+def test_sweep_block_3d_divide_and_conquer_parity():
+    """_sweep_block_3d (round 13: the D&C that replaced the O(b·s)
+    forward scan inside sweep_mask_3d) must agree with the forward
+    scan on lex-sorted unique blocks ACROSS the recursion base case
+    (256) and on a dense anti-correlated block where most rows
+    survive — the regime that motivated it."""
+    from flink_skyline_qos_spark.operators.kernels import (
+        _skyline_mask_forward,
+        _sweep_block_3d,
+    )
+
+    rng = np.random.default_rng(13)
+    for n in (1, 2, 255, 256, 257, 1023, 5000):
+        v = np.unique(rng.integers(0, 50, size=(n, 3)).astype(float),
+                      axis=0)
+        v = v[np.lexsort((v[:, 2], v[:, 1], v[:, 0]))]
+        assert (_sweep_block_3d(v) == _skyline_mask_forward(v)).all(), n
+    # anti-correlated shell: x+y+z ~ const, high survivor fraction
+    x = rng.random((8192, 3))
+    x = x / x.sum(axis=1, keepdims=True)
+    x = np.unique(x, axis=0)
+    x = x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+    m = _sweep_block_3d(x)
+    assert (m == _skyline_mask_forward(x)).all()
+    assert m.sum() > len(x) // 2  # the dense regime is actually hit
