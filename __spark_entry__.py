@@ -77,6 +77,10 @@ from flink_skyline_qos_spark.functions.corpus import (  # noqa: E402
     quality_floor_sql,
     rarity_score,
     rarity_score_sql,
+    bigram_rarity_score,
+    bigram_rarity_score_sql,
+    hashed_classifier_score,
+    hashed_classifier_score_sql,
     remove_boilerplate_lines,
     remove_boilerplate_lines_sql,
     bm25_topk,
@@ -1125,6 +1129,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token-ordered fold so the float sum is engine-identical)
     q["rarity_documents"] = lambda s, d: rarity_score(
         load_table(s, d, "documents"))
+    # bigram-LM perplexity surrogate (CCNet-style quality filter —
+    # sees word ORDER, which unigram rarity is blind to)
+    q["lm_bigram_score_documents"] = lambda s, d: bigram_rarity_score(
+        load_table(s, d, "documents"))
+    # fastText-style hashed linear classifier inference (hashing
+    # trick + mean-pool margin; deterministic pseudo-model — the
+    # plumbing, not a trained artifact)
+    q["quality_classifier_documents"] = \
+        lambda s, d: hashed_classifier_score(
+            load_table(s, d, "documents"), n_buckets=1 << 16)
     # corpus-boilerplate removal (C4-style): delete units appearing
     # verbatim in >= min_docs distinct docs. The synthetic docs are
     # single-line, so the registered query runs at token granularity
@@ -2455,6 +2469,9 @@ FROM reach GROUP BY node HAVING min(comp) = node
     o["tfidf_documents"] = tfidf_top_terms_sql(
         "documents", k=5, min_df=2)
     o["rarity_documents"] = rarity_score_sql("documents")
+    o["lm_bigram_score_documents"] = bigram_rarity_score_sql("documents")
+    o["quality_classifier_documents"] = hashed_classifier_score_sql(
+        "documents", n_buckets=1 << 16)
     o["corpus_profile_documents"] = f"""
 WITH t AS (
   SELECT lang, source, {token_count_sql('text')} AS nt, n_chars

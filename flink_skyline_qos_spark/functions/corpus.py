@@ -50,6 +50,10 @@ __all__ = [
     "remove_boilerplate_lines_sql",
     "rarity_score",
     "rarity_score_sql",
+    "bigram_rarity_score",
+    "bigram_rarity_score_sql",
+    "hashed_classifier_score",
+    "hashed_classifier_score_sql",
     "tfidf_top_terms",
     "tfidf_top_terms_sql",
     "bm25_topk",
@@ -415,6 +419,270 @@ scored AS (
 SELECT d.{id_col},
        coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(s.mean_rarity, 0.0) AS mean_rarity
+FROM {table} d LEFT JOIN scored s ON s.id = d.{id_col}
+""".strip()
+
+
+_BIGRAMS_EXPR = (
+    "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), "
+    "(x, i) -> struct(x AS w1, __w[i + 1] AS w2))")
+
+
+def bigram_rarity_score(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram rarity — the log-free bigram-LM
+    perplexity surrogate (the LM quality-filtering axis of CCNet,
+    Wenzek et al. 2020, with the corpus itself as the LM training
+    set; :func:`rarity_score` is the unigram version).
+
+    For each adjacent token pair (w1, w2), rarity is the inverse of
+    the add-one-smoothed conditional probability
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)``, i.e.
+    ``(c(w1) + V) / (c(w1,w2) + 1)``, where ``c(w1)`` counts w1 as a
+    bigram context over the corpus and ``V`` is the corpus vocabulary
+    size.  Returns (id, n_bigrams, round(mean rarity, 6)); documents
+    with fewer than two tokens get (0, 0.0).  High values flag
+    incoherent token sequences (the perplexity signal unigram rarity
+    cannot see — it is blind to word ORDER), low values boilerplate.
+    Log-free for the same reason as :func:`rarity_score`: a ``log``
+    would tie the DuckDB twin to libm rounding.
+
+    Shape: bigram structs are built per-doc as ONE array expression
+    (a ``slice`` + index-lambda ``transform`` — no posexplode
+    self-join) and exploded once.  Per-(doc, w1, w2) counts feed the
+    corpus bigram table; the context-count table (≤ vocab rows) and
+    the 1-row vocab size broadcast back.  The (doc-bigram ⋈ corpus-
+    bigram) join shuffles on (w1, w2) — the same key both aggregates
+    already hash on, so AQE coalesces, and nothing wider than
+    (doc, w1, w2, count) rows ever moves.  Float summation is pinned
+    to (w1, w2) order on both engines (the :func:`rarity_score`
+    ordered-fold discipline).
+    """
+    pairs = (
+        df.select(F.col(id_col).alias("__id"),
+                  _clean_tokens(F.col(text_col)).alias("__w"))
+        .select("__id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+        .select("__id", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2"))
+    )
+    per_doc = pairs.groupBy("__id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n"))
+    c12 = per_doc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = (df.select(F.explode(_clean_tokens(F.col(text_col)))
+                     .alias("token"))
+           .agg(F.count_distinct("token").alias("__v")))
+    term = (F.col("n")
+            * ((F.col("c1") + F.col("__v")) / (F.col("c12") + 1.0))
+            ).alias("v")
+    scored = (
+        per_doc.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("__id", "n", F.struct("w1", "w2", term).alias("tv"))
+        .groupBy("__id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("tv")),
+                    F.lit(0.0), lambda acc, x: acc + x["v"],
+                ) / F.sum("n"), 6).alias("mean_bigram_rarity"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(id_col,
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.coalesce("mean_bigram_rarity", F.lit(0.0))
+                .alias("mean_bigram_rarity"))
+    )
+
+
+def bigram_rarity_score_sql(table: str, *, id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_rarity_score`."""
+    w = _CLEAN_TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS id, {w} AS w FROM {table}
+),
+pairs0 AS (
+  SELECT id, unnest(list_transform(range(1, length(w)),
+                i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS bg
+  FROM docs
+),
+pairs AS (SELECT id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs0),
+per_doc AS (
+  SELECT id, w1, w2, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, sum(n)::BIGINT AS c12 FROM per_doc GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+voc AS (SELECT count(DISTINCT token)::BIGINT AS v
+        FROM (SELECT unnest(w) AS token FROM docs)),
+scored AS (
+  SELECT id, sum(n)::BIGINT AS n_bigrams,
+         round(list_reduce(
+                 list_prepend(0.0,
+                   list(n * ((c1 + v) / (c12 + 1.0)) ORDER BY w1, w2)),
+                 (a, b) -> a + b) / sum(n), 6)
+           AS mean_bigram_rarity
+  FROM per_doc JOIN c12 USING (w1, w2) JOIN c1 USING (w1), voc
+  GROUP BY id
+)
+SELECT d.{id_col},
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.mean_bigram_rarity, 0.0) AS mean_bigram_rarity
+FROM {table} d LEFT JOIN scored s ON s.id = d.{id_col}
+""".strip()
+
+
+def hashed_classifier_score(df: DataFrame, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            weights: DataFrame | None = None,
+                            n_buckets: int = 1 << 20,
+                            seed: int = 7,
+                            bias: float = 0.0) -> DataFrame:
+    """Linear text-classifier INFERENCE with the hashing trick — the
+    fastText-style quality-filter plumbing (Joulin et al. 2016;
+    feature hashing per Weinberger et al. 2009) every
+    CCNet/Dolma/DCLM-shaped pipeline runs to score documents against
+    a trained model at corpus scale.
+
+    Features are unigrams plus adjacent word-bigrams, each hashed
+    into ``n_buckets`` via the repo's content-stable md5 bucket (the
+    :func:`~..operators.sampling.hash_bucket` idiom, inlined so the
+    DuckDB twin is parity-by-construction).  The document score is
+    the MEAN weight over feature occurrences plus ``bias`` — the
+    pre-link margin.  No sigmoid: the link is monotone, so filter
+    thresholds compose with the margin directly, and ``exp`` would
+    tie the twin to libm rounding (the :func:`rarity_score` rule).
+
+    ``weights`` is a (bucket BIGINT, weight DOUBLE) frame — a trained
+    model imported from anywhere; it joins broadcast (a model is ≤
+    ``n_buckets`` rows — MBs, never corpus-sized).  When ``None``, a
+    deterministic integer-arithmetic pseudo-weight
+    ``(bucket * 2654435761 mod 1000003) / 1000003 - 0.5`` stands in,
+    so the full inference path — feature extraction, hash trick,
+    model lookup, ordered mean-pool — is exercised and
+    oracle-checkable without shipping a binary model (no trained
+    artifact could live in this repo anyway).
+
+    Returns (id, n_feats, margin, label) with margin rounded to 6
+    places and label = 1 iff the ROUNDED margin > 0 (both engines
+    compare the identical rounded value, so the threshold cannot
+    flip on a last-ulp).  Empty documents score margin = bias.
+
+    Scale shape: one explode to (doc, bucket) rows, per-(doc, bucket)
+    counts map-side combined, the model broadcast, one ordered
+    per-doc fold.  The corpus never shuffles text — only
+    (doc, bucket, count) triples.
+    """
+    feats = (
+        df.select(F.col(id_col).alias("__id"),
+                  _clean_tokens(F.col(text_col)).alias("__w"))
+        .select("__id", F.explode(F.expr(
+            "concat(__w, transform(slice(__w, 1, greatest(size(__w) - 1, 0)), "
+            "(x, i) -> concat(x, ' ', __w[i + 1])))")).alias("feat"))
+    )
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("feat"))), 1, 8),
+        16, 10).cast("long") % n_buckets).alias("bucket")
+    per_doc = (feats.select("__id", bucket)
+               .groupBy("__id", "bucket")
+               .agg(F.count(F.lit(1)).alias("n")))
+    if weights is None:
+        wexpr = ((F.col("bucket") * F.lit(2654435761))
+                 % 1000003).cast("double") / 1000003.0 - 0.5
+        looked = per_doc.withColumn("weight", wexpr)
+    else:
+        looked = (per_doc.join(F.broadcast(weights), "bucket", "left")
+                  .withColumn("weight",
+                              F.coalesce("weight", F.lit(0.0))))
+    scored = (
+        looked
+        .select("__id", "n",
+                F.struct("bucket",
+                         (F.col("n") * F.col("weight")).alias("v"))
+                .alias("tv"))
+        .groupBy("__id")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("tv")),
+                    F.lit(0.0), lambda acc, x: acc + x["v"],
+                ) / F.sum("n") + F.lit(float(bias)), 6).alias("margin"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(id_col,
+                F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                F.coalesce("margin", F.round(F.lit(float(bias)), 6))
+                .alias("margin"))
+        .withColumn("label", (F.col("margin") > 0.0).cast("int"))
+    )
+
+
+def hashed_classifier_score_sql(table: str, *, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                weights_sql: str | None = None,
+                                n_buckets: int = 1 << 20,
+                                seed: int = 7,
+                                bias: float = 0.0) -> str:
+    """DuckDB twin of :func:`hashed_classifier_score`.
+
+    ``weights_sql`` is a subquery yielding (bucket, weight) when a
+    model frame was passed; None mirrors the pseudo-weight path.
+    """
+    w = _CLEAN_TOKENS_SQL.format(c=text_col)
+    if weights_sql is None:
+        looked = """
+looked AS (
+  SELECT id, bucket, n,
+         ((bucket * 2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5
+           AS weight
+  FROM per_doc
+)"""
+    else:
+        looked = f"""
+looked AS (
+  SELECT p.id, p.bucket, p.n, coalesce(m.weight, 0.0) AS weight
+  FROM per_doc p LEFT JOIN ({weights_sql}) m ON m.bucket = p.bucket
+)"""
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS id, {w} AS w FROM {table}
+),
+feats AS (
+  SELECT id, unnest(w || list_transform(range(1, length(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS feat
+  FROM docs
+),
+per_doc AS (
+  SELECT id,
+         ('0x' || substr(md5(concat_ws('|', '{seed}', feat)), 1, 8))::BIGINT
+           % {n_buckets} AS bucket,
+         count(*)::BIGINT AS n
+  FROM feats GROUP BY 1, 2
+),{looked},
+scored AS (
+  SELECT id, sum(n)::BIGINT AS n_feats,
+         round(list_reduce(
+                 list_prepend(0.0, list(n * weight ORDER BY bucket)),
+                 (a, b) -> a + b) / sum(n) + {float(bias)!r}, 6)
+           AS margin
+  FROM looked GROUP BY id
+)
+SELECT d.{id_col},
+       coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(s.margin, round({float(bias)!r}, 6)) AS margin,
+       (coalesce(s.margin, round({float(bias)!r}, 6)) > 0.0)::INT
+         AS label
 FROM {table} d LEFT JOIN scored s ON s.id = d.{id_col}
 """.strip()
 

@@ -450,6 +450,91 @@ def test_rarity_duckdb_parity(documents, sf_dir):
     assert sp == dk
 
 
+# ---------- bigram LM rarity ----------
+
+def test_bigram_rarity_crafted(spark):
+    from flink_skyline_qos_spark.functions.corpus import bigram_rarity_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_rarity_score(docs).collect()}
+    # V = |{a,b,x}| = 3; c12: (a,b)=3, (b,a)=1; c1: a=3, b=1
+    # rarity(a,b) = (3+3)/(3+1) = 1.5; rarity(b,a) = (1+3)/(1+1) = 2.0
+    # doc1: (2*1.5 + 1*2.0)/3 = 5/3
+    assert out[1].n_bigrams == 3
+    assert out[1].mean_bigram_rarity == pytest.approx(5 / 3, abs=1e-6)
+    assert out[2].n_bigrams == 1
+    assert out[2].mean_bigram_rarity == pytest.approx(1.5)
+    # one-token and empty docs keep their rows with zeros
+    assert out[3].n_bigrams == 0 and out[3].mean_bigram_rarity == 0.0
+    assert out[4].n_bigrams == 0 and out[4].mean_bigram_rarity == 0.0
+
+
+def test_bigram_rarity_duckdb_parity(documents, sf_dir):
+    from flink_skyline_qos_spark.functions.corpus import (
+        bigram_rarity_score,
+        bigram_rarity_score_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.n_bigrams, r.mean_bigram_rarity)
+        for r in bigram_rarity_score(documents).collect())
+    dk = sorted(map(tuple, con.sql(bigram_rarity_score_sql("documents"))
+                    .fetchall()))
+    assert sp == dk
+
+
+# ---------- hashed linear classifier ----------
+
+def test_hashed_classifier_weights_join(spark):
+    from flink_skyline_qos_spark.functions.corpus import (
+        hashed_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "")], "doc_id long, text string")
+    # n_buckets=1 collapses every feature to bucket 0, making the
+    # model-join path hand-checkable without md5 arithmetic
+    w_hit = spark.createDataFrame([(0, 2.0)], "bucket long, weight double")
+    out = {r.doc_id: r for r in hashed_classifier_score(
+        docs, weights=w_hit, n_buckets=1, bias=-0.5).collect()}
+    # doc1: features a, b, "a b" -> 3 occurrences of weight 2.0;
+    # margin = 2.0 - 0.5
+    assert out[1].n_feats == 3
+    assert out[1].margin == pytest.approx(1.5) and out[1].label == 1
+    # empty doc scores the bare bias
+    assert out[2].n_feats == 0
+    assert out[2].margin == pytest.approx(-0.5) and out[2].label == 0
+    # a model with no entry for the bucket contributes weight 0
+    w_miss = spark.createDataFrame([(5, 9.0)], "bucket long, weight double")
+    out = {r.doc_id: r for r in hashed_classifier_score(
+        docs, weights=w_miss, n_buckets=1, bias=0.25).collect()}
+    assert out[1].margin == pytest.approx(0.25) and out[1].label == 1
+
+
+def test_hashed_classifier_duckdb_parity(documents, sf_dir):
+    from flink_skyline_qos_spark.functions.corpus import (
+        hashed_classifier_score,
+        hashed_classifier_score_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.n_feats, r.margin, r.label)
+        for r in hashed_classifier_score(
+            documents, n_buckets=1 << 16).collect())
+    dk = sorted(map(tuple, con.sql(hashed_classifier_score_sql(
+        "documents", n_buckets=1 << 16)).fetchall()))
+    assert sp == dk
+
+
 def test_quality_floor_grouped_semantics(spark):
     from flink_skyline_qos_spark.functions.corpus import quality_floor
 
