@@ -160,6 +160,8 @@ from flink_skyline_qos_spark.operators.variants import (  # noqa: E402
     skycube_sql,
     reverse_skyline,
     reverse_skyline_sql,
+    representative_skyline,
+    representative_skyline_sql,
     top_k_dominating,
     top_k_dominating_sql,
 )
@@ -567,6 +569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "part").select(*PART_COLS),
         ["p_retailprice", "p_size"], [1000.0, 25.0],
         id_col="p_partkey")
+    # distance-based representative skyline (Tao et al. ICDE'09,
+    # greedy 2-approx k-center): k points standing in for the whole
+    # frontier + the attained squared cover radius; deterministic
+    # tie-breaks make the unrolled-CTE twin exact
+    q["representative_skyline_part"] = lambda s, d: representative_skyline(
+        load_table(s, d, "part").select(*PART_COLS),
+        ["p_retailprice", "p_size"], 3, id_col="p_partkey")
     # epsilon-skyline: drop points beaten within tolerance eps — thins
     # the dense frontier (3156 -> 581 points on this set; mutual
     # eps-elimination CAN empty a dense frontier, so the registered
@@ -2197,6 +2206,9 @@ FROM ranked WHERE rn <= {k}
         "(SELECT p_partkey, p_size, p_retailprice FROM part)",
         ["p_retailprice", "p_size"], [1000.0, 25.0],
         id_col="p_partkey")
+    o["representative_skyline_part"] = representative_skyline_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_retailprice", "p_size"], 3, id_col="p_partkey")
     o["epsilon_skyline_gen_2d"] = epsilon_skyline_sql(
         f"({generate_points_sql(GEN_N, 2, dist='anti_correlated')})",
         ["d0", "d1"], eps=[2.0, 2.0])

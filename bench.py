@@ -788,17 +788,23 @@ def _emit(timings, loads, unconverged, floor_exited, cold_start,
         # (ADVICE r6 bench.py:149)
         out["floor_exited"] = sorted(floor_exited)
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1800:
+    if len(line) > 1900:
         # safety valve for future query growth: coarsen values (whole
         # seconds >= 10 s) and drop the floor_exited list before the
-        # driver's 2000-char capture tail can truncate the line
+        # driver's 2000-char capture tail can truncate the line.
+        # Budget math: the JSON is the LAST stdout line, so it parses
+        # iff line + newline fit the 2000-char tail; 1900 leaves a
+        # 99-char cushion for an accidental trailer while not
+        # coarsening (= losing floor_exited) on realistic-worst wide
+        # runs, which crossed 1800 when the registry hit 52 bench rows
+        # (round 13).
         print(f"# WARNING: bench JSON was {len(line)} chars; coarsening",
               file=sys.stderr)
         out["queries"] = {k: (int(round(v)) if v >= 10 else round(v, 1))
                           for k, v in timings.items()}
         out.pop("floor_exited", None)
         line = json.dumps(out, separators=(",", ":"))
-        if len(line) > 1800 and load_hot:
+        if len(line) > 1900 and load_hot:
             # keep only the 5 largest-delta rows' context — attribution
             # beats completeness, but the line must parse first
             keep = sorted(load_hot,

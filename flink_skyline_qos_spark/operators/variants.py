@@ -62,6 +62,8 @@ __all__ = [
     "k_dominant_skyline_sql",
     "reverse_skyline",
     "reverse_skyline_sql",
+    "representative_skyline",
+    "representative_skyline_sql",
 ]
 
 
@@ -877,3 +879,122 @@ def k_dominant_skyline_sql(table: str, cols: Sequence[str], k: int) -> str:
         f"SELECT 1 FROM {table} u "
         f"WHERE ({n_le}) >= {k} AND ({n_lt}) >= 1)"
     )
+
+
+def representative_skyline(df: DataFrame, cols: Sequence[str], k: int,
+                           *, id_col: str) -> DataFrame:
+    """Distance-based representative skyline (Tao et al., ICDE 2009):
+    the k skyline points minimizing the maximum Euclidean distance
+    from any skyline point to its nearest representative — "show me k
+    offers that between them stand in for the whole Pareto frontier",
+    the summary answer a 604k-row 100M-point frontier needs before a
+    human can look at it.  Computed with the greedy farthest-point
+    heuristic (Gonzalez 1985), the standard 2-approximation of the
+    k-center objective.
+
+    Fully deterministic: the seed is the min-(sum dims, id) skyline
+    point, each next representative is the point FARTHEST from the
+    chosen set (squared distance; ties broken by dim-sum then id), so
+    the DuckDB twin — the same greedy unrolled as k chained CTEs — is
+    exact, not approximate-vs-approximate.  Distances stay SQUARED
+    end-to-end (monotone in the metric, so the argmax and the greedy
+    are unchanged) keeping ``sqrt`` out of the cross-engine path.
+    If k exceeds the number of distinct frontier coordinates the
+    remaining ranks repeat the seed-ordered coverage-0 points (both
+    engines pick via the identical tie-break, so parity holds).
+
+    Returns (rep_rank, id, *cols, radius2) where ``radius2`` is the
+    attained squared cover radius over the whole skyline, rounded to
+    6 places — the k-center objective value, reported so the caller
+    can judge whether k was enough.
+
+    Scale shape: the skyline itself is computed by the decomposable
+    two-phase operator; the greedy then runs k-1 TakeOrdered passes +
+    one max-aggregate over the PERSISTED frontier with the current
+    centers inlined as literals (the
+    :func:`~.kmeans.kmeans_literal_centroids` discipline — driver
+    state is O(k·d), each pass is map-side, nothing shuffles but one
+    top-1 per pass).  Mixed-unit dimensions should be pre-scaled by
+    the caller; raw Euclidean follows the paper.
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from .skyline import skyline as _skyline
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = list(cols)
+    sky = _skyline(df.select(id_col, *cols), cols).persist()
+    try:
+        ssum = _reduce(_add, [F.col(c) for c in cols])
+
+        def d2(center) -> Column:
+            return _reduce(_add, [
+                (F.col(c) - F.lit(float(center[c])))
+                * (F.col(c) - F.lit(float(center[c]))) for c in cols])
+
+        centers = sky.orderBy(ssum.asc(), F.col(id_col).asc()) \
+                     .limit(1).collect()
+        if not centers:
+            spark = df.sparkSession
+            schema = sky.schema.add("rep_rank", "integer").add(
+                "radius2", "double")
+            return spark.createDataFrame([], schema).select(
+                "rep_rank", id_col, *cols, "radius2")
+        while len(centers) < k:
+            mind = (d2(centers[0]) if len(centers) == 1
+                    else F.least(*[d2(c) for c in centers]))
+            centers.append(
+                sky.orderBy(mind.desc(), ssum.asc(),
+                            F.col(id_col).asc()).limit(1).collect()[0])
+        mind = (d2(centers[0]) if len(centers) == 1
+                else F.least(*[d2(c) for c in centers]))
+        radius2 = sky.agg(F.round(F.max(mind), 6)).collect()[0][0]
+    finally:
+        sky.unpersist()
+    spark = df.sparkSession
+    schema = sky.schema.add("rep_rank", "integer").add("radius2", "double")
+    rows = [tuple(c) + (i + 1, float(radius2))
+            for i, c in enumerate(centers)]
+    return spark.createDataFrame(rows, schema).select(
+        "rep_rank", id_col, *cols, "radius2")
+
+
+def representative_skyline_sql(table: str, cols: Sequence[str], k: int,
+                               *, id_col: str) -> str:
+    """DuckDB twin of :func:`representative_skyline` — the same greedy
+    unrolled as k chained argmax CTEs over the NOT-EXISTS skyline."""
+    from ..functions.dominance import skyline_not_exists_sql
+
+    cols = list(cols)
+    proj = ", ".join([id_col] + cols)
+    ssum_s = " + ".join(f"s.{c}" for c in cols)
+
+    def d2(a: str, b: str) -> str:
+        return " + ".join(f"({a}.{c} - {b}.{c}) * ({a}.{c} - {b}.{c})"
+                          for c in cols)
+
+    ctes = [
+        f"sky AS ({skyline_not_exists_sql(table, cols)})",
+        f"c1 AS (SELECT {proj} FROM sky "
+        f"ORDER BY {' + '.join(cols)}, {id_col} LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"c{j}" for j in range(1, i)]
+        mind = (d2("s", prev[0]) if len(prev) == 1 else
+                "least(" + ", ".join(d2("s", p) for p in prev) + ")")
+        scols = ", ".join(f"s.{c}" for c in [id_col] + cols)
+        ctes.append(
+            f"c{i} AS (SELECT {scols} FROM sky s, {', '.join(prev)} "
+            f"ORDER BY ({mind}) DESC, ({ssum_s}), s.{id_col} LIMIT 1)")
+    allc = [f"c{j}" for j in range(1, k + 1)]
+    mind = (d2("s", "c1") if k == 1 else
+            "least(" + ", ".join(d2("s", p) for p in allc) + ")")
+    ctes.append(
+        f"rad AS (SELECT round(max({mind}), 6) AS radius2 "
+        f"FROM sky s, {', '.join(allc)})")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rep_rank, {', '.join(f'c{i}.{c}' for c in [id_col] + cols)}, "
+        f"rad.radius2 FROM c{i}, rad" for i in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel

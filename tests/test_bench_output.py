@@ -49,7 +49,12 @@ def test_bench_json_line_fits_driver_capture():
         "floor_exited": long_names[3:5],
     }
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 1800, len(line)
+    # the true ceiling is the driver's 2000-char tail (line + newline
+    # must fit it, and the JSON is the last stdout line); 1900 is the
+    # no-coarsening budget — realistic-worst must emit UNcoarsened so
+    # floor_exited survives.  The bound moved 1800 -> 1900 in round 13
+    # when the 52nd bench row pushed realistic-worst to 1828.
+    assert len(line) < 1900, len(line)
 
 
 def test_bench_coarsening_fallback_fits_even_pathological_widths():

@@ -517,3 +517,51 @@ def test_reverse_skyline_local_prune_actually_prunes(spark):
     out = list(_rsl_prune_fn(["x", "y"], [0.0, 0.0])(iter([pdf])))[0]
     assert len(out) < len(pdf)
     assert 99 in set(out["id"])  # the isolated point survives locally
+
+
+# --- representative skyline ------------------------------------------
+
+def test_representative_skyline_crafted_greedy(spark):
+    from flink_skyline_qos_spark.operators.variants import (
+        representative_skyline)
+    # skyline = {1,2,3} (4 is dominated by 2); seed ties on dim-sum 10
+    # -> id 1; farthest from (0,10) is (10,0) [d2=200]; radius is then
+    # point 2's min(50, 50)
+    rows = [(1, 0.0, 10.0), (2, 5.0, 5.0), (3, 10.0, 0.0),
+            (4, 8.0, 8.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    got = sorted(tuple(r) for r in representative_skyline(
+        df, ["x", "y"], 2, id_col="id").collect())
+    assert got == [(1, 1, 0.0, 10.0, 50.0), (2, 3, 10.0, 0.0, 50.0)]
+
+
+def test_representative_skyline_k_beyond_frontier_repeats(spark):
+    from flink_skyline_qos_spark.operators.variants import (
+        representative_skyline)
+    rows = [(1, 0.0, 10.0), (2, 5.0, 5.0), (3, 10.0, 0.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    out = {r.rep_rank: r for r in representative_skyline(
+        df, ["x", "y"], 4, id_col="id").collect()}
+    # ranks 1-3 cover the whole frontier; rank 4 repeats the seed via
+    # the (dim-sum, id) tie-break and the cover radius collapses to 0
+    assert [out[i].id for i in (1, 2, 3, 4)] == [1, 3, 2, 1]
+    assert out[4].radius2 == 0.0
+
+
+def test_representative_skyline_duckdb_parity(spark, sf_dir):
+    import duckdb
+    from flink_skyline_qos_spark.operators.variants import (
+        representative_skyline, representative_skyline_sql)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey", "p_size", "p_retailprice")
+    a = sorted(tuple(r) for r in representative_skyline(
+        part, ["p_retailprice", "p_size"], 3,
+        id_col="p_partkey").collect())
+    assert len(a) == 3
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'")
+    want = sorted(tuple(r) for r in con.sql(representative_skyline_sql(
+        "(SELECT p_partkey, p_size, p_retailprice FROM part)",
+        ["p_retailprice", "p_size"], 3,
+        id_col="p_partkey")).fetchall())
+    assert a == want
