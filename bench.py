@@ -601,6 +601,9 @@ def _scale_workloads(spark, cpus, timings, loads, unconverged,
         skyline_2d_window,
         skyline_broadcast_verify,
     )
+    from flink_skyline_qos_spark.operators.variants import (
+        representative_skyline,
+    )
 
     # 10M rows (VERDICT r3 #4): the BASELINE.md scale envelope ("linear
     # to 10M, < 400 s") re-measured every round, not just in prose.
@@ -618,6 +621,14 @@ def _scale_workloads(spark, cpus, timings, loads, unconverged,
         (4, 1_000_000, "anticorr_1m_4d",
          lambda p: skyline_broadcast_verify(p, ["d0", "d1", "d2", "d3"],
                                             pre_merge_partitions=cpus)),
+        # Representative-skyline scale row (round 13): the greedy
+        # k-center summary over the DENSE 1M anti-correlated frontier
+        # — skyline + 7 TakeOrdered passes + the radius aggregate, all
+        # against the persisted frontier with centers as literals.
+        # Times the operator's distributed steps, not the tiny output.
+        (2, 1_000_000, "synth_repsky_1m",
+         lambda p: representative_skyline(p, ["d0", "d1"], 8,
+                                          id_col="id")),
         (2, 10_000_000, "anticorr_10m_2d",
          lambda p: skyline_two_phase(p, ["d0", "d1"], algo="mr-angle",
                                      num_partitions=2 * cpus,

@@ -20,6 +20,7 @@ def _synthetic_names() -> list[str]:
     # HEADLINE queries (kept in sync with bench.main's workload table)
     return [
         "anticorr_1m_2d", "anticorr_1m_3d", "anticorr_1m_4d",
+        "synth_repsky_1m",
         "anticorr_10m_2d", "anticorr_10m_3d", "anticorr_10m_4d",
         "anticorr_100m_2d", "anticorr_100m_3d", "anticorr_100m_4d",
         "scatter_5m_4d_frac", "anticorr_1b_2d",
