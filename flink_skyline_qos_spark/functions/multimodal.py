@@ -11,12 +11,17 @@ Two codec tiers:
 * the deterministic FAKE containers (`FIMG`/`FAUD`/`FVID` packets whose
   geometry derives from md5(doc_id)) — cheap, fully oracle-checkable;
 * REAL public formats, dependency-free: uncompressed 24-bit BMP,
+  8-bit PNG (zlib IDAT, all five scanline filters — stdlib zlib only),
   16-bit PCM WAV, and uncompressed-DIB RIFF AVI encode/decode in pure
-  NumPy (:func:`encode_bmp` / :func:`decode_bmp` / :func:`encode_wav` /
-  :func:`decode_wav` / :func:`encode_avi` / :func:`decode_avi`), wired
-  through the same mapInPandas plumbing (:func:`pack_real_media` /
-  :func:`decode_media_real`).  Round 10 closed the video gap: blobs
-  are real AVIs any standard player opens.
+  NumPy (:func:`encode_bmp` / :func:`decode_bmp` / :func:`encode_png` /
+  :func:`decode_png` / :func:`encode_wav` / :func:`decode_wav` /
+  :func:`encode_avi` / :func:`decode_avi`), wired through the same
+  mapInPandas plumbing (:func:`pack_real_media` /
+  :func:`decode_media_real`).  Round 10 closed the video gap (real
+  AVIs any standard player opens); round 13 adds the compressed-image
+  path (PNG greyscale/truecolor/alpha decode — the common lossless web
+  format, so externally-sourced thumbnails decode too, not just our
+  own BMPs).
 
 Geometry in both tiers is reproducible from the id alone, which is what
 lets the DuckDB oracle check the full pack→decode loop.
@@ -42,6 +47,8 @@ __all__ = [
     "audio_features",
     "encode_bmp",
     "decode_bmp",
+    "encode_png",
+    "decode_png",
     "encode_wav",
     "decode_wav",
     "encode_avi",
@@ -341,6 +348,154 @@ def decode_bmp(data: bytes) -> "tuple[int, int, 'np.ndarray']":
     return w, h, np.ascontiguousarray(px)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (PNG spec §9.4) over int16 arrays
+    (a=left, b=up, c=upper-left)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: "np.ndarray", *, filter_type: int = 0,
+               level: int = 6) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an 8-bit truecolor
+    PNG (the public PNG spec: signature + IHDR + one zlib IDAT +
+    IEND, CRC-32 per chunk).  ``filter_type`` applies ONE of the five
+    scanline filters (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) to
+    every row — the non-zero settings exist so tests can exercise
+    every :func:`decode_png` unfilter path; real-world encoders pick
+    per-row, and decoders must invert all five regardless."""
+    import numpy as np
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png wants an (h, w, 3) uint8 array")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter {filter_type}")
+    h, w, _ = px.shape
+    bpp, stride = 3, 3 * w
+    raw = px.reshape(h, stride).astype(np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    zero = np.zeros(bpp, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([zero, cur[:-bpp]])
+        upleft = np.concatenate([zero, prev[:-bpp]])
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - (left + prev) // 2
+        else:
+            f = cur - _paeth_vec(left, prev, upleft)
+        lines.append(bytes([filter_type])
+                     + (f % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> "tuple[int, int, 'np.ndarray']":
+    """Decode a PNG → ``(width, height, (h, w, 3) uint8 RGB array)``.
+
+    Supports 8-bit greyscale (color type 0), truecolor (2) and
+    truecolor+alpha (6), non-interlaced — the common web/lossless
+    cases; 16-bit, palette and Adam7 are rejected loudly.  Alpha is
+    dropped, grey replicated to RGB, ancillary chunks skipped, IDAT
+    segments concatenated per spec.  All five scanline filters are
+    inverted: None/Up/Sub vectorized (Sub is a per-lane cumsum mod
+    256), Average/Paeth per-pixel — they depend on the just-
+    reconstructed left neighbour, and blobs here are thumbnail-scale
+    (the Arrow-batch decode host amortizes the Python row loop)."""
+    import numpy as np
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: missing signature")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, ct, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload)
+            if depth != 8 or ct not in (0, 2, 6) or comp or filt or ilace:
+                raise ValueError(f"unsupported PNG: depth={depth} "
+                                 f"color={ct} interlace={ilace}")
+            meta = (w, h, ct)
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if meta is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, ct = meta
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG: scanline size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.int16)
+    for y in range(h):
+        f, cur = int(ftypes[y]), rows[y]
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.int16)
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            rec = (cur.reshape(w, ch).astype(np.int64).cumsum(axis=0)
+                   % 256).reshape(stride).astype(np.int16)
+        elif f == 2:
+            rec = (cur + up) % 256
+        elif f in (3, 4):
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                if f == 3:
+                    rec[x] = (rec[x] + (a + b) // 2) % 256
+                else:
+                    c = int(up[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = (a if pa <= pb and pa <= pc
+                          else b if pb <= pc else c)
+                    rec[x] = (rec[x] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return w, h, np.ascontiguousarray(px)
+
+
 def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
     """Encode a 1-D int16 array as a mono 16-bit PCM RIFF/WAVE file."""
     import numpy as np
@@ -547,9 +702,9 @@ _DECODE_REAL_SCHEMA = ("doc_id long, media_type string, width int, "
 
 def decode_media_real(media: DataFrame) -> DataFrame:
     """REAL decode: sniff each blob's container magic (``BM`` → BMP,
-    ``RIFF`` → WAV, ``FVID`` → fake video) and parse it with the NumPy
-    codecs above — metadata comes only from the BYTES, never from the
-    sidecar columns.  `mean_px` is the mean decoded pixel value / the
+    PNG signature → PNG, ``RIFF`` → WAV/AVI, ``FVID`` → fake video)
+    and parse it with the NumPy codecs above — metadata comes only
+    from the BYTES, never from the sidecar columns.  `mean_px` is the mean decoded pixel value / the
     mean |sample| (true content statistics, not header fields).
     Undecodable blobs are dropped (the malformed-filter P2 analogue)."""
     import numpy as np
@@ -562,6 +717,10 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                 try:
                     if blob[:2] == b"BM":
                         w, h, px = decode_bmp(blob)
+                        rows.append((int(doc_id), "image", w, h, None, None,
+                                     None, len(blob), float(px.mean())))
+                    elif blob[:8] == _PNG_SIG:
+                        w, h, px = decode_png(blob)
                         rows.append((int(doc_id), "image", w, h, None, None,
                                      None, len(blob), float(px.mean())))
                     elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
@@ -664,21 +823,27 @@ def ahash64(pixels: "np.ndarray") -> int:
 
 def image_ahash(media: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """Perceptual fingerprints for the image rows of a real-format
-    media frame: decode each BMP and emit its :func:`ahash64` — the
-    near-dup blocking key for image dedup (equal hashes ⇒ candidate
-    pair; Hamming distance ranks near-misses).  Non-image and
-    undecodable rows are dropped.  Output: ``(id_col, ahash)`` with
-    the hash as a signed BIGINT (the unsigned 64-bit value wrapped).
+    media frame: decode each BMP or PNG and emit its :func:`ahash64`
+    — the near-dup blocking key for image dedup (equal hashes ⇒
+    candidate pair; Hamming distance ranks near-misses).  Non-image
+    and undecodable rows are dropped.  Output: ``(id_col, ahash)``
+    with the hash as a signed BIGINT (the unsigned 64-bit value
+    wrapped).  The hash is computed on decoded PIXELS, so the same
+    image stored as BMP and as PNG collides — cross-container image
+    dedup works by construction.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, blob in zip(pdf[id_col], pdf["media"]):
                 blob = bytes(blob)
-                if blob[:2] != b"BM":
-                    continue
                 try:
-                    _w, _h, px = decode_bmp(blob)
+                    if blob[:2] == b"BM":
+                        _w, _h, px = decode_bmp(blob)
+                    elif blob[:8] == _PNG_SIG:
+                        _w, _h, px = decode_png(blob)
+                    else:
+                        continue
                 except (ValueError, struct.error):
                     continue
                 ids.append(int(doc_id))

@@ -366,3 +366,136 @@ def test_image_ahash_spark_and_hamming(spark):
         [(got[0], got[1])], "a long, b long"
     ).select(hamming64(F.col("a"), F.col("b")).alias("d")).first()
     assert pairs["d"] == bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+
+
+# --- PNG codec (round 13) --------------------------------------------
+
+def test_png_round_trip_all_filters():
+    import numpy as np
+
+    from flink_skyline_qos_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        blob = encode_png(px, filter_type=ft)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, out = decode_png(blob)
+        assert (w, h) == (17, 21)
+        assert np.array_equal(out, px), f"filter {ft} round-trip"
+    # gradient image: Sub/Paeth filters actually compress it
+    grad = np.tile(np.arange(64, dtype=np.uint8)[None, :, None],
+                   (16, 1, 3))
+    assert len(encode_png(grad, filter_type=1)) < len(
+        encode_png(grad, filter_type=0))
+
+
+def test_png_grey_and_alpha_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from flink_skyline_qos_spark.functions.multimodal import (
+        _png_chunk,
+        decode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def build(w, h, ct, ch, body):
+        lines = b"".join(
+            b"\x00" + body[y * w * ch:(y + 1) * w * ch]
+            for y in range(h))
+        return (sig
+                + _png_chunk(b"IHDR",
+                             struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+                + _png_chunk(b"IDAT", zlib.compress(lines))
+                + _png_chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(7)
+    # greyscale (color type 0): replicated to RGB
+    g = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    w, h, px = decode_png(build(4, 5, 0, 1, g.tobytes()))
+    assert (w, h) == (4, 5)
+    assert np.array_equal(px, np.repeat(g[:, :, None], 3, axis=2))
+    # truecolor+alpha (color type 6): alpha dropped
+    rgba = rng.integers(0, 256, (3, 6, 4), dtype=np.uint8)
+    w, h, px = decode_png(build(6, 3, 6, 4, rgba.tobytes()))
+    assert (w, h) == (6, 3)
+    assert np.array_equal(px, rgba[:, :, :3])
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from flink_skyline_qos_spark.functions.multimodal import (
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM" + b"\x00" * 64)
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth and interlace are rejected loudly, not mis-decoded
+    for depth, ilace in ((16, 0), (8, 1)):
+        blob = (sig + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, ilace)))
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(blob)
+    # scanline size mismatch (truncated IDAT)
+    blob = (sig
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png(blob)
+    # bad filter byte
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(px)
+    lines = b"\x07" + b"\x00" * 6 + b"\x00" + b"\x00" * 6
+    bad = (sig
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(lines))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter"):
+        decode_png(bad)
+    assert decode_png(good)[2].shape == (2, 2, 3)
+
+
+def test_png_cross_container_dedup_and_sniffer(spark):
+    import numpy as np
+
+    from flink_skyline_qos_spark.functions.multimodal import (
+        decode_media_real,
+        encode_bmp,
+        encode_png,
+        image_ahash,
+    )
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    rows = [(1, bytearray(encode_bmp(px))),
+            (2, bytearray(encode_png(px, filter_type=4))),
+            (3, bytearray(encode_png(
+                rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)))),
+            (9, bytearray(b"\x89PNGbroken"))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    # the decode sniffer reads PNG geometry + content stats from bytes
+    dec = {r.doc_id: r for r in decode_media_real(df).collect()}
+    assert set(dec) == {1, 2, 3}
+    assert (dec[2].media_type, dec[2].width, dec[2].height) == (
+        "image", 24, 24)
+    assert dec[2].mean_px == dec[1].mean_px  # same pixels, either box
+    # cross-container near-dup blocking: BMP copy == PNG copy
+    got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
