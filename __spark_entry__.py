@@ -1142,6 +1142,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sees word ORDER, which unigram rarity is blind to)
     q["lm_bigram_score_documents"] = lambda s, d: bigram_rarity_score(
         load_table(s, d, "documents"))
+    # the true CCNet shape: score the whole corpus under an LM trained
+    # on a held-out reference slice (the content-stable md5 half);
+    # unseen bigrams smooth to the add-one limit (0 + V)/(0 + 1)
+    def _lm_heldout(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        return bigram_rarity_score(
+            docs, train_df=deterministic_sample(docs, 0.5, ["doc_id"]))
+    q["lm_bigram_heldout_documents"] = _lm_heldout
     # fastText-style hashed linear classifier inference (hashing
     # trick + mean-pool margin; deterministic pseudo-model — the
     # plumbing, not a trained artifact)
@@ -2482,6 +2490,9 @@ FROM reach GROUP BY node HAVING min(comp) = node
         "documents", k=5, min_df=2)
     o["rarity_documents"] = rarity_score_sql("documents")
     o["lm_bigram_score_documents"] = bigram_rarity_score_sql("documents")
+    o["lm_bigram_heldout_documents"] = bigram_rarity_score_sql(
+        "documents",
+        train_table=f"({deterministic_sample_sql('documents', 0.5, ['doc_id'])})")
     o["quality_classifier_documents"] = hashed_classifier_score_sql(
         "documents", n_buckets=1 << 16)
     o["corpus_profile_documents"] = f"""

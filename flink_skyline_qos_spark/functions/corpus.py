@@ -429,17 +429,17 @@ _BIGRAMS_EXPR = (
 
 
 def bigram_rarity_score(df: DataFrame, *, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        train_df: DataFrame | None = None) -> DataFrame:
     """Per-document mean bigram rarity — the log-free bigram-LM
     perplexity surrogate (the LM quality-filtering axis of CCNet,
-    Wenzek et al. 2020, with the corpus itself as the LM training
-    set; :func:`rarity_score` is the unigram version).
+    Wenzek et al. 2020; :func:`rarity_score` is the unigram version).
 
     For each adjacent token pair (w1, w2), rarity is the inverse of
     the add-one-smoothed conditional probability
     ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)``, i.e.
     ``(c(w1) + V) / (c(w1,w2) + 1)``, where ``c(w1)`` counts w1 as a
-    bigram context over the corpus and ``V`` is the corpus vocabulary
+    bigram context over the LM corpus and ``V`` is the LM vocabulary
     size.  Returns (id, n_bigrams, round(mean rarity, 6)); documents
     with fewer than two tokens get (0, 0.0).  High values flag
     incoherent token sequences (the perplexity signal unigram rarity
@@ -447,37 +447,54 @@ def bigram_rarity_score(df: DataFrame, *, id_col: str = "doc_id",
     Log-free for the same reason as :func:`rarity_score`: a ``log``
     would tie the DuckDB twin to libm rounding.
 
+    ``train_df`` is the LM training corpus (CCNet scores crawl text
+    under a CLEAN reference LM — Wikipedia there); ``None`` trains on
+    `df` itself (self-perplexity: outliers relative to the corpus).
+    Bigrams absent from the LM smooth to ``c(w1,w2) = 0`` and
+    contexts to ``c(w1) = 0`` — rarity ``(0 + V)/(0 + 1) = V`` for a
+    fully-unseen pair, exactly the add-one limit; with
+    ``train_df=None`` every scored bigram is in the LM, so the left
+    joins reduce to the self-trained inner form.
+
     Shape: bigram structs are built per-doc as ONE array expression
     (a ``slice`` + index-lambda ``transform`` — no posexplode
     self-join) and exploded once.  Per-(doc, w1, w2) counts feed the
-    corpus bigram table; the context-count table (≤ vocab rows) and
-    the 1-row vocab size broadcast back.  The (doc-bigram ⋈ corpus-
-    bigram) join shuffles on (w1, w2) — the same key both aggregates
-    already hash on, so AQE coalesces, and nothing wider than
+    LM bigram table; the context-count table (≤ vocab rows) and the
+    1-row vocab size broadcast back.  The (doc-bigram ⋈ LM-bigram)
+    join shuffles on (w1, w2) — the same key both aggregates already
+    hash on, so AQE coalesces, and nothing wider than
     (doc, w1, w2, count) rows ever moves.  Float summation is pinned
     to (w1, w2) order on both engines (the :func:`rarity_score`
     ordered-fold discipline).
     """
-    pairs = (
-        df.select(F.col(id_col).alias("__id"),
-                  _clean_tokens(F.col(text_col)).alias("__w"))
-        .select("__id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
-        .select("__id", F.col("bg.w1").alias("w1"),
-                F.col("bg.w2").alias("w2"))
-    )
-    per_doc = pairs.groupBy("__id", "w1", "w2").agg(
+    def _pairs(src: DataFrame) -> DataFrame:
+        return (
+            src.select(F.col(id_col).alias("__id"),
+                       _clean_tokens(F.col(text_col)).alias("__w"))
+            .select("__id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+            .select("__id", F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2"))
+        )
+
+    per_doc = _pairs(df).groupBy("__id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("n"))
-    c12 = per_doc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    lm = df if train_df is None else train_df
+    if train_df is None:
+        c12 = per_doc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    else:
+        c12 = _pairs(train_df).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    voc = (df.select(F.explode(_clean_tokens(F.col(text_col)))
+    voc = (lm.select(F.explode(_clean_tokens(F.col(text_col)))
                      .alias("token"))
            .agg(F.count_distinct("token").alias("__v")))
     term = (F.col("n")
-            * ((F.col("c1") + F.col("__v")) / (F.col("c12") + 1.0))
+            * ((F.coalesce("c1", F.lit(0)) + F.col("__v"))
+               / (F.coalesce("c12", F.lit(0)) + 1.0))
             ).alias("v")
     scored = (
-        per_doc.join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        per_doc.join(c12, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
         .crossJoin(F.broadcast(voc))
         .select("__id", "n", F.struct("w1", "w2", term).alias("tv"))
         .groupBy("__id")
@@ -501,9 +518,27 @@ def bigram_rarity_score(df: DataFrame, *, id_col: str = "doc_id",
 
 
 def bigram_rarity_score_sql(table: str, *, id_col: str = "doc_id",
-                            text_col: str = "text") -> str:
-    """DuckDB twin of :func:`bigram_rarity_score`."""
+                            text_col: str = "text",
+                            train_table: str | None = None) -> str:
+    """DuckDB twin of :func:`bigram_rarity_score` (``train_table``
+    mirrors ``train_df``; None = self-trained)."""
     w = _CLEAN_TOKENS_SQL.format(c=text_col)
+    if train_table is None:
+        lm_docs = "docs"
+        c12 = ("c12 AS (SELECT w1, w2, sum(n)::BIGINT AS c12 "
+               "FROM per_doc GROUP BY 1, 2)")
+    else:
+        lm_docs = "lm_docs"
+        c12 = f"""lm_docs AS (
+  SELECT {id_col} AS id, {w} AS w FROM {train_table}
+),
+lm_pairs0 AS (
+  SELECT id, unnest(list_transform(range(1, length(w)),
+                i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS bg
+  FROM lm_docs
+),
+c12 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*)::BIGINT AS c12
+        FROM lm_pairs0 GROUP BY 1, 2)"""
     return f"""
 WITH docs AS (
   SELECT {id_col} AS id, {w} AS w FROM {table}
@@ -517,18 +552,19 @@ pairs AS (SELECT id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs0),
 per_doc AS (
   SELECT id, w1, w2, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2, 3
 ),
-c12 AS (SELECT w1, w2, sum(n)::BIGINT AS c12 FROM per_doc GROUP BY 1, 2),
+{c12},
 c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
 voc AS (SELECT count(DISTINCT token)::BIGINT AS v
-        FROM (SELECT unnest(w) AS token FROM docs)),
+        FROM (SELECT unnest(w) AS token FROM {lm_docs})),
 scored AS (
   SELECT id, sum(n)::BIGINT AS n_bigrams,
          round(list_reduce(
                  list_prepend(0.0,
-                   list(n * ((c1 + v) / (c12 + 1.0)) ORDER BY w1, w2)),
+                   list(n * ((coalesce(c1, 0) + v) / (coalesce(c12, 0) + 1.0))
+                        ORDER BY w1, w2)),
                  (a, b) -> a + b) / sum(n), 6)
            AS mean_bigram_rarity
-  FROM per_doc JOIN c12 USING (w1, w2) JOIN c1 USING (w1), voc
+  FROM per_doc LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1), voc
   GROUP BY id
 )
 SELECT d.{id_col},

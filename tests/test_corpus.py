@@ -472,6 +472,55 @@ def test_bigram_rarity_crafted(spark):
     assert out[4].n_bigrams == 0 and out[4].mean_bigram_rarity == 0.0
 
 
+def test_bigram_rarity_heldout_lm(spark):
+    from flink_skyline_qos_spark.functions.corpus import bigram_rarity_score
+
+    train = spark.createDataFrame(
+        [(1, "a b")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_rarity_score(
+        score, train_df=train).collect()}
+    # LM: c12(a,b)=1, c1(a)=1, V=2.  (a,b) -> (1+2)/(1+1) = 1.5;
+    # (b,c) fully unseen -> (0+2)/(0+1) = 2.0; mean 1.75
+    assert out[10].n_bigrams == 2
+    assert out[10].mean_bigram_rarity == pytest.approx(1.75)
+    assert out[11].n_bigrams == 0 and out[11].mean_bigram_rarity == 0.0
+    # train_df=None must equal passing the corpus itself as the LM
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string")
+    a = sorted(tuple(r) for r in bigram_rarity_score(docs).collect())
+    b = sorted(tuple(r) for r in bigram_rarity_score(
+        docs, train_df=docs).collect())
+    assert a == b
+
+
+def test_bigram_rarity_heldout_duckdb_parity(documents, sf_dir):
+    from flink_skyline_qos_spark.functions.corpus import (
+        bigram_rarity_score,
+        bigram_rarity_score_sql,
+    )
+    from flink_skyline_qos_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_sample_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    sp = sorted(
+        (r.doc_id, r.n_bigrams, r.mean_bigram_rarity)
+        for r in bigram_rarity_score(
+            documents,
+            train_df=deterministic_sample(documents, 0.5, ["doc_id"]),
+        ).collect())
+    train = f"({deterministic_sample_sql('documents', 0.5, ['doc_id'])})"
+    dk = sorted(map(tuple, con.sql(bigram_rarity_score_sql(
+        "documents", train_table=train)).fetchall()))
+    assert sp == dk
+
+
 def test_bigram_rarity_duckdb_parity(documents, sf_dir):
     from flink_skyline_qos_spark.functions.corpus import (
         bigram_rarity_score,
