@@ -614,3 +614,60 @@ def test_bm25_topk_all_jvm_broadcast_query_terms(spark):
     assert not any(n in plan for n in _PYTHON_NODES), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_rarity_all_jvm_broadcast_lm_tables(spark):
+    """The bigram-LM scorer is pure Column exprs end-to-end (no Python
+    eval anywhere) and its small LM sides — context counts, vocab
+    scalar — reach the doc-bigram stream as broadcasts, never as
+    shuffled join sides.  Shuffles carry only (doc, w1, w2, count)
+    aggregate rows; the count is pinned so a refactor that re-shuffles
+    the corpus (or drops a broadcast to a sort-merge join) fails here
+    before it becomes a 100 TB regression."""
+    from flink_skyline_qos_spark.functions.corpus import (
+        bigram_rarity_score,
+    )
+
+    plan = _plan(bigram_rarity_score(load_table(spark, SF_DIR,
+                                                "documents")))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", plan,
+                          re.M)) >= 2, plan
+    assert _n_exchanges(plan) <= 9, plan
+
+
+def test_hashed_classifier_all_jvm_model_broadcast(spark):
+    """Classifier inference: hash-trick features and the mean-pool
+    margin are all-JVM; a supplied (bucket, weight) model joins as a
+    BROADCAST hash join (a model is MBs — shuffling the corpus against
+    it would be the classic 100 TB mistake)."""
+    from flink_skyline_qos_spark.functions.corpus import (
+        hashed_classifier_score,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(hashed_classifier_score(docs, n_buckets=1 << 16))
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+    assert _n_exchanges(plan) <= 2, plan
+    w = spark.createDataFrame([(0, 1.0)], "bucket long, weight double")
+    plan = _plan(hashed_classifier_score(docs, weights=w,
+                                         n_buckets=1 << 16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert not any(n in plan for n in _PYTHON_NODES), plan
+
+
+def test_representative_skyline_result_is_local(spark):
+    """The greedy's distributed passes run eagerly (TakeOrdered over
+    the persisted frontier); the RETURNED frame must be the O(k·d)
+    driver-built literal — no lingering lineage over the input, so a
+    caller can join/collect it without re-running the skyline."""
+    from flink_skyline_qos_spark.operators.variants import (
+        representative_skyline,
+    )
+
+    part = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_size", "p_retailprice")
+    plan = _plan(representative_skyline(
+        part, ["p_retailprice", "p_size"], 2, id_col="p_partkey"))
+    assert "Exchange" not in plan, plan
+    assert "Scan parquet" not in plan, plan
