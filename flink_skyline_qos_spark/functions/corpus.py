@@ -588,9 +588,10 @@ def hashed_classifier_score(df: DataFrame, *,
     a trained model at corpus scale.
 
     Features are unigrams plus adjacent word-bigrams, each hashed
-    into ``n_buckets`` via the repo's content-stable md5 bucket (the
-    :func:`~..operators.sampling.hash_bucket` idiom, inlined so the
-    DuckDB twin is parity-by-construction).  The document score is
+    into ``n_buckets`` via the repo's content-stable md5 bucket
+    (:func:`~..operators.sampling.hash_bucket` and its documented
+    bit-identical SQL twin, reused directly so there is ONE copy of
+    the bucketing scheme).  The document score is
     the MEAN weight over feature occurrences plus ``bias`` — the
     pre-link margin.  No sigmoid: the link is monotone, so filter
     thresholds compose with the margin directly, and ``exp`` would
@@ -616,6 +617,8 @@ def hashed_classifier_score(df: DataFrame, *,
     per-doc fold.  The corpus never shuffles text — only
     (doc, bucket, count) triples.
     """
+    from ..operators.sampling import hash_bucket
+
     feats = (
         df.select(F.col(id_col).alias("__id"),
                   _clean_tokens(F.col(text_col)).alias("__w"))
@@ -623,9 +626,7 @@ def hashed_classifier_score(df: DataFrame, *,
             "concat(__w, transform(slice(__w, 1, greatest(size(__w) - 1, 0)), "
             "(x, i) -> concat(x, ' ', __w[i + 1])))")).alias("feat"))
     )
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("feat"))), 1, 8),
-        16, 10).cast("long") % n_buckets).alias("bucket")
+    bucket = (hash_bucket(["feat"], seed) % n_buckets).alias("bucket")
     per_doc = (feats.select("__id", bucket)
                .groupBy("__id", "bucket")
                .agg(F.count(F.lit(1)).alias("n")))
@@ -675,6 +676,8 @@ def hashed_classifier_score_sql(table: str, *, id_col: str = "doc_id",
     ``weights_sql`` is a subquery yielding (bucket, weight) when a
     model frame was passed; None mirrors the pseudo-weight path.
     """
+    from ..operators.sampling import _bucket_sql
+
     w = _CLEAN_TOKENS_SQL.format(c=text_col)
     if weights_sql is None:
         looked = """
@@ -701,8 +704,7 @@ feats AS (
 ),
 per_doc AS (
   SELECT id,
-         ('0x' || substr(md5(concat_ws('|', '{seed}', feat)), 1, 8))::BIGINT
-           % {n_buckets} AS bucket,
+         {_bucket_sql(["feat"], seed)} % {n_buckets} AS bucket,
          count(*)::BIGINT AS n
   FROM feats GROUP BY 1, 2
 ),{looked},

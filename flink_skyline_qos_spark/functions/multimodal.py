@@ -454,7 +454,14 @@ def decode_png(data: bytes) -> "tuple[int, int, 'np.ndarray']":
     w, h, ct = meta
     ch = {0: 1, 2: 3, 6: 4}[ct]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # normalize to the malformed-blob contract every caller's
+        # (ValueError, struct.error) handler honors — a truncated
+        # download must be DROPPED by the decode hosts, not crash the
+        # executor task (round-13 review finding)
+        raise ValueError(f"corrupt PNG: {e}") from None
     if len(raw) != h * (stride + 1):
         raise ValueError("corrupt PNG: scanline size mismatch")
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -704,9 +711,10 @@ def decode_media_real(media: DataFrame) -> DataFrame:
     """REAL decode: sniff each blob's container magic (``BM`` → BMP,
     PNG signature → PNG, ``RIFF`` → WAV/AVI, ``FVID`` → fake video)
     and parse it with the NumPy codecs above — metadata comes only
-    from the BYTES, never from the sidecar columns.  `mean_px` is the mean decoded pixel value / the
-    mean |sample| (true content statistics, not header fields).
-    Undecodable blobs are dropped (the malformed-filter P2 analogue)."""
+    from the BYTES, never from the sidecar columns.  `mean_px` is the
+    mean decoded pixel value / the mean |sample| (true content
+    statistics, not header fields).  Undecodable blobs are dropped
+    (the malformed-filter P2 analogue)."""
     import numpy as np
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -471,6 +471,36 @@ def test_png_rejects_unsupported_and_corrupt():
     assert decode_png(good)[2].shape == (2, 2, 3)
 
 
+def test_png_corrupt_deflate_is_dropped_not_fatal(spark):
+    """A PNG-signed blob with a corrupt IDAT deflate stream must be
+    DROPPED by the decode hosts (the malformed-blob contract), not
+    crash the executor task — zlib.error is normalized to ValueError
+    at the decode_png choke point (round-13 review finding)."""
+    import struct as _struct
+
+    import pytest
+
+    from flink_skyline_qos_spark.functions.multimodal import (
+        _png_chunk,
+        decode_media_real,
+        decode_png,
+        image_ahash,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = (sig
+           + _png_chunk(b"IHDR",
+                        _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + _png_chunk(b"IDAT", b"\xff\xfenot-deflate")
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_png(bad)
+    df = spark.createDataFrame([(1, bytearray(bad))],
+                               "doc_id long, media binary")
+    assert decode_media_real(df).collect() == []
+    assert image_ahash(df).collect() == []
+
+
 def test_png_cross_container_dedup_and_sniffer(spark):
     import numpy as np
 
