@@ -812,3 +812,94 @@ def test_bm25_topk_properties_and_sql_parity(spark, sf_dir):
     got = sorted((r.query_id, r.doc_id, float(r.score), r.rank)
                  for r in rows)
     assert got == want
+
+
+def test_bigram_rarity_matches_bruteforce(spark):
+    """Exact agreement with an independent pure-Python add-one bigram
+    LM over seeded random corpora (both self-trained and held-out)."""
+    import random
+
+    from flink_skyline_qos_spark.functions.corpus import (
+        bigram_rarity_score)
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "dd"]
+        mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+        docs = [(i, mk(rng.randint(0, 6))) for i in range(12)]
+        train = [(100 + i, mk(rng.randint(2, 6))) for i in range(5)]
+
+        def brute(score, lm):
+            from collections import Counter
+            bg = Counter()
+            toks = set()
+            for _i, t in lm:
+                ws = t.split()
+                toks.update(ws)
+                bg.update(zip(ws, ws[1:]))
+            c1 = Counter()
+            for (w1, _w2), n in bg.items():
+                c1[w1] += n
+            v = len(toks)
+            out = {}
+            for i, t in score:
+                ws = t.split()
+                pairs = sorted(zip(ws, ws[1:]))
+                if not pairs:
+                    out[i] = (0, 0.0)
+                    continue
+                s = 0.0
+                for p in sorted(set(pairs)):
+                    n = pairs.count(p)
+                    s += n * ((c1.get(p[0], 0) + v)
+                              / (bg.get(p, 0) + 1.0))
+                out[i] = (len(pairs), round(s / len(pairs), 6))
+            return out
+
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        tdf = spark.createDataFrame(train, "doc_id long, text string")
+        for train_df, lm in ((None, docs), (tdf, train)):
+            want = brute(docs, lm)
+            got = {r.doc_id: (r.n_bigrams, r.mean_bigram_rarity)
+                   for r in bigram_rarity_score(
+                       sdf, train_df=train_df).collect()}
+            assert got == want, f"seed={seed} heldout={train_df is not None}"
+
+
+def test_hashed_classifier_matches_bruteforce(spark):
+    """Exact agreement with a pure-Python mirror of the md5 hash
+    trick + pseudo-weights + ordered mean-pool."""
+    import hashlib
+    import random
+
+    from flink_skyline_qos_spark.functions.corpus import (
+        hashed_classifier_score)
+
+    n_buckets, seed_h, bias = 1 << 16, 7, -0.1
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "zz"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 5))))
+            for i in range(15)]
+
+    def bucket(feat):
+        h = hashlib.md5(f"{seed_h}|{feat}".encode()).hexdigest()
+        return int(h[:8], 16) % n_buckets
+
+    def brute(text):
+        ws = text.split()
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if not feats:
+            return 0, round(bias, 6)
+        from collections import Counter
+        per = Counter(bucket(f) for f in feats)
+        s = sum(n * (((b * 2654435761) % 1000003) / 1000003 - 0.5)
+                for b, n in sorted(per.items()))
+        return len(feats), round(s / len(feats) + bias, 6)
+
+    want = {i: brute(t) for i, t in docs}
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_feats, r.margin)
+           for r in hashed_classifier_score(
+               sdf, n_buckets=n_buckets, bias=bias).collect()}
+    assert got == want

@@ -565,3 +565,44 @@ def test_representative_skyline_duckdb_parity(spark, sf_dir):
         ["p_retailprice", "p_size"], 3,
         id_col="p_partkey")).fetchall())
     assert a == want
+
+
+def test_representative_skyline_matches_bruteforce_greedy(spark):
+    """Exact agreement with an independent pure-Python implementation
+    of the same greedy (seed = min (dim-sum, id); next = farthest
+    squared distance, ties by (dim-sum, id)) across seeded random
+    datasets — catches any divergence in seeding, tie-breaks, or the
+    radius aggregate that the crafted cases might miss."""
+    import random
+
+    from flink_skyline_qos_spark.operators.variants import (
+        representative_skyline)
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        pts = [(i, float(rng.randint(0, 12)), float(rng.randint(0, 12)))
+               for i in range(30)]
+        # brute-force skyline (strict dominance, minimization)
+        sky = [p for p in pts
+               if not any(q[1] <= p[1] and q[2] <= p[2]
+                          and (q[1] < p[1] or q[2] < p[2])
+                          for q in pts)]
+
+        def d2(a, b):
+            return (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+
+        k = 3
+        centers = [min(sky, key=lambda p: (p[1] + p[2], p[0]))]
+        while len(centers) < k:
+            centers.append(max(
+                sky, key=lambda p: (min(d2(p, c) for c in centers),
+                                    -(p[1] + p[2]), -p[0])))
+        radius2 = round(max(min(d2(p, c) for c in centers)
+                            for p in sky), 6)
+        want = sorted((i + 1, c[0], c[1], c[2], radius2)
+                      for i, c in enumerate(centers))
+
+        df = spark.createDataFrame(pts, "id bigint, x double, y double")
+        got = sorted(tuple(r) for r in representative_skyline(
+            df, ["x", "y"], k, id_col="id").collect())
+        assert got == want, f"seed={seed}: {got} != {want}"
