@@ -27,6 +27,7 @@ mandates beyond the reference surface.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -110,12 +111,19 @@ def _cc_driver_label(e: DataFrame, *, nodes: DataFrame | None,
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
-    lab_rows = [(n, find(n)) for n in parent]
     spark = e.sparkSession
     utype = e.schema["u"].dataType
     lab_schema = StructType([StructField("node", utype),
                              StructField("component", utype)])
-    lab = spark.createDataFrame(lab_rows, lab_schema)
+    # Arrow path for the write-back (optimization r13): a pandas frame
+    # rides spark.sql.execution.arrow.pyspark.enabled, where the
+    # list-of-tuples form pickles row by row — the driver dispatch now
+    # covers graphs to 500k edges (≈1M labels) and the pickle path was
+    # becoming the arm's own bottleneck there.
+    nodes_l = list(parent)
+    lab_pdf = pd.DataFrame({"node": nodes_l,
+                            "component": [find(n) for n in nodes_l]})
+    lab = spark.createDataFrame(lab_pdf, lab_schema)
     members = e.select(F.col("u").alias("node")) \
         .union(e.select(F.col("v").alias("node"))).distinct()
     if nodes is not None:
@@ -135,7 +143,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          node_col: str | None = None,
                          max_iter: int = 50,
                          checkpoint_dir: str | None = None,
-                         driver_threshold: int = 65536) -> DataFrame:
+                         driver_threshold: int = 500_000) -> DataFrame:
     """(node, component) for every node, component = min node id reachable.
 
     ``nodes`` (single-column unless ``node_col`` names one) adds
@@ -144,9 +152,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Hybrid dispatch: when the canonical edge set is at most
     `driver_threshold` pairs, the components are computed with a
     driver-side union-find over the collected pairs (bounded state:
-    64k pairs ≈ 1 MB) and the labels broadcast back — replacing 3-5
-    star-contraction rounds (a job + checkpoint each) with one
-    collect.  Identical output (min-label semantics both ways).  The
+    500k pairs ≈ 8 MB collected, ≪ the 64 MB the broadcast-verify
+    skyline path already budgets for driver-held candidate values)
+    and the labels broadcast back — replacing 3-5 star-contraction
+    rounds (a job + checkpoint each) with one collect.  The threshold
+    was 64k through round 12; measured at 99,999 edges (the 1M-doc
+    dedup pipeline), the distributed rounds cost 11.3 s where the
+    driver path is ~1 s (optimization r13) — the star-contraction
+    machinery only starts paying for itself well past the point where
+    per-round job overhead stops dominating.  Identical output (min-label semantics both ways).  The
     probe's canonicalization (distinct exchange) is computed ONCE and
     persisted: under the threshold it is what the union-find collects;
     above the threshold — the 100 TB regime — the same persisted frame

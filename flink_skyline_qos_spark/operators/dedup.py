@@ -278,28 +278,40 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                                 for r in range(rows_per_band)])).alias("bucket")
         for b in range(bands)
     ]
+    # SKINNY banding (optimization r13, guide §2.3/§8: shuffle keys,
+    # not payloads): the band frame carries (id, band, bucket) ONLY —
+    # the 64-long signature array (~0.5 KB/row) previously rode the
+    # band explode, the bucket-cap join AND both sides of the
+    # candidate self-join (≈ bands× the corpus, twice), when every
+    # placement decision needs just 20 B/row.  Signatures are attached
+    # AFTER the candidate pairs are deduplicated, by joining the
+    # persisted sig table back on each id — |pairs| rows instead of
+    # bands×|corpus|.
     banded = sig.select(
-        "id", "sig",
+        "id",
         F.posexplode(F.array(*[F.struct(F.lit(b).alias("band"), c)
                                for b, c in enumerate(band_cols)]))
         .alias("pos", "bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"),
+    ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
-    # cap pathological buckets before the self-join
+    # cap pathological buckets before the self-join.  Filter via a
+    # broadcast ANTI-join against the OVER-cap buckets: that set is
+    # ~empty on healthy corpora, where the old keep-side broadcast
+    # materialized every distinct (band, bucket) — bands×|corpus|
+    # entries — on the driver and in every task's hash relation.
+    # Identical semantics: every banded row's key occurs in `sizes` by
+    # construction, so NOT-in-bad ⇔ in-ok.
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     dropped = _dropped_bucket_stats(sizes, max_bucket)
-    banded = banded.join(
-        F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n")),
-        ["band", "bucket"],
-    )
+    bad = sizes.filter(F.col("n") > max_bucket).select("band", "bucket")
+    banded = banded.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.aggregate(
@@ -307,7 +319,14 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v,
     ) / F.lit(float(num_hashes))
-    out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    out = (
+        pairs
+        .join(sig.select(F.col("id").alias("id_a"),
+                         F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"),
+                         F.col("sig").alias("sig_b")), "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     out.lsh_dropped = dropped
@@ -716,12 +735,14 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
             .alias("bucket")
             for b in range(bands)
         ]
+        # SKINNY banding (optimization r13, guide §2.3): band rows
+        # carry (id, band, bucket) only — see minhash_lsh_pairs.
         banded = sig.select(
-            "id", "sig",
+            "id",
             F.posexplode(F.array(*[F.struct(F.lit(b).alias("band"), c)
                                    for b, c in enumerate(band_cols)]))
             .alias("pos", "bb"),
-        ).select("id", "sig", F.col("bb.band").alias("band"),
+        ).select("id", F.col("bb.band").alias("band"),
                  F.col("bb.bucket").alias("bucket"))
         return sig, banded
 
@@ -731,18 +752,19 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
              .unionByName(o_banded.select("band", "bucket"))
              .groupBy("band", "bucket").agg(F.count("*").alias("n")))
     dropped = _dropped_bucket_stats(sizes, max_bucket)
-    ok = F.broadcast(sizes.filter(F.col("n") <= max_bucket).drop("n"))
-    n_ok = n_banded.join(ok, ["band", "bucket"])
-    o_ok = o_banded.join(ok, ["band", "bucket"])
+    # broadcast anti-join against the (normally ~empty) over-cap
+    # bucket set instead of a keep-side broadcast of every distinct
+    # bucket — see minhash_lsh_pairs
+    bad = sizes.filter(F.col("n") > max_bucket).select("band", "bucket")
+    n_ok = n_banded.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
+    o_ok = o_banded.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
     pairs = (
         n_ok.alias("x").join(
             o_ok.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket")))
         .select(F.col("x.id").alias("new_id"),
-                F.col("y.id").alias("old_id"),
-                F.col("x.sig").alias("sig_a"),
-                F.col("y.sig").alias("sig_b"))
+                F.col("y.id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
     )
     est = F.aggregate(
@@ -750,7 +772,14 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v,
     ) / F.lit(float(num_hashes))
-    out = pairs.select("new_id", "old_id", est.alias("est_jaccard"))
+    out = (
+        pairs
+        .join(n_sig.select(F.col("id").alias("new_id"),
+                           F.col("sig").alias("sig_a")), "new_id")
+        .join(o_sig.select(F.col("id").alias("old_id"),
+                           F.col("sig").alias("sig_b")), "old_id")
+        .select("new_id", "old_id", est.alias("est_jaccard"))
+    )
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     out.lsh_dropped = dropped
@@ -1336,16 +1365,26 @@ def substring_remove(df: DataFrame, *, id_col: str = "doc_id",
          .filter(F.col("id_a") < F.col("id_b"))
          .select("id_a", "id_b", "pa",
                  (F.col("pa") - F.col("pb")).alias("off")))
+    # Pin the (tiny — one row per detected island) run set: the removal
+    # tail reads it TWICE (the affected-doc semi-join and the position
+    # marks), and unpinned each read re-derived the ENTIRE pair front
+    # end — explode, df-cap, fingerprint self-join, islands window —
+    # doubling the operator (optimization r13; A/B in
+    # OPTIMIZATION_r13.md).  Eager count follows the house persist
+    # discipline (two lazy readers under one action race the cache
+    # population); released when the result frame is dropped.
     iv = (_match_islands(m, kk)
           .filter(F.col("span") >= int(min_span))
           .select(F.col("id_b").alias("id"),
-                  (F.col("a_start") - F.col("off")).alias("s"), "span"))
+                  (F.col("a_start") - F.col("off")).alias("s"), "span")
+          ).persist()
+    iv.count()
     dup_pos = iv.select(
         "id", F.explode(F.sequence(
             F.col("s"), F.col("s") + F.col("span") - 1)).alias("pos")
     ).distinct()
     toks, n_tok, sep = _unit_tok_exprs(text_col, unit)
-    affected = (df.join(dup_pos.select("id").distinct(),
+    affected = (df.join(iv.select("id").distinct(),
                         F.col(id_col) == F.col("id"), "left_semi")
                 .select(F.col(id_col).alias("id"),
                         F.posexplode(toks).alias("pos", "tok")))
@@ -1358,13 +1397,15 @@ def substring_remove(df: DataFrame, *, id_col: str = "doc_id",
                         lambda x: x["tok"]), sep).alias("__clean"),
         F.sum(F.col("__dup").isNotNull().cast("long"))
         .alias("__removed"))
-    return (df.join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
-            .select(id_col,
-                    F.coalesce("__clean", F.col(text_col))
-                    .alias("clean_text"),
-                    n_tok.alias("n_tokens"),
-                    F.coalesce("__removed", F.lit(0)).cast("long")
-                    .alias("n_removed")))
+    return release_on_gc(
+        df.join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+        .select(id_col,
+                F.coalesce("__clean", F.col(text_col))
+                .alias("clean_text"),
+                n_tok.alias("n_tokens"),
+                F.coalesce("__removed", F.lit(0)).cast("long")
+                .alias("n_removed")),
+        iv)
 
 
 def _substr_tp_cte(table: str, id_col: str, text_col: str,
@@ -1630,16 +1671,20 @@ def substring_scrub(corpus: DataFrame, bench: DataFrame, *,
     m = (a.join(b, "h")
          .select("id_a", "id_b", "pa",
                  (F.col("pa") - F.col("pb")).alias("off")))
+    # Pin the tiny islands frame — its two downstream readers otherwise
+    # each re-derive the full corpus×bench match front end (see
+    # substring_remove; optimization r13).
     iv = (_match_islands(m, kk)
           .filter(F.col("span") >= int(min_span))
           .select(F.col("id_a").alias("id"),
-                  F.col("a_start").alias("s"), "span"))
+                  F.col("a_start").alias("s"), "span")).persist()
+    iv.count()
     dup_pos = iv.select(
         "id", F.explode(F.sequence(
             F.col("s"), F.col("s") + F.col("span") - 1)).alias("pos")
     ).distinct()
     toks, n_tok, sep = _unit_tok_exprs(text_col, unit)
-    affected = (corpus.join(dup_pos.select("id").distinct(),
+    affected = (corpus.join(iv.select("id").distinct(),
                             F.col(id_col) == F.col("id"), "left_semi")
                 .select(F.col(id_col).alias("id"),
                         F.posexplode(toks).alias("pos", "tok")))
@@ -1652,13 +1697,15 @@ def substring_scrub(corpus: DataFrame, bench: DataFrame, *,
                         lambda x: x["tok"]), sep).alias("__clean"),
         F.sum(F.col("__dup").isNotNull().cast("long"))
         .alias("__removed"))
-    return (corpus.join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
-            .select(id_col,
-                    F.coalesce("__clean", F.col(text_col))
-                    .alias("clean_text"),
-                    n_tok.alias("n_tokens"),
-                    F.coalesce("__removed", F.lit(0)).cast("long")
-                    .alias("n_removed")))
+    return release_on_gc(
+        corpus.join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+        .select(id_col,
+                F.coalesce("__clean", F.col(text_col))
+                .alias("clean_text"),
+                n_tok.alias("n_tokens"),
+                F.coalesce("__removed", F.lit(0)).cast("long")
+                .alias("n_removed")),
+        iv)
 
 
 def substring_scrub_sql(corpus: str, bench: str, *,
