@@ -11,6 +11,7 @@ every registered workload present and worst-case-width timing values.
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -280,17 +281,20 @@ def test_steady_floor_reads_driver_wrapper_shape(tmp_path, monkeypatch):
     assert floor == {"qa": 8.0, "qb": 3.0}
 
 
-def test_host_calibration_is_fast_and_stable():
-    """The GEMM fingerprint must cost well under a second and repeat
-    within a loose bound on a shared host — it is a regime
-    fingerprint, not a benchmark row.  min-of-3 per sample + a 4x
-    repeatability bound absorb the 2-3x contention swings this repo
-    documents (ADVICE r12: the old single-shot 2x bound was a
-    plausible intermittent flake)."""
+def test_host_calibration_is_fast_and_sane():
+    """The GEMM fingerprint must cost well under a second per sample —
+    it is a regime fingerprint, not a benchmark row.  The cross-batch
+    repeatability assert that used to live here flaked through three
+    rounds of loosening (single-shot 2x -> min-of-3 4x, still red on
+    the round-13 driver host): wall-clock repeatability of a shared
+    host is NOT a property of this code and must not gate the suite
+    (VERDICT r13 item 1).  Builders can opt back in on a quiet host
+    with SPARK_GRAFT_STRICT_CALIB=1."""
     a = min(bench.host_calibration() for _ in range(3))
     b = min(bench.host_calibration() for _ in range(3))
     assert 0.0 < a < 2.0 and 0.0 < b < 2.0
-    assert max(a, b) <= 4.0 * max(min(a, b), 0.05)
+    if os.environ.get("SPARK_GRAFT_STRICT_CALIB"):
+        assert max(a, b) <= 4.0 * max(min(a, b), 0.05)
 
 
 def test_emit_includes_calibration(capsys):
