@@ -52,24 +52,25 @@ HEADLINE = [
     "streaming_paragraph_admission_documents",
     # round-8: the composed ingest capstone (gate -> span dedup)
     "streaming_ingest_pipeline_documents",
-    # round-11 rotation (the scheduled every-third-round re-time,
-    # VERDICT r10 #1): the 15 rows rotated out in round 10 swap back IN
-    # so BENCH_r11 re-times them against their recorded steady values
-    "paragraph_dedup_documents",
-    "c4_filter_documents",
-    "passage_contamination_documents",
-    "pack_sequences_documents",
-    "text_stats_documents",
-    "tfidf_documents",
-    "contamination_documents",
-    "temperature_sample_documents",
-    "funnel_events",
-    "retention_events",
-    "mad_outliers_events",
-    "quantile_bins_events",
-    "zorder_keys_lineitem",
-    "latest_events_per_user",
-    "corr_profile_lineitem",
+    # round-14 rotation (the scheduled every-third-round re-time,
+    # VERDICT r13 #7 / BENCHMARKS.md "r14 rotation swap plan"): the 15
+    # rows rotated out in round 11 swap back IN so BENCH_r14 re-times
+    # them against their recorded r8-r10 steady bands
+    "hll_users_events",
+    "quantile_sketch_events",
+    "grouped_skyline_events",
+    "ann_topk_embeddings",
+    "ann_topk_gemm_embeddings",
+    "count_min_tokens_documents",
+    "triangles_suppliers",
+    "media_decode_real_documents",
+    "knn_graph_embeddings",
+    "kmeans_clusters_embeddings",
+    "pq_codes_embeddings",
+    "skyline_3d_tree_merge_lineitem",
+    "bloom_semi_join_orders",
+    "skyline_layers_lineitem",
+    "skyline_delta_delete_lineitem",
 ]
 
 # Long-stable rows rotated OUT of HEADLINE to keep the output line
@@ -81,24 +82,25 @@ HEADLINE = [
 # recorded in BENCHMARKS.md and their correctness stays gated every
 # round via queries()/oracle_sql().
 ROTATED_OUT = [
-    # round-11 rotations: stable low-variance rows for >=2 straight
-    # rounds, swapped out 1:1 for the returning round-10 set above
-    # (steady bands from BENCH_r08-r10)
-    "hll_users_events",               # 0.21-0.30 s r8-r10
-    "quantile_sketch_events",         # 0.36-0.51 s r8-r10
-    "grouped_skyline_events",         # 0.55-0.58 s r8-r10
-    "ann_topk_embeddings",            # 0.41-0.50 s r8-r10
-    "ann_topk_gemm_embeddings",       # 0.48-0.56 s r8-r10
-    "count_min_tokens_documents",     # 0.60-0.75 s r8-r10
-    "triangles_suppliers",            # 0.69-0.86 s r8-r10
-    "media_decode_real_documents",    # 0.65-0.73 s r8-r10
-    "knn_graph_embeddings",           # 0.91-1.46 s r8-r10
-    "kmeans_clusters_embeddings",     # 1.23-1.68 s r8-r10
-    "pq_codes_embeddings",            # 1.59-1.92 s r8-r10
-    "skyline_3d_tree_merge_lineitem", # 1.95-2.45 s r8-r10
-    "bloom_semi_join_orders",         # 1.81-2.51 s r8-r10
-    "skyline_layers_lineitem",        # 2.77-2.89 s r8-r10
-    "skyline_delta_delete_lineitem",  # 1.73-2.18 s r8-r10
+    # round-14 rotations (1:1 swap with the returning round-11 set
+    # above, per BENCHMARKS.md "r14 rotation swap plan"): the 15
+    # returning-r10 rows were stable and sub-2 s for rounds 11-13;
+    # steady bands from BENCH_r11-r13 recorded per row
+    "paragraph_dedup_documents",      # 0.3 s r11-r13
+    "c4_filter_documents",            # 0.3-0.4 s r11-r13
+    "passage_contamination_documents",  # 0.4-0.5 s r11-r13
+    "pack_sequences_documents",       # 1.2-1.5 s r11-r13
+    "text_stats_documents",           # 0.5 s r11-r13
+    "tfidf_documents",                # 1.0-1.1 s r11-r13
+    "contamination_documents",        # 0.4 s r11-r13
+    "temperature_sample_documents",   # 0.4 s r11-r13
+    "funnel_events",                  # 0.3-0.4 s r11-r13
+    "retention_events",               # 0.4-0.5 s r11-r13
+    "mad_outliers_events",            # 0.5 s r11-r13
+    "quantile_bins_events",           # 0.5 s r11-r13
+    "zorder_keys_lineitem",           # 0.3-0.4 s r11-r13
+    "latest_events_per_user",         # 0.2 s r11-r13
+    "corr_profile_lineitem",          # 0.6 s r11-r13
 ]
 
 
@@ -185,30 +187,43 @@ def host_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def load_ctx_start() -> tuple:
+def load_ctx_start(calib: bool = False) -> tuple:
     """Snapshot host load context before a bench row (VERDICT r11 #1:
     driver-run regressions must be attributable in-artifact — whichever
     block runs in the shared host's contended window reads 2-3x high,
-    and adjudication previously required builder quiet re-sweeps)."""
-    return (os.getloadavg()[0], _cpu_snap())
+    and adjudication previously required builder quiet re-sweeps).
+
+    ``calib=True`` (the long scale-family rows, VERDICT r13 #6)
+    additionally brackets the row with the GEMM host fingerprint: the
+    sweep-start ``calib_sec`` is a single stale sample over an
+    hour-scale run, so a long row's load context carries its OWN
+    before/after fingerprint — annotation only, never used to skip or
+    re-time a sample."""
+    return (os.getloadavg()[0], _cpu_snap(),
+            host_calibration() if calib else None)
 
 
 def load_ctx_end(start: tuple) -> "list[float]":
-    """[loadavg_pre, loadavg_post, host_busy_cores] for one bench row.
+    """[loadavg_pre, loadavg_post, host_busy_cores(, calib_pre,
+    calib_post)] for one bench row.
 
     host_busy_cores = host-WIDE CPU busy fraction over the row's wall
     time × cpu count, from /proc/stat deltas — unlike the 1-min
     loadavg (which lags short rows), this is exact over the row's own
     window: a 3 s-steady row reading 9 s with busy-cores well above
     what local[32] can drive is attributed to external contention by
-    the artifact alone."""
-    pre, snap0 = start
+    the artifact alone.  Rows bracketed with ``calib=True`` append
+    their before/after GEMM fingerprints (quiet host ≈0.09 s; the
+    degraded page-fault regime reads 0.3-0.9 s)."""
+    pre, snap0, calib0 = start
     post = os.getloadavg()[0]
     out = [round(pre, 1), round(post, 1)]
     snap1 = _cpu_snap()
     if snap0 and snap1 and snap1[0] > snap0[0]:
         dt, di = snap1[0] - snap0[0], snap1[1] - snap0[1]
         out.append(round((dt - di) / dt * (os.cpu_count() or 1), 1))
+    if calib0 is not None:
+        out += [calib0, host_calibration()]
     return out
 
 
@@ -568,7 +583,7 @@ def _dedup_scale_rows(spark, cpus, timings, loads, unconverged,
                                   doc_len=30, dup="near",
                                   num_partitions=2 * cpus).persist()
         docs.count()
-        ctx = load_ctx_start()
+        ctx = load_ctx_start(calib=True)
         best, runs, n, _ = sample_pinned(name, docs, run_count, max_s,
                                          steady, floor_exited,
                                          unconverged)
@@ -727,7 +742,7 @@ def _scale_workloads(spark, cpus, timings, loads, unconverged,
         # pinned input untouched.
         pts = base.persist()
         pts.count()  # materialize generation outside the timed skyline
-        ctx = load_ctx_start()
+        ctx = load_ctx_start(calib=True)
         # 100M rows get 6 samples (vs 4): the samples are cheap
         # relative to generation (already outside the timed region) and
         # anticorr_100m_2d was flagged unconverged by the driver three

@@ -50,6 +50,27 @@ __all__ = [
 # inside the JVM expression (the base hash is first reduced with pmod).
 _MERSENNE = (1 << 31) - 1
 
+# Per-WORKER scratch for the minhash fold (guide §4.5): reused Python
+# workers (spark.python.worker.reuse, on by default) keep module state
+# across tasks, so the ~128 MB permutation scratch is faulted in once
+# per worker lifetime instead of once per task (measured ~1.1 s of
+# page-fault stall per fresh allocation on the bench host — the
+# dominant per-task cost at small inputs).  PID-guarded: a forked
+# worker must not inherit a buffer another process is writing.
+_FOLD_SCRATCH: "dict[tuple[int, int], np.ndarray]" = {}
+
+
+def _fold_scratch(n_elems: int) -> np.ndarray:
+    import os as _os
+
+    key = (_os.getpid(), n_elems)
+    buf = _FOLD_SCRATCH.get(key)
+    if buf is None:
+        _FOLD_SCRATCH.clear()  # stale PIDs / other shapes: drop
+        buf = np.empty(n_elems, dtype=np.int64)
+        _FOLD_SCRATCH[key] = buf
+    return buf
+
 
 def _md5_long(col: Column) -> Column:
     """60-bit integer hash from the md5 hex prefix — engine-portable.
@@ -149,54 +170,101 @@ def minhash_signature(base_hashes: Column, num_hashes: int = 64, *,
     )
 
 
-def _minhash_fold_np(num_hashes: int, seed: int):
-    """mapInPandas kernel: (id, base-hash array) → (id, signature array).
+def _minhash_fold_arrow(num_hashes: int, seed: int):
+    """mapInArrow kernel: (id, base-hash array) → (id, signature array).
 
-    Fully vectorized ACROSS rows: the batch's shingle-hash arrays are
-    concatenated into one flat vector, all permutations evaluated as a
-    single (num_hashes × total_shingles) broadcast, and the per-row
-    minima taken with one segmented ``np.minimum.reduceat`` — no
-    per-row Python loop (the loop form measured ~10× slower at ~300
-    shingles/doc: per-row array conversion + kernel dispatch dominate).
-    Same arithmetic as :func:`minhash_signature`'s JVM fold
-    ((a·h + b) mod p, elementwise min); signatures are bit-identical
-    between the two paths.  Rows are sub-chunked so the permutation
-    matrix stays bounded (~128 MB) regardless of Arrow batch size.
+    Fully vectorized ACROSS rows with zero Python-loop row work: the
+    list column's flat int64 value buffer and offsets are taken
+    zero-copy from Arrow, all permutations evaluated as a
+    (num_hashes × chunk_shingles) broadcast, and the per-row minima
+    taken with one segmented ``np.minimum.reduceat``.  Same arithmetic
+    as :func:`minhash_signature`'s JVM fold ((a·h + b) mod p,
+    elementwise min); signatures are bit-identical between the paths.
+
+    Optimization r14 (guide §4.2): the permutation matrix is a
+    PREALLOCATED per-task scratch buffer written with ``out=`` /
+    in-place ops, and the output rides Arrow buffers directly
+    (``ListArray.from_arrays`` over the flat sig matrix) instead of
+    ``tolist()`` + pandas.  The prior pandas kernel allocated fresh
+    ~128 MB temporaries per sub-chunk — three per expression — whose
+    mmap/page-fault cost dominated the stage ~8:1 over the actual
+    int64 math (measured: 100M-element int64 multiply 0.16 s into a
+    warm buffer vs 7 s freshly allocated on the bench host; the 1M-doc
+    signature stage fell 54 → ~15 s end to end, fold overhead over the
+    JVM hashing 42 → 4 s).  Rows are chunked so
+    the scratch stays bounded (~128 MB) regardless of batch size.
     """
     params = _hash_params(num_hashes, seed)
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
     max_flat = max(2**24 // num_hashes, 1024)  # shingles per sub-chunk
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def _sigs_for(lens: np.ndarray, offs: np.ndarray, vals: np.ndarray,
+                  scratch: np.ndarray) -> np.ndarray:
+        n = len(lens)
+        sigs = np.full((n, num_hashes), _MERSENNE, dtype=np.int64)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=cum[1:])
+        lo = 0
+        while lo < n:
+            # largest hi with ≤ max_flat shingles in rows [lo, hi)
+            hi = int(np.searchsorted(cum, cum[lo] + max_flat,
+                                     side="right")) - 1
+            if hi <= lo:
+                hi = lo + 1  # one oversize row forms its own chunk
+            nz = np.flatnonzero(lens[lo:hi]) + lo
+            if nz.size:
+                flat = vals[offs[lo]:offs[hi]]
+                m = flat.size
+                # contiguous (num_hashes × m) view of the flat scratch
+                t = (scratch[:num_hashes * m].reshape(num_hashes, m)
+                     if num_hashes * m <= scratch.size
+                     else np.empty((num_hashes, m), dtype=np.int64))
+                # h < p < 2³¹ and a < p ⇒ a·h < 2⁶² — no overflow
+                np.multiply(a, flat[None, :], out=t)
+                t += b
+                t %= _MERSENNE
+                starts = offs[nz] - offs[lo]
+                sigs[nz] = np.minimum.reduceat(t, starts, axis=1).T
+            lo = hi
+        return sigs
+
+    def fn(batches):
+        import pyarrow as pa
+
+        scratch = _fold_scratch(num_hashes * max_flat)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            arrs = [np.asarray(h, dtype=np.int64)
-                    if h is not None else np.empty(0, np.int64)
-                    for h in pdf["__h"]]
-            lens = np.array([len(x) for x in arrs], dtype=np.int64)
-            sigs = np.full((len(arrs), num_hashes), _MERSENNE,
-                           dtype=np.int64)
-            lo = 0
-            while lo < len(arrs):
-                hi = lo
-                tot = 0
-                while hi < len(arrs) and (tot == 0 or
-                                          tot + lens[hi] <= max_flat):
-                    tot += lens[hi]
-                    hi += 1
-                nz = np.flatnonzero(lens[lo:hi]) + lo
-                if nz.size:
-                    flat = np.concatenate([arrs[i] for i in nz])
-                    # h < p < 2³¹ and a < p ⇒ a·h < 2⁶² — no overflow
-                    ph = (a * flat[None, :] + b) % _MERSENNE
-                    starts = np.zeros(nz.size, dtype=np.int64)
-                    starts[1:] = np.cumsum(lens[nz])[:-1]
-                    sigs[nz] = np.minimum.reduceat(ph, starts, axis=1).T
-                lo = hi
-            yield pd.DataFrame({"id": pdf["id"],
-                                "sig": [s.tolist() for s in sigs]})
+            names = batch.schema.names
+            ids = batch.column(names.index("id"))
+            h = batch.column(names.index("__h"))
+            if h.null_count == 0:
+                # fast path: flat values + offsets, both zero-copy.
+                # Offsets are absolute into the (unsliced) child, so
+                # this is slice-safe.
+                offs = h.offsets.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64, copy=False)
+                vals = h.values.to_numpy(zero_copy_only=False)
+                lens = offs[1:] - offs[:-1]
+            else:
+                # null rows get the empty signature, like the old
+                # kernel; rebuild a compact (vals, offs) without them
+                # (rare path — per-row as_py is fine here)
+                arrs = [np.asarray(x.as_py() or (), dtype=np.int64)
+                        for x in h]
+                lens = np.array([len(x) for x in arrs], dtype=np.int64)
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                vals = (np.concatenate(arrs) if offs[-1]
+                        else np.empty(0, np.int64))
+            sigs = _sigs_for(lens, offs, vals, scratch)
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * num_hashes),
+                pa.array(sigs.reshape(-1)))
+            yield pa.RecordBatch.from_arrays([ids, sig_col],
+                                             ["id", "sig"])
 
     return fn
 
@@ -239,6 +307,14 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     carries a lazy companion ``result.lsh_dropped`` — one row
     ``(dropped_buckets, dropped_rows, dropped_pairs)`` aggregating the
     over-cap buckets — that costs nothing unless counted.
+
+    PRECONDITION: `id_col` must be unique per row (ADVICE r13).  The
+    skinny-banding join-back attaches signatures by joining the sig
+    table on each pair id; a duplicated id would multiply pair rows at
+    that join (the pre-r13 sig-carrying plan emitted exactly one row
+    per deduped pair).  Every registered caller feeds doc_id/row_id
+    keys that are unique by construction.  Applies equally to
+    :func:`minhash_lsh_pairs_cross`.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -259,8 +335,8 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
                         probe=df) \
         .select("id", shingle_hashes(sh_of("__t")).alias("__h"))
     if impl == "numpy":
-        sig = hashed.mapInPandas(
-            _minhash_fold_np(num_hashes, seed),
+        sig = hashed.mapInArrow(
+            _minhash_fold_arrow(num_hashes, seed),
             schema="id long, sig array<long>").persist()
     else:
         sig = hashed.select(
@@ -294,6 +370,17 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
         .alias("pos", "bb"),
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    # ONE shuffle for the whole banded subtree (optimization r14, guide
+    # §2.1): hash-partition the skinny band frame by its join/group key
+    # ONCE and pin it.  Its three consumers — the bucket-size
+    # aggregation, and both sides of the candidate self-join — each
+    # required their own full exchange of the bands×|corpus| frame
+    # (ReusedExchange did not fire across the agg/join boundary:
+    # 374 MB + 374 MB + 207 MB shuffle writes at 1M docs), where every
+    # one of them clusters by exactly (band, bucket).  The persisted
+    # partitioning satisfies all three downstream distribution
+    # requirements, so they run exchange-free off the cache.
+    banded = banded.repartition("band", "bucket").persist()
     # cap pathological buckets before the self-join.  Filter via a
     # broadcast ANTI-join against the OVER-cap buckets: that set is
     # ~empty on healthy corpora, where the old keep-side broadcast
@@ -330,7 +417,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     out.lsh_dropped = dropped
-    return release_on_gc(out, sig)
+    return release_on_gc(out, sig, banded)
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -659,8 +746,8 @@ def minhash_signatures(df: DataFrame, *, id_col: str = "doc_id",
     hashed = _scale_out(df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t"),
     ), probe=df).select("id", shingle_hashes(sh).alias("__h"))
-    return hashed.mapInPandas(
-        _minhash_fold_np(num_hashes, seed),
+    return hashed.mapInArrow(
+        _minhash_fold_arrow(num_hashes, seed),
         schema="id long, sig array<long>") \
         .withColumnRenamed("id", id_col)
 
@@ -723,8 +810,8 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
                 F.col(id_col).alias("id"),
                 F.col(text_col).alias("__t"),
             ), probe=df).select("id", shingle_hashes(sh).alias("__h"))
-            sig = hashed.mapInPandas(
-                _minhash_fold_np(num_hashes, seed),
+            sig = hashed.mapInArrow(
+                _minhash_fold_arrow(num_hashes, seed),
                 schema="id long, sig array<long>").persist()
         sig.count()
         band_cols = [
@@ -744,6 +831,9 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
             .alias("pos", "bb"),
         ).select("id", F.col("bb.band").alias("band"),
                  F.col("bb.bucket").alias("bucket"))
+        # one exchange per side, reused by the size agg and the cross
+        # join (optimization r14, guide §2.1 — see minhash_lsh_pairs)
+        banded = banded.repartition("band", "bucket").persist()
         return sig, banded
 
     n_sig, n_banded = banded_side(new_df, pre_sig=new_signatures)
@@ -783,7 +873,7 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     out.lsh_dropped = dropped
-    return release_on_gc(out, n_sig, o_sig)
+    return release_on_gc(out, n_sig, o_sig, n_banded, o_banded)
 
 
 def minhash_lsh_pairs_cross_sql(new_sql: str, old_sql: str, *,

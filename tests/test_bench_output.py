@@ -76,7 +76,12 @@ def test_bench_coarsening_fallback_fits_even_pathological_widths():
         "unconverged": sorted(names, key=len, reverse=True)[:4],
     }
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 1800, len(line)
+    # the hard ceiling is the driver's 2000-char tail; 1900 keeps the
+    # same cushion as the uncoarsened budget.  The bound moved
+    # 1800 -> 1900 with the round-14 rotation swap: the returning set's
+    # names are longer (skyline_3d_tree_merge_lineitem vs funnel_events)
+    # and pushed this all-9999s pathological line to 1815.
+    assert len(line) < 1900, len(line)
 
 
 def test_bench_fmt_adaptive_precision():
@@ -106,11 +111,15 @@ def test_headline_rotation_is_a_swap_not_an_append():
     worst-case line measures ~2190 chars).  HEADLINE and ROTATED_OUT
     must stay disjoint and the union must cover both r10 sets."""
     assert set(bench.HEADLINE).isdisjoint(bench.ROTATED_OUT)
-    # the 15 rows rotated out in round 10 are back in for the r11
-    # scheduled re-time (VERDICT r10 #1)
+    # round-14 scheduled swap (VERDICT r13 #7): the 15 rows rotated out
+    # in round 11 are back IN; the 15 stable returning-r10 rows retire
+    # to ROTATED_OUT with recorded r11-r13 bands
+    for n in ("hll_users_events", "ann_topk_embeddings",
+              "skyline_3d_tree_merge_lineitem", "bloom_semi_join_orders"):
+        assert n in bench.HEADLINE, n
     for n in ("paragraph_dedup_documents", "tfidf_documents",
               "funnel_events", "corr_profile_lineitem"):
-        assert n in bench.HEADLINE, n
+        assert n in bench.ROTATED_OUT, n
 
 
 def test_converged_floor_exit_takes_extra_sample_over_steady():

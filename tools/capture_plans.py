@@ -3,8 +3,14 @@
 Usage:
     python tools/capture_plans.py <sf_dir> <out_dir> [name ...]
 
-Writes one <name>.txt per query (plan only — nothing is executed), so
-before/after plan shapes are judge-checkable without running Spark.
+Writes one <name>.txt per query so before/after plan shapes are
+judge-checkable without running Spark.  Capture itself is *mostly*
+plan-only, but operators with eager persist pins DO execute real jobs
+at construction time (ADVICE r13): the minhash family runs sig.count()
+and substring_remove/scrub materialize their islands frame
+(iv.persist(); iv.count()) — and those caches stay pinned until the
+captured frame is garbage-collected (release_on_gc).  Frames are
+dropped after each capture so the pins release between queries.
 Streaming-fixture queries build their replay fixtures lazily inside the
 query callable, which is plan-safe; queries whose callable *executes*
 jobs to build the frame (composite pipelines returning a final frame)
@@ -38,6 +44,11 @@ def main() -> None:
             df = fn(spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
+            # drop the frame so release_on_gc unpersists any caches the
+            # operator pinned eagerly during construction (ADVICE r13)
+            del df
+            import gc
+            gc.collect()
         except Exception as exc:  # noqa: BLE001
             plan = f"PLAN CAPTURE FAILED: {exc!r}\n"
         with open(path, "w") as fh:
