@@ -133,15 +133,21 @@ def _cc_driver_label(e: DataFrame, *, nodes: DataFrame | None,
     lab_pdf = pd.DataFrame({"node": nodes_l,
                             "component": [find(n) for n in nodes_l]})
     lab = spark.createDataFrame(lab_pdf, lab_schema)
-    members = e.select(F.col("u").alias("node")) \
-        .union(e.select(F.col("v").alias("node"))).distinct()
+    # The label table IS the full answer for edge-member nodes: parent
+    # holds exactly distinct(u) ∪ distinct(v), so the previous
+    # members-distinct + broadcast-left-join (two more scans of `e`, a
+    # distinct exchange, and a join per downstream consumer — all
+    # recomputed on every read of the returned frame) reproduced `lab`
+    # row for row (optimization r14, guide §2.4: a `distinct` on data
+    # that is already unique).  Only extra isolated vertices need any
+    # plan at all: the ones not in `lab` label themselves.
+    out = lab
     if nodes is not None:
         nc = node_col or nodes.columns[0]
-        members = members.union(
-            nodes.select(F.col(nc).alias("node"))).distinct()
-    out = (members.join(F.broadcast(lab), "node", "left")
-           .select("node",
-                   F.coalesce("component", "node").alias("component")))
+        extra = (nodes.select(F.col(nc).alias("node")).distinct()
+                 .join(F.broadcast(lab.select("node")), "node", "left_anti")
+                 .select("node", F.col("node").alias("component")))
+        out = lab.unionByName(extra)
     out = release_on_gc(out, e)
     out._checkpoint_rdd_ids = ()
     return out
