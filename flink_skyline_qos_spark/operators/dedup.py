@@ -25,7 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .caching import release_on_gc
+from .caching import (pinned_local_checkpoint, release_checkpoints_on_gc,
+                      release_on_gc)
 
 __all__ = [
     "exact_dedup",
@@ -337,14 +338,23 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     if impl == "numpy":
         sig = hashed.mapInArrow(
             _minhash_fold_arrow(num_hashes, seed),
-            schema="id long, sig array<long>").persist()
+            schema="id long, sig array<long>")
     else:
         sig = hashed.select(
             "id",
             minhash_signature(F.col("__h"), num_hashes, seed=seed)
             .alias("sig"),
-        ).persist()
-    sig.count()  # pin the cache before the banded self-join (see ngram)
+        )
+    # Pin via localCheckpoint, not persist (optimization r14, guide
+    # §5): the sig table is (id, array<64 long>) and the columnar
+    # cache builder for array columns is brutal when its generated
+    # code is cold — pin A/B at 1M docs: persist 75.2 s cold / 13.5 s
+    # JIT-warm vs localCheckpoint 17.3 / 13.6 s, downstream triple-read
+    # 3.0 vs 2.4 s.  Row-based blocks skip the columnar encode
+    # entirely; eager, like the count() it replaces.  Non-replicated
+    # (executor loss recomputes the query) — the documented
+    # localCheckpoint trade the CC operator already makes.
+    sig = pinned_local_checkpoint(sig)
     # Band bucket = md5-derived hash of "band:sig[..]:sig[..]" — a pure
     # equi-join key, md5-keyed (like the base hashes) for the SQL twin.
     band_cols = [
@@ -361,7 +371,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     # candidate self-join (≈ bands× the corpus, twice), when every
     # placement decision needs just 20 B/row.  Signatures are attached
     # AFTER the candidate pairs are deduplicated, by joining the
-    # persisted sig table back on each id — |pairs| rows instead of
+    # pinned sig table back on each id — |pairs| rows instead of
     # bands×|corpus|.
     banded = sig.select(
         "id",
@@ -417,7 +427,7 @@ def minhash_lsh_pairs(df: DataFrame, *, id_col: str = "doc_id",
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     out.lsh_dropped = dropped
-    return release_on_gc(out, sig, banded)
+    return release_checkpoints_on_gc(release_on_gc(out, banded), sig)
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
@@ -798,8 +808,7 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
                     pre_sig: DataFrame | None = None
                     ) -> "tuple[DataFrame, DataFrame]":
         if pre_sig is not None:
-            sig = pre_sig.select(F.col(id_col).alias("id"),
-                                 "sig").persist()
+            sig = pre_sig.select(F.col(id_col).alias("id"), "sig")
         else:
             sh = (char_shingles(F.col("__t"), shingle_k,
                                 distinct=False)
@@ -812,8 +821,11 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
             ), probe=df).select("id", shingle_hashes(sh).alias("__h"))
             sig = hashed.mapInArrow(
                 _minhash_fold_arrow(num_hashes, seed),
-                schema="id long, sig array<long>").persist()
-        sig.count()
+                schema="id long, sig array<long>")
+        # localCheckpoint pin, not persist — the columnar cache
+        # builder is pathological for array columns when its codegen
+        # is cold (see minhash_lsh_pairs pin A/B: 75 s vs 17 s)
+        sig = pinned_local_checkpoint(sig)
         band_cols = [
             _md5_long(F.concat_ws(
                 ":", F.lit(b).cast("string"),
@@ -873,7 +885,8 @@ def minhash_lsh_pairs_cross(new_df: DataFrame = None,
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     out.lsh_dropped = dropped
-    return release_on_gc(out, n_sig, o_sig, n_banded, o_banded)
+    return release_checkpoints_on_gc(
+        release_on_gc(out, n_banded, o_banded), n_sig, o_sig)
 
 
 def minhash_lsh_pairs_cross_sql(new_sql: str, old_sql: str, *,
