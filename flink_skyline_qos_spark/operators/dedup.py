@@ -468,17 +468,26 @@ def ngram_jaccard_pairs(df: DataFrame, *, id_col: str = "doc_id",
     sh = (char_shingles(F.col(text_col), k) if unit == "char"
           else word_shingles(F.col(text_col), k))
     ex = _scale_out(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
-    # persist: sizes, gram-df, and the doc-array build all read this
-    # index.  Eager count first: a persisted frame referenced on both
-    # sides of one action races its own cache population (observed 5×
-    # run-to-run swings when the write loses the race).
+    # ONE exchange for the exploded gram index (optimization r14,
+    # guide §2.4): hash-partition by `g` at the pin, so BOTH consumers
+    # — the gram-frequency aggregation and the flat⋈gram_df join — run
+    # exchange-free off the cache (each previously exchanged the full
+    # index by `g` itself).  Eager count first: a persisted frame
+    # referenced on both sides of one action races its own cache
+    # population (observed 5× run-to-run swings when the write loses
+    # the race).
     flat = ex.select("id", F.explode("sh").alias("g")) \
-        .select("id", F.xxhash64("g").alias("g")).persist()
+        .select("id", F.xxhash64("g").alias("g")) \
+        .repartition("g").persist()
     flat.count()
-    # |shingle set| per doc (shingles are already distinct, so the
-    # exploded-row count IS the set size) — taken BEFORE the df=1 drop
-    # so |A∪B| = n_a + n_b − |A∩B| stays exact.
-    sizes = flat.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # |shingle set| per doc — a map-only size() on the pre-explode
+    # array (shingles are already distinct), taken BEFORE the df=1
+    # drop so |A∪B| = n_a + n_b − |A∩B| stays exact.  Replaces a
+    # second full pass over the exploded index (explode + exchange +
+    # count-by-id = identical value, optimization r14): only ids with
+    # ≥1 surviving df≥2 gram ever consume n_sh, and for those the
+    # array size equals the exploded-row count.
+    sizes = ex.select("id", F.size("sh").alias("n_sh"))
     # Regular (not broadcast) join with the gram-frequency table: it
     # scales with the corpus and co-partitions on `g`; AQE downgrades
     # to broadcast when it is actually small.
